@@ -1,0 +1,37 @@
+"""Every queries() entry must match its oracle_sql() on DuckDB — the local
+pre-check for the driver's CORRECTNESS gate (sf0.001 for speed; the driver
+runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jp_qcew_spark.queries import all_oracles, all_queries
+from tests.harness import compare, duckdb_conn
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+def test_registry_nonempty():
+    assert QUERIES, "query registry is empty"
+    # oracle-less (rows-only) entries are allowed but should be rare
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    assert len(rows_only) <= max(3, len(QUERIES) // 4), rows_only
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    df = QUERIES[name](spark, sf_dir)
+    if name not in ORACLES:
+        assert df.count() >= 0  # rows-only check, like the driver's
+        return
+    problems = compare(df, con, ORACLES[name], name)
+    assert not problems, "\n".join(problems)

@@ -24,8 +24,41 @@ TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs the engine's semantics depend on.
+
+    The driver (and any embedding application) builds its own SparkSession, so
+    session-level defaults can't be assumed:
+
+    - ANSI off: null-on-failure casts / NULL on div-by-zero, mirroring the
+      reference's ``cast(strict=False)`` (data_process.py:66-82) and the
+      DuckDB oracle's TRY_CAST comparisons (Spark 4 defaults ANSI **on**).
+    - UTC session timezone: parquet instants must render as naive-UTC to match
+      DuckDB's naive timestamps.
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), unreadable
+      otherwise; load_table converts back to micros.
+
+    All three are runtime-settable SQL confs; setting them is idempotent.
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one oracle table. ``sf_dir`` is e.g. /root/testdata/sf0.01."""
+    """Read one oracle table. ``sf_dir`` is e.g. /root/testdata/sf0.01.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads only
+    as a nano-epoch long (``spark.sql.legacy.parquet.nanosAsLong``); convert to
+    a microsecond TimestampType here so every consumer sees a real timestamp
+    (matching DuckDB's ns→µs truncation on fetch).
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

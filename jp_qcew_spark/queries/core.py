@@ -81,8 +81,8 @@ def q_cast_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             F.col("o_orderkey"),
-            F.col("o_orderstatus").cast("long").alias("status_as_num"),
-            F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_num"),
+            F.col("o_orderstatus").try_cast("long").alias("status_as_num"),
+            F.substring("o_orderpriority", 1, 1).try_cast("long").alias("priority_num"),
         )
         .groupBy("priority_num")
         .agg(

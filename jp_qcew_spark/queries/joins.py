@@ -1,0 +1,235 @@
+"""Join family — broadcast dim joins, anti/semi, as-of, range.
+
+Covers SURVEY.md §2.C: J1 (left equi-join fact x small dim; reference
+data_process.py:229-238), J2 (anti-join exclusion; :240), J3 (external-table
+join), plus the extension joins the reference lacks (as-of, range, semi) that
+SURVEY §2.C marks for the engine surface.
+
+Scale notes: dims (nation/region/customer) are broadcast explicitly; the as-of
+join is an equi-join on the entity key followed by a per-key window — at 100 TB
+the equi key (user_id) partitions the shuffle, so no cross product ever forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation in one region — fact chain with broadcast dims (J1/J3).
+
+    lineitem⋈orders shuffles on the order key; customer/nation/region are
+    broadcast (the reference's naics-description join at
+    data_process.py:229-238 is the same shape: ~300-row dim).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+ORACLE_JOIN_BROADCAST_DIMS = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti (SURVEY §2 J2: the reference's
+    invalid-NAICS exclusion, data_process.py:240, generalized from isin-literal
+    to a table-sourced anti-join, the 100 TB form per SURVEY §4 note 4)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_no_big_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers_no_big_orders
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations that have at least one supplier with positive balance —
+    left_semi (EXISTS), the complement of J2 in the engine's join family."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(
+            s.filter(F.col("s_acctbal") > 0),
+            n.n_nationkey == s.s_nationkey,
+            "left_semi",
+        )
+        .select(F.col("n_nationkey").cast("long").alias("nation_key"), "n_name")
+        .orderBy("nation_key")
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name
+FROM nation
+WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey AND s_acctbal > 0)
+ORDER BY nation_key
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the user's most recent purchase at or
+    before it (SURVEY §2.C "not present" row — engine extension).
+
+    Implementation is equi-join on user_id + range predicate + per-left-row
+    window argmax — the composition SURVEY §2.C prescribes. The user_id equi
+    key keeps the shuffle partitioned; ties broken by purchase event_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("pur_user"),
+        F.col("ts").alias("pur_ts"),
+        F.col("value").alias("pur_value"),
+    )
+    joined = err.join(
+        pur,
+        (err.user_id == pur.pur_user) & (pur.pur_ts <= err.err_ts),
+        "left",
+    )
+    w = Window.partitionBy("err_id").orderBy(
+        F.col("pur_ts").desc(), F.col("pur_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "err_id",
+            "user_id",
+            "err_ts",
+            F.col("pur_id").alias("last_purchase_id"),
+            F.round("pur_value", 2).alias("last_purchase_value"),
+        )
+        .orderBy("err_id")
+    )
+
+
+ORACLE_JOIN_ASOF = """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, ts AS err_ts
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS pur_id, user_id AS pur_user, ts AS pur_ts, value AS pur_value
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT err.*, pur.pur_id, pur.pur_ts, pur.pur_value,
+         row_number() OVER (
+           PARTITION BY err_id
+           ORDER BY pur_ts DESC NULLS LAST, pur_id DESC NULLS LAST) AS rn
+  FROM err LEFT JOIN pur
+    ON err.user_id = pur.pur_user AND pur.pur_ts <= err.err_ts
+)
+SELECT err_id, user_id, err_ts, pur_id AS last_purchase_id,
+       round(pur_value, 2) AS last_purchase_value
+FROM joined WHERE rn = 1 ORDER BY err_id
+"""
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchases by the same user within the hour before
+    each error event — engine extension per SURVEY §2.C."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("pur_user"),
+        F.col("ts").alias("pur_ts"),
+    )
+    joined = err.join(
+        pur,
+        (err.user_id == pur.pur_user)
+        & (pur.pur_ts <= err.err_ts)
+        & (pur.pur_ts > err.err_ts - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("err_id", "user_id")
+        .agg(F.count("pur_id").alias("purchases_last_hour"))
+        .orderBy("err_id")
+    )
+
+
+ORACLE_JOIN_RANGE = """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, ts AS err_ts
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS pur_id, user_id AS pur_user, ts AS pur_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err_id, user_id, count(pur_id) AS purchases_last_hour
+FROM err LEFT JOIN pur
+  ON err.user_id = pur.pur_user
+ AND pur.pur_ts <= err.err_ts
+ AND pur.pur_ts > err.err_ts - INTERVAL 1 HOUR
+GROUP BY err_id, user_id ORDER BY err_id
+"""
+
+
+QUERIES = {
+    "join_broadcast_dims": q_join_broadcast_dims,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "join_asof": q_join_asof,
+    "join_range": q_join_range,
+}
+
+ORACLE = {
+    "join_broadcast_dims": ORACLE_JOIN_BROADCAST_DIMS,
+    "join_anti": ORACLE_JOIN_ANTI,
+    "join_semi": ORACLE_JOIN_SEMI,
+    "join_asof": ORACLE_JOIN_ASOF,
+    "join_range": ORACLE_JOIN_RANGE,
+}

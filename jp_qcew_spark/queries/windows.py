@@ -1,0 +1,311 @@
+"""Window functions, top-k, pivot/unpivot, rollup.
+
+Covers SURVEY.md §2.E (the lag/first-difference/%-change semantics the
+reference expects precomputed in its CSVs — graph.py:88-103 — here computed
+natively), §2.F (sorts/top-k), and §2.D "not present" rows (rollup, pivot)
+promoted to engine surface.
+
+Determinism discipline: every window order includes a unique tie-break key;
+float outputs rounded on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per market segment (SURVEY §2.F: top-k via
+    row_number, the scale-safe alternative to a global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey,
+       round(o_totalprice, 2) AS total_price
+FROM ranked WHERE rk <= 3 ORDER BY c_mktsegment, rk
+"""
+
+
+def q_lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First difference + %-change over a monthly series per group — the
+    native recomputation of the reference's precomputed `_diff`/`_diff_p`
+    columns (SURVEY §2.E; reference graph.py:88-103).
+
+    W = partitionBy(series key).orderBy(period); diff = x - lag(x);
+    diff_p = diff / lag(x) * 100. First period → NULL (no prior).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_returnflag").alias("series"),
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+        )
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("series").orderBy("month")
+    return (
+        monthly.withColumn("prev", F.lag("revenue").over(w))
+        .select(
+            "series",
+            "month",
+            "revenue",
+            F.round(F.col("revenue") - F.col("prev"), 2).alias("revenue_diff"),
+            F.round(
+                (F.col("revenue") - F.col("prev")) / F.col("prev") * 100, 4
+            ).alias("revenue_diff_p"),
+        )
+        .orderBy("series", "month")
+    )
+
+
+ORACLE_LAG_DIFF_PCT = """
+WITH monthly AS (
+  SELECT l_returnflag AS series,
+         date_trunc('month', l_shipdate) AS month,
+         round(sum(l_extendedprice), 2) AS revenue
+  FROM lineitem GROUP BY 1, 2
+), lagged AS (
+  SELECT *, lag(revenue) OVER (PARTITION BY series ORDER BY month) AS prev
+  FROM monthly
+)
+SELECT series, month, revenue,
+       round(revenue - prev, 2) AS revenue_diff,
+       round((revenue - prev) / prev * 100, 4) AS revenue_diff_p
+FROM lagged ORDER BY series, month
+"""
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order time (unbounded-preceding
+    frame). Left-to-right accumulation order is identical in both engines, so
+    doubles agree bit-for-bit before rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+ORACLE_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month moving average of monthly revenue per series (bounded ROWS
+    frame) — the smoothing companion to q_lag_diff_pct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_returnflag").alias("series"),
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+        )
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        monthly.select(
+            "series",
+            "month",
+            "revenue",
+            F.round(F.avg("revenue").over(w), 2).alias("revenue_ma3"),
+        )
+        .orderBy("series", "month")
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH monthly AS (
+  SELECT l_returnflag AS series,
+         date_trunc('month', l_shipdate) AS month,
+         round(sum(l_extendedprice), 2) AS revenue
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT series, month, revenue,
+       round(avg(revenue) OVER (
+         PARTITION BY series ORDER BY month
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS revenue_ma3
+FROM monthly ORDER BY series, month
+"""
+
+
+def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank of suppliers by balance within nation (ranking family)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return s.select(
+        F.col("s_nationkey").cast("long").alias("nation_key"),
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).cast("long").alias("bal_rank"),
+    ).orderBy("nation_key", "bal_rank", "s_suppkey")
+
+
+ORACLE_RANK_DENSE = """
+SELECT CAST(s_nationkey AS BIGINT) AS nation_key, s_suppkey,
+       round(s_acctbal, 2) AS acctbal,
+       CAST(dense_rank() OVER (
+         PARTITION BY s_nationkey
+         ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS bal_rank
+FROM supplier ORDER BY nation_key, bal_rank, s_suppkey
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (quarterly→wide reshaping; companion of
+    the reference's viz-prep tables, SURVEY §2 P11/U2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PIVOT_WIDE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot three measure columns to long form — the Spark-native
+    replacement for the reference's quarterly→monthly row loop
+    (SURVEY §2.J; reference data_viz.py:26-50 → df.unpivot)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("line_no"),
+            "measure",
+            F.round("val", 2).alias("val"),
+        )
+        .orderBy("l_orderkey", "line_no", "measure")
+    )
+
+
+ORACLE_UNPIVOT_LONG = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no, measure,
+       round(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey < 100
+)
+ORDER BY l_orderkey, line_no, measure
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grand total — grouping-sets
+    family (SURVEY §2.D "not present" row, engine extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "topk_per_group": q_topk_per_group,
+    "lag_diff_pct": q_lag_diff_pct,
+    "running_sum": q_running_sum,
+    "moving_avg": q_moving_avg,
+    "rank_dense": q_rank_dense,
+    "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
+    "rollup_agg": q_rollup_agg,
+}
+
+ORACLE = {
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "lag_diff_pct": ORACLE_LAG_DIFF_PCT,
+    "running_sum": ORACLE_RUNNING_SUM,
+    "moving_avg": ORACLE_MOVING_AVG,
+    "rank_dense": ORACLE_RANK_DENSE,
+    "pivot_wide": ORACLE_PIVOT_WIDE,
+    "unpivot_long": ORACLE_UNPIVOT_LONG,
+    "rollup_agg": ORACLE_ROLLUP_AGG,
+}

@@ -1,0 +1,254 @@
+"""Event-time windows, sessionization, JSON props, dedup — batch + streaming.
+
+SURVEY.md §2.I: the reference is pure batch, so these are the engine's
+extension surface. Batch forms use the same ``F.window`` / ``session_window``
+functions Structured Streaming uses, which is exactly how the DuckDB oracle
+can check them; ``events_tumbling_stream`` additionally runs the REAL
+streaming path (readStream → watermark → windowed agg → memory sink) and must
+produce the identical result.
+
+Scale notes: windowed aggregation shuffles on (window, key) — bounded
+cardinality; sessionization shuffles on user_id (the natural partition key at
+100 TB); streaming state is keyed the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type: count + sum(value)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in 2
+    windows). The oracle expands the membership with two shifted tumbling
+    buckets — the relational definition of a sliding window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH member AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM member GROUP BY 1 ORDER BY window_start
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute gap (SURVEY §2.I:
+    ``F.session_window``). Session end = last event + gap, matching Spark's
+    definition; the oracle derives sessions via gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE_EVENTS_SESSION = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON map extraction from the ``props`` string column (SURVEY §2 F12
+    extension: data-plane JSON via get_json_object / from_json)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").try_cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_JSON_PROPS = """
+WITH x AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n_with_k,
+       round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event per (user_id, event_type) by (ts,
+    event_id) — the batch analog of streaming
+    ``dropDuplicatesWithinWatermark`` (SURVEY §2.I), made order-stable via
+    row_number instead of Spark's arbitrary dropDuplicates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_EVENTS_DEDUP = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path: readStream over the events parquet,
+    event-time watermark, 10-minute tumbling windowed aggregation, available-now
+    trigger into a memory sink — then return the sink table. Must equal the
+    batch tumbling oracle exactly (same F.window semantics, SURVEY §2.I).
+    """
+    import os
+
+    from jp_qcew_spark.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the parquet streaming source requires a directory; narrow the dir scan
+    # to the events file with a glob filter
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    query = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_tumbling_stream_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("events_tumbling_stream_sink")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+QUERIES = {
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "events_json_props": q_events_json_props,
+    "events_dedup": q_events_dedup,
+    "events_tumbling_stream": q_events_tumbling_stream,
+}
+
+ORACLE = {
+    "events_tumbling": ORACLE_EVENTS_TUMBLING,
+    "events_sliding": ORACLE_EVENTS_SLIDING,
+    "events_session": ORACLE_EVENTS_SESSION,
+    "events_json_props": ORACLE_EVENTS_JSON_PROPS,
+    "events_dedup": ORACLE_EVENTS_DEDUP,
+    "events_tumbling_stream": ORACLE_EVENTS_TUMBLING,
+}

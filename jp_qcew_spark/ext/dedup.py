@@ -1,0 +1,107 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The LLM-data-pipeline tier (north star in BASELINE.json): every operator is
+built from JVM-side expressions (md5, array lambdas) — no Python UDFs — so
+the hot path stays in whole-stage codegen and the hash family is portable
+(identical md5 strings on any engine, which is what makes the DuckDB oracle
+able to verify MinHash/SimHash bit-for-bit).
+
+Scale design (100 TB posture):
+- Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle keyed by
+  the fingerprint; no skew (uniform hash keys).
+- MinHash+LSH: per-doc signature is a narrow projection (no shuffle); the
+  band-bucket self-join shuffles on (band_idx, band_key) so only docs sharing
+  a bucket ever meet — the candidate set, not the n² pair space.
+- Jaccard verify: candidate pairs only; shingle sets travel as arrays
+  (bounded by doc length), intersection via array_intersect.
+- SimHash: explode(tokens × 32 bits) is map-side only; the per-(doc,bit)
+  aggregation shuffles on doc_id — linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.functions.text import tokens
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (empty-safe)."""
+    t = tokens(col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(k)]),
+    )
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> list[Column]:
+    """MinHash signature as ``num_hashes`` md5-string minima.
+
+    h_i(S) = min over shingles s of md5("{i}:" + s). Lexicographic min over
+    hex strings is a valid random-permutation surrogate, and md5 is identical
+    across engines — the whole signature is oracle-checkable.
+    """
+    return [
+        F.array_min(
+            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def band_key(sig_cols: list[Column | str], band: int, rows_per_band: int) -> Column:
+    """LSH band key: md5 of the concatenated signature slice for ``band``."""
+    lo = band * rows_per_band
+    cols = [F.col(c) if isinstance(c, str) else c for c in sig_cols]
+    return F.md5(F.concat(*cols[lo : lo + rows_per_band]))
+
+
+def jaccard(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.round(inter / union, decimals)
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document from its distinct token set.
+
+    Bit p (= hex-digit k × 4 + j) of the hash is the majority vote of bit j
+    of hex digit k of md5(token) across tokens: 1 iff 2·ones > n_tokens.
+    Every step is integer arithmetic on md5 hex digits — portable to the SQL
+    oracle verbatim.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    digits = tok.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+    ).withColumn(
+        "val", F.expr("locate(substring(h, k + 1, 1), '0123456789abcdef') - 1")
+    )
+    bits = digits.select(
+        id_col,
+        "k",
+        "val",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).withColumn(
+        "bit", (F.floor(F.col("val") / F.pow(F.lit(2), F.col("j"))) % 2).cast("long")
+    )
+    per_pos = bits.groupBy(id_col, (F.col("k") * 4 + F.col("j")).alias("pos")).agg(
+        F.sum("bit").alias("ones"), F.count("*").alias("n_tok")
+    )
+    return per_pos.groupBy(id_col).agg(
+        F.sum(
+            F.when(2 * F.col("ones") > F.col("n_tok"), F.pow(F.lit(2), F.col("pos")))
+            .otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,259 @@
+"""Dedup queries over ``documents`` — exact, Jaccard pairs, MinHash-LSH,
+SimHash (north-star LLM-pipeline tier; builders in jp_qcew_spark.ext.dedup).
+
+The md5-based hash family makes every stage — including the MinHash
+signatures and LSH candidate sets — bit-identical between Spark and the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.ext import dedup as D
+from jp_qcew_spark.functions.text import fingerprint
+from jp_qcew_spark.io import load_table
+
+_SH_SQL = r"""
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+              THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(
+                range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                i -> list_extract(regexp_split_to_array(trim(text), '\s+'), i+1)
+                  || ' ' ||
+                     list_extract(regexp_split_to_array(trim(text), '\s+'), i+2)
+                  || ' ' ||
+                     list_extract(regexp_split_to_array(trim(text), '\s+'), i+3)))
+         END AS shset
+  FROM documents
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", D.word_shingles(F.col("text")).alias("shset"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized md5 fingerprint: keeper = min doc_id per
+    fingerprint group (one shuffle on the 128-bit key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY fp ORDER BY keeper_doc_id
+"""
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.2.
+
+    Candidate generation = shared-shingle equi-join (only docs sharing at
+    least one shingle ever meet — shuffle keyed by shingle, never n²);
+    verification = exact Jaccard on the distinct shingle sets.
+    """
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shset").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shset").alias("sz"))
+    return (
+        pairs.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_JACCARD_PAIRS = rf"""
+WITH sh AS ({_SH_SQL}),
+ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (len(x.shset) + len(y.shset) - inter), 6) AS jac
+FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+WHERE inter::DOUBLE / (len(x.shset) + len(y.shset) - inter) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+_NUM_HASHES = 12
+_ROWS_PER_BAND = 4
+_NUM_BANDS = _NUM_HASHES // _ROWS_PER_BAND
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(3 bands × 4 rows) near-dup detection, Jaccard-verified.
+
+    Signatures are md5-string minima (portable across engines); candidate
+    pairs are docs agreeing on ≥1 band; survivors verified at Jaccard ≥ 0.2.
+    At scale the only shuffles are the band-bucket join and the verify join —
+    the classic sub-quadratic LSH plan.
+    """
+    sh = _shingled(spark, sf_dir).filter(F.size("shset") > 0)
+    sig = sh.select("doc_id", "shset", *D.minhash_signature(F.col("shset"), _NUM_HASHES))
+    sig_names = [f"mh_{i}" for i in range(_NUM_HASHES)]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    D.band_key(sig_names, b, _ROWS_PER_BAND)
+                    for b in range(_NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = sh.select("doc_id", "shset")
+    return (
+        cand.join(F.broadcast(sets).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sets).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            D.jaccard(F.col("sa.shset"), F.col("sb.shset")).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_minhash() -> str:
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh_{4 * b} || mh_{4 * b + 1} || mh_{4 * b + 2} || mh_{4 * b + 3}) "
+        "AS band_key FROM sig"
+        for b in range(_NUM_BANDS)
+    )
+    return rf"""
+WITH sh AS ({_SH_SQL}),
+nonempty AS (SELECT * FROM sh WHERE len(shset) > 0),
+sig AS (
+  SELECT doc_id, shset,
+         {sig_exprs}
+  FROM nonempty
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(x.shset, y.shset))::DOUBLE
+             / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))),
+             6) AS jac
+FROM cand JOIN nonempty x ON x.doc_id = doc_a JOIN nonempty y ON y.doc_id = doc_b
+WHERE len(list_intersect(x.shset, y.shset))::DOUBLE
+      / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-hex majority-vote bits) — grouped to
+    hash values so collisions (potential near-dups) surface."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = D.simhash32(d, "doc_id", "text")
+    return (
+        hashed.groupBy("simhash")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+        .orderBy("first_doc")
+    )
+
+
+ORACLE_DEDUP_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+  FROM documents WHERE trim(text) <> ''
+), dig AS (
+  SELECT doc_id, md5(t) AS h, unnest(range(8)) AS k FROM tok
+), vals AS (
+  SELECT doc_id, k, strpos('0123456789abcdef', substr(h, k + 1, 1)) - 1 AS val
+  FROM dig
+), bits AS (
+  SELECT doc_id, k, val, unnest(range(4)) AS j FROM vals
+), bit AS (
+  SELECT doc_id, k * 4 + j AS pos,
+         CAST(floor(val / power(2, j)) AS BIGINT) % 2 AS b
+  FROM bits
+), per_pos AS (
+  SELECT doc_id, pos, sum(b) AS ones, count(*) AS n_tok
+  FROM bit GROUP BY 1, 2
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > n_tok THEN power(2, pos) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM per_pos GROUP BY doc_id
+)
+SELECT simhash, min(doc_id) AS first_doc, count(*) AS n_docs
+FROM sh GROUP BY simhash ORDER BY first_doc
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard_pairs": ORACLE_DEDUP_JACCARD_PAIRS,
+    "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

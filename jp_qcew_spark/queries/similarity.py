@@ -1,0 +1,218 @@
+"""Similarity-search queries over ``embeddings`` (north-star tier).
+
+``knn_bruteforce`` is the exact baseline; ``knn_signlsh`` is the bucketed
+scale path; ``knn_classify`` composes top-k with majority-vote labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.ext import similarity as S
+from jp_qcew_spark.io import load_table
+
+_N_QUERIES = 10
+_COS_SQL = (
+    "round(list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2])))"
+    " * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2])))), 6)"
+)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors (self excluded).
+
+    Queries are broadcast; scoring is map-side over the candidate scan; the
+    only shuffle is the bounded per-query top-k window.
+    """
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_BRUTEFORCE = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS score
+  FROM q JOIN vecs c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_knn_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-3 neighbors: candidates limited to the query's
+    8-sign-bit bucket — the sub-quadratic ANN plan (bucket join replaces the
+    full cross product)."""
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "bucket", S.sign_bucket(F.col("v"), 8)
+    )
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            vecs,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_signlsh() -> str:
+    bucket = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v, bucket AS qbucket FROM vecs
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS score
+  FROM q JOIN vecs c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5) majority-vote label prediction for the query vectors;
+    ties broken toward the smaller label."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("nb_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    votes = top5.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("nb_label").cast("long").alias("predicted_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_KNN_CLASSIFY = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label, v FROM vecs
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, q.true_label, c.label AS nb_label, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS score
+  FROM q JOIN vecs c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, nb_label, count(*) AS votes
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3
+), winner AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, nb_label ASC) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(nb_label AS BIGINT) AS predicted_label, votes
+FROM winner WHERE rn = 1 ORDER BY query_id
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_signlsh": q_knn_signlsh,
+    "knn_classify": q_knn_classify,
+}
+
+ORACLE = {
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "knn_signlsh": _oracle_signlsh(),
+    "knn_classify": ORACLE_KNN_CLASSIFY,
+}

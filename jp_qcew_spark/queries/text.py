@@ -1,0 +1,181 @@
+"""Text-analysis queries over ``documents`` (north-star LLM-pipeline tier).
+
+Spark side uses the column builders in ``jp_qcew_spark.functions.text``
+(pure JVM expressions); oracles re-derive identical values with DuckDB list
+lambdas / regex functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.functions import text as X
+from jp_qcew_spark.io import load_table
+
+_EN = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+_ES = ", ".join(f"'{w}'" for w in X.ES_STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: words, non-space chars, avg word length, punct."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.word_count(t).alias("n_words"),
+        X.nonspace_len(t).alias("n_nonspace"),
+        X.avg_word_len(t).alias("avg_word_len"),
+        X.punct_count(t).alias("n_punct"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+       CASE WHEN trim(text) = '' THEN NULL
+            ELSE round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                 / len(regexp_split_to_array(trim(text), '\s+')), 4) END AS avg_word_len,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + decile bucketing (suppression-style HAVING
+    on the bucket counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select("doc_id", X.quality_score(t).alias("quality"))
+    return (
+        scored.withColumn(
+            "bucket", F.floor(F.col("quality") * 10).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_TEXT_QUALITY = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> x IN ({_EN}))) AS sw,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(text) AS total
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 OR total = 0 THEN NULL
+              ELSE round(0.4 * (sw::DOUBLE / n)
+                   + 0.3 * least(nonspace::DOUBLE / n / 10.0, 1.0)
+                   + 0.3 * (alpha::DOUBLE / total), 4) END AS quality
+  FROM toks
+)
+SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       round(avg(quality), 4) AS avg_quality
+FROM scored GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic vs the labeled ``lang`` column —
+    confusion-matrix style counts."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select("lang", X.lang_guess(t).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+ORACLE_TEXT_LANGID = rf"""
+WITH hits AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> x IN ({_EN}))) AS en,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> x IN ({_ES}))) AS es
+  FROM documents
+), guessed AS (
+  SELECT lang,
+         CASE WHEN en = 0 AND es = 0 THEN 'und'
+              WHEN en >= es THEN 'en' ELSE 'es' END AS lang_guess
+  FROM hits
+)
+SELECT lang, lang_guess, count(*) AS n_docs
+FROM guessed GROUP BY 1, 2 ORDER BY lang, lang_guess
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per source (alpha/digit runs + punct)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select("source", X.bpe_token_count(t).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_TOKEN_COUNT = r"""
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint per document (the exact-dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+}

@@ -1,0 +1,61 @@
+"""Fixed-width QCEW text scan + decoder (SURVEY.md §2 S1-S4).
+
+The reference reads latin-1 files line-by-line into Polars and slices 121
+substrings per line (src/jp_qcew/data_process.py:113-133). Spark-first form:
+``spark.read.text`` (distributed scan, one partition per file split) → a
+single 121-column ``select`` projection of ``substring``/``trim`` expressions
+— whole-stage-codegen'd, no Python in the loop, no driver-side file iteration
+(replacing the reference's serial per-file loop, data_process.py:47-60).
+
+At 100 TB: text scan parallelizes by HDFS/object-store split;
+``input_file_name()`` carries provenance; the projection is map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.schema.qcew_fields import FIELDS, FLOAT_FIELDS, INT_FIELDS
+
+
+def decode_columns(raw: Column | str = "value") -> list[Column]:
+    """The 121-field decode projection: 1-based (position, length) slices,
+    trimmed (reference data_process.py:128-133 slices then strips)."""
+    col = F.col(raw) if isinstance(raw, str) else raw
+    return [
+        F.trim(F.substring(col, pos, length)).alias(name)
+        for name, pos, length in FIELDS
+    ]
+
+
+def read_qcew_text(
+    spark: SparkSession, path: str, encoding: str = "ISO-8859-1"
+) -> DataFrame:
+    """Scan QCEW fixed-width file(s)/glob → raw lines + source file name."""
+    return (
+        spark.read.format("text")
+        .option("encoding", encoding)
+        .load(path)
+        .select(F.col("value"), F.input_file_name().alias("source_file"))
+    )
+
+
+def decode_qcew(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
+    """Raw lines → 121 typed-ready string columns (+ provenance if present).
+
+    Blank/short lines decode to empty strings per slice — the numeric casts
+    downstream turn those into nulls (reference cast(strict=False) semantics).
+    """
+    extra = (
+        [F.col("source_file")] if "source_file" in raw_df.columns else []
+    )
+    return raw_df.select(*decode_columns(raw_col), *extra)
+
+
+def typed_qcew(decoded: DataFrame) -> DataFrame:
+    """Apply the reference's 9 numeric casts (data_process.py:66-82),
+    null-on-failure (try_cast — ANSI-safe)."""
+    cols = {c: F.col(c).try_cast("long") for c in INT_FIELDS}
+    cols.update({c: F.col(c).try_cast("double") for c in FLOAT_FIELDS})
+    return decoded.withColumns(cols)

@@ -1,0 +1,102 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 3 runs per query, median
+per query; plus the QCEW vertical slice (synthetic 100k-record fixed-width
+file → ETL → NAICS aggregate). Prints ONE JSON line:
+
+    {"metric": "...", "value": <total suite sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "config": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+QCEW_LINES = int(os.environ.get("SPARK_GRAFT_QCEW_LINES", "100000"))
+
+
+def _qcew_fixture_dir() -> str:
+    """Synthetic fixed-width corpus (~100k lines across 8 quarter files),
+    cached across bench runs (deterministic, seed=42)."""
+    from tests.qcew_fixtures import gen_qcew_tree
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"qcew_bench_{QCEW_LINES}"
+    )
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        gen_qcew_tree(d, n_lines=QCEW_LINES // 8)
+        open(marker, "w").close()
+    return os.path.join(d, "qcew")
+
+
+def main() -> None:
+    from jp_qcew_spark.queries import all_queries
+    from jp_qcew_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="jp_qcew_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+
+    queries = all_queries()
+    # warm-up: JIT/codegen/session init should not be billed to the first query
+    queries["pricing_summary"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    # QCEW vertical slice: fixed-width decode -> partitioned parquet -> agg
+    from jp_qcew_spark.operators.etl import run_etl
+    from jp_qcew_spark.operators.naics import naics4_aggregate
+
+    qcew_in = _qcew_fixture_dir()
+    runs = []
+    for _ in range(RUNS):
+        out = tempfile.mkdtemp(prefix="qcew_bench_out_")
+        t0 = time.perf_counter()
+        etl_df = run_etl(spark, qcew_in + "/*/*", out)
+        naics4_aggregate(etl_df).collect()
+        runs.append(time.perf_counter() - t0)
+    timings["qcew_etl_naics_100k"] = round(statistics.median(runs), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "suite_seconds_median_per_query",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "config": {
+            "spark": spark.version,
+            "master": f"local[{CPUS}]",
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "runs_per_query": RUNS,
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

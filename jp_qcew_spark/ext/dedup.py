@@ -26,9 +26,17 @@ from pyspark.sql import functions as F
 from jp_qcew_spark.functions.text import tokens
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a text column (empty-safe)."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a MATERIALIZED token-array column.
+
+    Performance contract: ``t`` must be a real column (attribute reference),
+    not an inline expression — higher-order-function lambdas are interpreted
+    per element with no common-subexpression elimination, so an inline
+    ``split()`` here would re-tokenize the document for every gram. Layering
+    the projection (tokens column → shingles column) makes each ``F.get``
+    a cheap array lookup. Spark's CollapseProject deliberately keeps the
+    layers separate because the token column is referenced more than once.
+    """
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -39,26 +47,85 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> list[Column]:
-    """MinHash signature as ``num_hashes`` md5-string minima.
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a raw text column (convenience form;
+    for hot paths use tokens → ``shingles_from_tokens`` layering)."""
+    return shingles_from_tokens(tokens(col), k)
+
+
+def minhash_array(shingle_col: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature as one array of ``num_hashes`` md5-string minima.
 
     h_i(S) = min over shingles s of md5("{i}:" + s). Lexicographic min over
     hex strings is a valid random-permutation surrogate, and md5 is identical
     across engines — the whole signature is oracle-checkable.
+
+    Single pass over the shingle set: each shingle expands to its
+    ``num_hashes`` hashes, folded with an element-wise ``least`` — O(|S|)
+    md5 work instead of ``num_hashes`` separate traversals (which projection
+    collapse would otherwise multiply into re-shingling per hash).
+    ``'g'`` sorts above every hex digit, so it is the fold identity.
     """
-    return [
-        F.array_min(
-            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
+    per_shingle = F.transform(
+        shingle_col,
+        lambda s: F.array(
+            *[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(num_hashes)]
+        ),
+    )
+    init = F.array(*[F.lit("g") for _ in range(num_hashes)])
+    return F.aggregate(
+        per_shingle, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
+
+
+def band_key(sig: Column, band: int, rows_per_band: int) -> Column:
+    """LSH band key: md5 of the signature slice for ``band`` (sig = the
+    array column produced by :func:`minhash_array`)."""
+    lo = band * rows_per_band
+    return F.md5(
+        F.concat(*[F.get(sig, lo + j) for j in range(rows_per_band)])
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) rows — the EXPLODED shingle form, all codegen'd operators.
+
+    posexplode(tokens) → word grams via window ``lead`` → distinct. This is
+    the hot-path form: per-row array lambdas (transform/aggregate) run in the
+    interpreted expression evaluator, ~6× slower than this native pipeline,
+    and at 100 TB the exploded form also shuffles on the natural keys
+    (id for the gram window, shingle for the candidate join) instead of
+    carrying whole shingle arrays through joins.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    grams = tok.select(id_col, "tok", *leads).filter(
+        F.col(f"t{k - 1}").isNotNull()
+    )
+    return grams.select(
+        id_col,
+        F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("shingle"),
+    ).distinct()
+
+
+def minhash_from_exploded(ex: DataFrame, id_col: str, num_hashes: int = 12) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signatures from exploded shingles.
+
+    ``min(md5(i:shingle))`` per id — partial (map-side) aggregation makes the
+    shuffle carry only one row per id per partition. Same hash family as
+    :func:`minhash_array`, so results are identical.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-
-
-def band_key(sig_cols: list[Column | str], band: int, rows_per_band: int) -> Column:
-    """LSH band key: md5 of the concatenated signature slice for ``band``."""
-    lo = band * rows_per_band
-    cols = [F.col(c) if isinstance(c, str) else c for c in sig_cols]
-    return F.md5(F.concat(*cols[lo : lo + rows_per_band]))
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def jaccard(a: Column, b: Column, decimals: int = 6) -> Column:

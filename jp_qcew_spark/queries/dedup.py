@@ -31,9 +31,11 @@ _SH_SQL = r"""
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram rows — the codegen'd hot path
+    (see ext.dedup.exploded_shingles)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", D.word_shingles(F.col("text")).alias("shset"))
+    return D.exploded_shingles(d, "doc_id", "text")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,20 +66,23 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation = shared-shingle equi-join (only docs sharing at
     least one shingle ever meet — shuffle keyed by shingle, never n²);
-    verification = exact Jaccard on the distinct shingle sets.
+    |A∩B| falls out of the join group-count, |A∪B| from broadcast sizes.
     """
-    sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shset").alias("s"))
+    ex = _exploded(spark, sf_dir).persist()
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.select("doc_id", F.size("shset").alias("sz"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
         pairs.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
@@ -122,15 +127,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the only shuffles are the band-bucket join and the verify join —
     the classic sub-quadratic LSH plan.
     """
-    sh = _shingled(spark, sf_dir).filter(F.size("shset") > 0)
-    sig = sh.select("doc_id", "shset", *D.minhash_signature(F.col("shset"), _NUM_HASHES))
-    sig_names = [f"mh_{i}" for i in range(_NUM_HASHES)]
+    ex = _exploded(spark, sf_dir).persist()
+    sig = D.minhash_from_exploded(ex, "doc_id", _NUM_HASHES)
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_NUM_HASHES)])
     banded = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    D.band_key(sig_names, b, _ROWS_PER_BAND)
+                    D.band_key(sig_arr, b, _ROWS_PER_BAND)
                     for b in range(_NUM_BANDS)
                 ]
             )
@@ -150,14 +155,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sets = sh.select("doc_id", "shset")
+    # verify: intersection counts computed only for the candidate pairs —
+    # broadcast the (small) candidate set against the exploded shingles
+    inter = (
+        F.broadcast(cand)
+        .join(ex.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
+        .join(
+            ex.alias("xb"),
+            (F.col("doc_b") == F.col("xb.doc_id"))
+            & (F.col("xa.shingle") == F.col("xb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        cand.join(F.broadcast(sets).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sets).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            D.jaccard(F.col("sa.shset"), F.col("sb.shset")).alias("jac"),
+            F.round(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+            ).alias("jac"),
         )
         .filter(F.col("jac") >= 0.2)
         .orderBy("doc_a", "doc_b")

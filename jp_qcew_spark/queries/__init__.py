@@ -23,6 +23,8 @@ _GROUPS = [
     "jp_qcew_spark.queries.text",
     "jp_qcew_spark.queries.dedup",
     "jp_qcew_spark.queries.similarity",
+    "jp_qcew_spark.queries.streaming",
+    "jp_qcew_spark.queries.multimodal",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Multimodal queries over ``documents`` (north-star tier; ext.multimodal).
+
+The payload layout (magic | md5(text) | utf-8 text) makes every byte the
+decoder touches independently recomputable in DuckDB SQL — so even the
+``mapInPandas`` Arrow-binary path is hash-verified, not just rows-counted.
+Media kind is assigned deterministically by ``doc_id % 3``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.ext import multimodal as M
+from jp_qcew_spark.io import load_table
+
+_KINDS = ["image", "audio", "video"]  # doc_id % 3 -> kind
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic binary payload column, kind by doc_id % 3."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, M.synth_payload(F.col("text"), "image"))
+        .when(F.col("doc_id") % 3 == 1, M.synth_payload(F.col("text"), "audio"))
+        .otherwise(M.synth_payload(F.col("text"), "video"))
+    )
+    return d.select("doc_id", "text", payload.alias("payload"))
+
+
+# DuckDB fragment: the same payload as a hex STRING (DuckDB cannot slice
+# blobs, so the oracle works on hex; 2 hex chars == 1 payload byte).
+_PAYLOAD_HEX = (
+    "CASE WHEN doc_id % 3 = 0 THEN '89504E47' "
+    "     WHEN doc_id % 3 = 1 THEN '52494646' "
+    "     ELSE '000001BA' END || upper(md5(text)) || upper(hex(encode(text)))"
+)
+
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata per media object from the binary column alone —
+    magic-byte mime sniff + header-parsed dimensions, all whole-stage-codegen
+    expressions (no Python)."""
+    m = _media(spark, sf_dir)
+    width, height = M.parsed_dims(F.col("payload"))
+    return (
+        m.select(
+            "doc_id",
+            M.sniff_mime(F.col("payload")).alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            width.alias("width"),
+            height.alias("height"),
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MM_METADATA = f"""
+WITH media AS (
+  SELECT doc_id, {_PAYLOAD_HEX} AS hx FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CASE substr(hx, 1, 8)
+         WHEN '89504E47' THEN 'image/png'
+         WHEN '52494646' THEN 'audio/wav'
+         WHEN '000001BA' THEN 'video/mpeg'
+         ELSE 'application/octet-stream' END AS mime,
+       CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) AS width,
+       CAST(('0x' || substr(hx, 13, 4)) AS BIGINT) AS height
+FROM media ORDER BY doc_id
+"""
+
+
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-level decode via ``mapInPandas`` (the real multimodal
+    plumbing: binary column → pandas bytes → parsed features). Hash-matching
+    the SQL oracle proves the bytes crossed the Arrow boundary intact."""
+    m = _media(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return M.decode_features(m).orderBy("doc_id")
+
+
+ORACLE_MM_DECODE = f"""
+WITH media AS (
+  SELECT doc_id, {_PAYLOAD_HEX} AS hx FROM documents WHERE doc_id < 200
+), parsed AS (
+  SELECT doc_id,
+         CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+         CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) AS width,
+         CAST(('0x' || substr(hx, 13, 4)) AS BIGINT) AS height,
+         substr(hx, 1, 8) AS head_hex
+  FROM media
+)
+SELECT doc_id, n_bytes, width, height, head_hex,
+       (width * height + n_bytes) % 256 AS mean_px
+FROM parsed ORDER BY doc_id
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 3rd 16-byte frame of video-kind payloads,
+    with an oracle-checkable per-frame signature. Explode keeps the work
+    distributed (one output row per sampled frame, never whole payloads
+    through the shuffle)."""
+    vids = _media(spark, sf_dir).filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300)
+    )
+    return M.frame_samples(vids, "doc_id", "payload").orderBy("doc_id", "frame_idx")
+
+
+ORACLE_MM_FRAMES = f"""
+WITH vids AS (
+  SELECT doc_id, lower({_PAYLOAD_HEX}) AS hx FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id < 300
+), frames AS (
+  SELECT doc_id, hx,
+         unnest(range(0, CAST(floor((length(hx) / 2 - 4) / 16.0) AS BIGINT)))
+           AS frame_idx
+  FROM vids
+)
+SELECT doc_id, frame_idx,
+       md5(substr(hx, 9 + frame_idx * 32, 32)) AS frame_sig
+FROM frames WHERE frame_idx % 3 = 0 ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "mm_metadata": q_mm_metadata,
+    "mm_decode_features": q_mm_decode_features,
+    "mm_frame_sample": q_mm_frame_sample,
+}
+
+ORACLE = {
+    "mm_metadata": ORACLE_MM_METADATA,
+    "mm_decode_features": ORACLE_MM_DECODE,
+    "mm_frame_sample": ORACLE_MM_FRAMES,
+}

@@ -1,0 +1,81 @@
+"""Structured Streaming queries (SURVEY.md §2.I, extension tier B).
+
+Each entry runs a REAL streaming pipeline (readStream → watermark → stateful
+operator → available-now trigger → memory sink) and returns the drained sink.
+Oracles check the batch-equivalent semantics in DuckDB: session windows and
+key-set dedup are deterministic; the custom-stateful per-user stats reduce to
+a plain group-by at quiescence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jp_qcew_spark.streaming import (
+    stream_dedup_keys,
+    stream_session_windows,
+    stream_stateful_user_stats,
+)
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_session_windows(spark, sf_dir).orderBy("user_id", "session_start")
+
+
+# identical semantics to the batch session_window oracle (events.py)
+ORACLE_STREAM_SESSION = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_keys(spark, sf_dir).orderBy("user_id", "event_type")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_stateful_user_stats(spark, sf_dir).orderBy("user_id")
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "stream_session": q_stream_session,
+    "stream_dedup": q_stream_dedup,
+    "stream_stateful_user_stats": q_stream_stateful,
+}
+
+ORACLE = {
+    "stream_session": ORACLE_STREAM_SESSION,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
+    "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL,
+}

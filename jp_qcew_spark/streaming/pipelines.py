@@ -1,0 +1,159 @@
+"""Structured Streaming surface (SURVEY.md §2.I — extension tier B).
+
+The reference is pure batch (quarterly files processed offline,
+reference README.md:58-73); this module is the engine's streaming extension:
+file-source ingest → event-time watermark → windowed / sessionized /
+deduplicated / custom-stateful operators → sink. Each pipeline here has a
+batch twin in ``jp_qcew_spark.queries.events`` computed with the *same*
+window functions, which is how the DuckDB oracle checks streaming results.
+
+Scale posture: streaming state is keyed by ``user_id`` (the natural
+100 TB partition key); watermarks bound state size; `availableNow` triggers
+give reproducible batch-equivalent replays for testing, while the same
+pipelines run unmodified with a live trigger against an arriving-file
+directory (`maxFilesPerTrigger`) in production.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jp_qcew_spark.io import ensure_session_confs
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned up front —
+    streaming sources never infer). ``ts`` arrives as parquet TIMESTAMP(NANOS)
+    (long under nanosAsLong); convert to a real microsecond timestamp so
+    watermarks/windows see event time, exactly as `io.load_table` does for
+    batch."""
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame through an available-now trigger into a
+    memory sink and return the sink table (one bounded replay — the testing
+    idiom; production swaps the sink + trigger, the plan is unchanged)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: 30-minute-gap session windows per user over
+    the event stream (watermark bounds session state). Complete-mode replay
+    equals the batch ``session_window`` aggregation bit-for-bit."""
+    sessions = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory(sessions, "complete").select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type). WHICH physical event survives per key is
+    batch-order-dependent, so the deterministic (oracle-checkable) output is
+    the surviving key set — one row per key, the semantic guarantee of
+    streaming dedup."""
+    deduped = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append")
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Per-user running (count, sum(value)) — arbitrary stateful op via
+    applyInPandasWithState (SURVEY §2.I). Counters are monotone, so the final
+    emission per user is recoverable downstream even across multi-batch
+    replays (max n wins)."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+    )
+
+
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user event count + value sum
+    held in explicit GroupState (``applyInPandasWithState``), update-mode
+    emission; the last (= max-count) emission per user is the final answer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stats = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_to_memory(stats, "update")
+    final = sink.groupBy("user_id").agg(F.max_by("n_events", "n_events").alias("n_events"),
+                                        F.max_by("sum_value", "n_events").alias("sum_value"))
+    return final.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )

@@ -1,0 +1,60 @@
+"""Unit tests for ext.multimodal: stubbed codec contract, byte-twin parity
+between the pandas decoder and the codegen expression path, frame slicing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.ext import multimodal as M
+
+
+def _payload(text: str, kind: str) -> bytes:
+    md5 = hashlib.md5(text.encode()).digest()
+    return bytes.fromhex(M.MAGIC_HEX[kind]) + md5 + text.encode()
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(_payload("x", "image"), real=True)
+
+
+def test_decode_media_parses_header_bytes():
+    text = "hello multimodal"
+    p = _payload(text, "image")
+    feats = M.decode_media(p)
+    md5 = hashlib.md5(text.encode()).digest()
+    assert feats["width"] == (md5[0] << 8) | md5[1]
+    assert feats["height"] == (md5[2] << 8) | md5[3]
+    assert feats["n_bytes"] == 20 + len(text.encode())
+    assert feats["head_hex"] == "89504E47"
+
+
+def test_synth_payload_and_dims_match_python(spark):
+    text = "abc def ghi"
+    df = spark.createDataFrame([(text,)], "text string")
+    w, h = M.parsed_dims(M.synth_payload(F.col("text"), "video"))
+    row = df.select(
+        M.synth_payload(F.col("text"), "video").alias("p"),
+        w.alias("w"),
+        h.alias("h"),
+        M.sniff_mime(M.synth_payload(F.col("text"), "video")).alias("mime"),
+    ).first()
+    assert bytes(row.p) == _payload(text, "video")
+    feats = M.decode_media(bytes(row.p))
+    assert (row.w, row.h) == (feats["width"], feats["height"])
+    assert row.mime == "video/mpeg"
+
+
+def test_frame_samples_match_python_twin(spark):
+    text = "0123456789" * 5  # 50 bytes -> 70-byte payload -> 4 full frames
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string").select(
+        "doc_id", M.synth_payload(F.col("text"), "video").alias("payload")
+    )
+    rows = M.frame_samples(df, "doc_id", "payload", every=1).collect()
+    p = _payload(text, "video")
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert r.frame_sig == M.frame_sig_py(p, r.frame_idx)

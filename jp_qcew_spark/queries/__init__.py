@@ -25,6 +25,8 @@ _GROUPS = [
     "jp_qcew_spark.queries.similarity",
     "jp_qcew_spark.queries.streaming",
     "jp_qcew_spark.queries.multimodal",
+    "jp_qcew_spark.queries.sketches",
+    "jp_qcew_spark.queries.geo",
 ]
 
 

@@ -205,14 +205,180 @@ FROM winner WHERE rn = 1 ORDER BY query_id
 """
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into cells; each
+    query searches only its own cell (nprobe=1) — the inverted-file scale
+    path (cell assignment is a narrow map-side pass; the search join is keyed
+    by cell, never all-pairs).
+
+    The quantizer here is deterministic — per-label mean centroids (rounded
+    to 6 dp) — so the DuckDB oracle can re-derive the exact same cells; a
+    production deployment would train centroids with MLlib KMeans (iterative,
+    not SQL-expressible) and broadcast them identically.
+    """
+    vecs = _vecs(spark, sf_dir)
+    # centroids: mean per (label, dim) -> re-assembled rounded vector
+    ex = vecs.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ax"))),
+                lambda s: F.round(s["ax"], 6),
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("clabel"), "cv")
+    )
+    # cell assignment: nearest centroid by cosine (broadcast cross join; the
+    # centroid set is tiny by construction)
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("clabel").asc()
+    )
+    assigned = (
+        vecs.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "v",
+            "clabel",
+            S.cosine(F.col("v"), F.col("cv")).alias("cscore"),
+        )
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("clabel").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_IVF = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs
+),
+cent AS (
+  SELECT label AS clabel, array_agg(round(ax, 6) ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(x) AS ax FROM ex GROUP BY 1, 2)
+  GROUP BY 1
+),
+cell_scored AS (
+  SELECT vecs.vec_id, vecs.v, cent.clabel,
+         round(list_sum(list_transform(list_zip(vecs.v, cent.cv), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(list_zip(vecs.v, vecs.v), x -> x[1] * x[2])))
+            * sqrt(list_sum(list_transform(list_zip(cent.cv, cent.cv), x -> x[1] * x[2])))), 6)
+           AS cscore
+  FROM vecs CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, clabel AS cell FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cscore DESC, clabel ASC) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM assigned
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2])))
+            * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2])))), 6)
+           AS score
+  FROM q JOIN assigned c ON c.cell = q.qcell AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, north-star tier):
+    candidates from an 8-plane sign-LSH bucket self-join (sub-quadratic —
+    only same-bucket pairs are ever scored), verified at cosine ≥ 0.3.
+    At 100 TB the bucket join shuffles on the bucket key and AQE handles the
+    skewed buckets; no all-pairs product exists anywhere in the plan."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", S.sign_bucket(F.col("v"), 8))
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            S.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_dedup_embedding() -> str:
+    bucket = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1] * x[2])))
+          * sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1] * x[2])))), 6)
+         AS cos_sim
+FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1] * x[2])))
+          * sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1] * x[2])))), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_signlsh": q_knn_signlsh,
     "knn_classify": q_knn_classify,
+    "knn_ivf": q_knn_ivf,
+    "dedup_embedding_cos": q_dedup_embedding_cos,
 }
 
 ORACLE = {
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "knn_signlsh": _oracle_signlsh(),
     "knn_classify": ORACLE_KNN_CLASSIFY,
+    "knn_ivf": ORACLE_KNN_IVF,
+    "dedup_embedding_cos": _oracle_dedup_embedding(),
 }

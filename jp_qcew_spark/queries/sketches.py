@@ -1,0 +1,173 @@
+"""Multi-dimensional aggregates + approximate sketches (SURVEY.md §2.D
+"not present" row — extension tier 7: cube / rollup / grouping sets,
+approx_count_distinct, percentile sketches).
+
+Exact forms are oracle-checked; the genuinely approximate sketches
+(HyperLogLog, GK-quantile) are rows-only by design — their estimates are
+algorithm-specific, so the test instead pairs each with an exact twin query
+the oracle can hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations, with
+    GROUPING() flags to disambiguate NULL-as-total from NULL data. Spark plans
+    cube as a single expand+hash-agg — one shuffle regardless of the number
+    of grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty"
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-(year, priority), per-year, grand total —
+    the general form rollup/cube sugar over (Spark SQL syntax; one expand)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS order_year,
+               o_orderpriority,
+               CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                                (year(o_orderdate)), ())
+        ORDER BY g_year, g_prio, order_year, o_orderpriority
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT year(o_orderdate) AS order_year,
+       o_orderpriority,
+       CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                        (year(o_orderdate)), ())
+ORDER BY g_year, g_prio, order_year, o_orderpriority
+"""
+
+
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extendedprice per returnflag
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) — the exact twin of the
+    GK sketch below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_QUANTILES_EXACT = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sketch_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches — the 100 TB workhorses: HyperLogLog distinct
+    counts (``approx_count_distinct``) and GK-sketch percentiles
+    (``percentile_approx``). Estimates are engine-specific, so this entry is
+    rows-only; correctness of the underlying distributions is pinned by the
+    exact twins (``quantiles_exact``, ``agg_distinct_exact``). Both sketches
+    merge associatively → single partial-agg shuffle, no data movement
+    proportional to cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count twin (COUNT(DISTINCT) expands to a two-phase
+    de-dup + count under Catalyst; at scale prefer the HLL sketch above when
+    ±2% suffices)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_AGG_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "cube_agg": q_cube_agg,
+    "grouping_sets": q_grouping_sets,
+    "quantiles_exact": q_quantiles_exact,
+    "sketch_approx": q_sketch_approx,
+    "agg_distinct_exact": q_agg_distinct_exact,
+}
+
+ORACLE = {
+    "cube_agg": ORACLE_CUBE,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "quantiles_exact": ORACLE_QUANTILES_EXACT,
+    "agg_distinct_exact": ORACLE_AGG_DISTINCT,
+    # sketch_approx: rows-only by design (approximate, engine-specific)
+}
+
+QUERIES_ROWS_ONLY_RATIONALE = {
+    "sketch_approx": "HLL/GK estimates are engine-specific; exact twins are hashed",
+}

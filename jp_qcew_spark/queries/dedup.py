@@ -154,21 +154,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
-    # verify: intersection counts computed only for the candidate pairs —
-    # broadcast the (small) candidate set against the exploded shingles
+    # verify: first narrow the exploded shingles to docs that appear in some
+    # candidate pair (broadcast semi-join — map-side, no corpus shuffle),
+    # then intersect within that small set. The LSH contract is precisely
+    # that |candidates| << |corpus|, so `exc` is broadcastable; every verify
+    # step below is a broadcast join + one partial-agg shuffle of pair rows.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    exc = ex.join(F.broadcast(cand_docs), "doc_id", "semi").persist()
     inter = (
         F.broadcast(cand)
-        .join(ex.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
+        .join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
         .join(
-            ex.alias("xb"),
+            F.broadcast(exc.alias("xb")),
             (F.col("doc_b") == F.col("xb.doc_id"))
             & (F.col("xa.shingle") == F.col("xb.shingle")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
         inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))

@@ -1,0 +1,76 @@
+"""Plan-shape regression tests (jp_qcew_spark.plans.inspect).
+
+Results being right is necessary; the PLAN being right is what survives a
+100× scale-up. Each test pins a designed-in property — pushdown, pruning,
+broadcast strategy, no cartesian blowups, bounded shuffle count — so an
+efficiency regression fails CI at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jp_qcew_spark.plans import inspect as I
+from jp_qcew_spark.queries.core import q_pricing_summary
+from jp_qcew_spark.queries.dedup import q_dedup_minhash_lsh
+from jp_qcew_spark.queries.geo import q_geo_bbox_join
+from jp_qcew_spark.queries.joins import QUERIES as JOIN_QUERIES
+from jp_qcew_spark.queries.similarity import q_knn_bruteforce
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    """The flagship scan must push the shipdate predicate into parquet and
+    read only the 7 referenced columns of lineitem's 11."""
+    df = q_pricing_summary(spark, sf_dir)
+    assert any("l_shipdate" in f for f in I.pushed_filters(df))
+    (schema,) = I.read_schemas(df)
+    assert set(schema) <= {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    # one shuffle for the aggregate, one for the final global sort — no more
+    assert I.count_exchanges(df) <= 2
+    # map-side combine: the shuffle carries partial agg states, not raw rows
+    assert I.has_partial_aggregation(df)
+    # codegen ids materialize once stages execute (AQE)
+    df.collect()
+    assert I.wholestage_codegen_spans(df) >= 1
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region: every dim must come in
+    as a broadcast-hash join; a sort-merge join here would shuffle the fact
+    table once per dim at 100 TB."""
+    df = JOIN_QUERIES["join_broadcast_dims"](spark, sf_dir)
+    assert I.broadcast_hash_joins(df) >= 4
+    assert I.sort_merge_joins(df) == 0
+    assert not I.has_cartesian_product(df)
+    # every scan is column-pruned: no scan reads more than 4 columns
+    assert all(len(s) <= 4 for s in I.read_schemas(df))
+
+
+def test_knn_bruteforce_no_cartesian(spark, sf_dir):
+    """The query side is broadcast, so the non-equi (!=) join must be a
+    broadcast nested-loop over the candidate scan — never CartesianProduct."""
+    df = q_knn_bruteforce(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert any("vec_id" in f for f in I.pushed_filters(df))
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """Sub-quadratic contract: candidate generation and verify are keyed
+    joins (band-key / doc-id / shingle) — the plan may never contain an
+    unkeyed product."""
+    assert not I.has_cartesian_product(q_dedup_minhash_lsh(spark, sf_dir))
+
+
+def test_geo_join_broadcasts_nation(spark, sf_dir):
+    df = q_geo_bbox_join(spark, sf_dir)
+    assert I.broadcast_hash_joins(df) >= 1
+    assert I.sort_merge_joins(df) == 0
+
+
+def test_asof_join_shape(spark, sf_dir):
+    """as-of join compiles to keyed join + bounded window — no product."""
+    df = JOIN_QUERIES["join_asof"](spark, sf_dir)
+    assert not I.has_cartesian_product(df)

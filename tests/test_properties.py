@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY.md §5.4) — hypothesis drives the invariants
+the example-based tests can't sweep:
+
+- fixed-width decode round-trips arbitrary field content (the 1-based
+  position arithmetic has no off-by-one for ANY value/width combination),
+- casts never throw, only null (non-ANSI contract),
+- the NAICS aggregate never emits a suppressed group and never loses wages.
+
+Spark-session-per-example is too slow, so properties run the decode logic
+through the same projection builder on small literal DataFrames, batched.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.operators.naics import naics4_aggregate
+from jp_qcew_spark.schema.qcew_fields import FIELDS, RECORD_WIDTH
+from jp_qcew_spark.sources.fixed_width import decode_qcew, typed_qcew
+from tests.qcew_fixtures import make_line
+
+# printable latin-1 content without leading/trailing-space ambiguity
+_content = st.text(
+    alphabet=string.ascii_letters + string.digits + "-_./",
+    min_size=0,
+    max_size=8,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.dictionaries(
+        st.sampled_from([f[0] for f in FIELDS[:40]]),
+        _content,
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_decode_round_trip(spark, vals):
+    """pad(values) → decode ≡ values (trimmed), for arbitrary field subsets."""
+    line = make_line(vals)
+    assert len(line) == RECORD_WIDTH
+    df = spark.createDataFrame([(line,)], "value string")
+    row = decode_qcew(df.withColumn("source_file", F.lit("t"))).first()
+    widths = {f[0]: f[2] for f in FIELDS}
+    for name, val in vals.items():
+        # make_line truncates content to the field width before padding
+        assert row[name] == val[: widths[name]].strip(), name
+
+
+@given(junk=st.text(min_size=0, max_size=6))
+@_settings
+def test_casts_null_not_throw(spark, junk):
+    """Non-numeric year/qtr content decodes to NULL, never an exception —
+    the reference's cast(strict=False) semantics (data_process.py:66-82)."""
+    line = make_line({"year": junk, "qtr": junk, "total_wages": junk})
+    df = decode_qcew(
+        spark.createDataFrame([(line,)], "value string").withColumn(
+            "source_file", F.lit("t")
+        )
+    )
+    row = typed_qcew(df).select("year", "qtr", "total_wages").first()
+    stripped = junk.strip()
+    if not (stripped.isdigit() or (stripped.lstrip("-").isdigit() and stripped)):
+        assert row["year"] is None
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["1111", "2222", "3333"]),  # naics4
+            st.integers(min_value=1, max_value=9),      # establishments
+            st.integers(min_value=0, max_value=10_000), # wages each
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+)
+@_settings
+def test_suppression_invariants(spark, groups):
+    """(a) no emitted group has < 5 establishments; (b) emitted wage sums
+    equal the per-group input sums (nothing lost or double-counted)."""
+    rows = []
+    for naics4, n_est, wages in groups:
+        for _ in range(n_est):
+            rows.append((2020, 1, naics4 + "00", wages, 30, 30, 30))
+    df = spark.createDataFrame(
+        rows,
+        "file_year int, file_qtr int, naics_code string, total_wages long,"
+        "first_month_employment long, second_month_employment long,"
+        "third_month_employment long",
+    )
+    out = {
+        r["naics4"]: r
+        for r in naics4_aggregate(
+            df, year_col="file_year", qtr_col="file_qtr"
+        ).collect()
+    }
+    for naics4, n_est, wages in groups:
+        if n_est >= 5:
+            assert out[naics4]["dummy"] == n_est
+            assert out[naics4]["total_wages"] == wages * n_est
+        else:
+            assert naics4 not in out

@@ -247,3 +247,28 @@ def test_timeseries_unpivot_resample(spark, etl_out):
         assert b["employment_diff"] == pytest.approx(
             b["employment"] - a["employment"]
         )
+
+
+def test_catalog_sink_saveastable(etl_out, spark, tmp_path_factory):
+    """S10 (SURVEY §2.A): catalog-managed table sink — saveAsTable with
+    (year, qtr) partitioning replaces the reference's legacy DuckDB .ddb
+    persistence (reference README.md:7,56,65); readers address the table by
+    name and still get partition pruning."""
+    _, df = etl_out
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    (
+        df.write.mode("overwrite")
+        .partitionBy("file_year", "file_qtr")
+        .format("parquet")
+        .option("path", os.path.join(wh, "qcew"))
+        .saveAsTable("qcew")
+    )
+    back = spark.table("qcew")
+    assert back.count() == df.count()
+    one = back.filter(F.col("file_year") == 2015).filter(F.col("file_qtr") == 1)
+    from jp_qcew_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(one)
+    # partition pruning reached the scan
+    assert "PartitionFilters" in plan
+    spark.sql("DROP TABLE IF EXISTS qcew")

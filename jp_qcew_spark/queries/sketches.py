@@ -89,12 +89,17 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) — the exact twin of the
     GK sketch below."""
     li = load_table(spark, sf_dir, "lineitem")
+    # one array-form percentile = ONE per-group sort for all three points
+    # (three scalar calls would sort the group three times)
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        .agg(pct.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.get("pcts", 0), 4).alias("p50"),
+            F.round(F.get("pcts", 1), 4).alias("p95"),
+            F.round(F.get("pcts", 2), 4).alias("p99"),
         )
         .orderBy("l_returnflag")
     )

@@ -218,7 +218,39 @@ GROUP BY err_id, user_id ORDER BY err_id
 """
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened equi-join (ext.skew.salted_join): lineitem × supplier
+    with the fact side scattered over 8 salted copies of the dim. Result is
+    EXACTLY the plain join (the oracle computes it unsalted); only the
+    physical key distribution changes — the pattern for power-law join keys
+    where AQE skew handling doesn't apply (broadcast-ineligible mid-size
+    dims, streaming joins)."""
+    from jp_qcew_spark.ext.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    joined = salted_join(li, s, on=["l_suppkey"], n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_JOIN_SALTED = """
+SELECT s_nationkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 QUERIES = {
+    "join_salted_skew": q_join_salted_skew,
     "join_broadcast_dims": q_join_broadcast_dims,
     "join_anti": q_join_anti,
     "join_semi": q_join_semi,
@@ -227,6 +259,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_salted_skew": ORACLE_JOIN_SALTED,
     "join_broadcast_dims": ORACLE_JOIN_BROADCAST_DIMS,
     "join_anti": ORACLE_JOIN_ANTI,
     "join_semi": ORACLE_JOIN_SEMI,

@@ -288,7 +288,51 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def q_analytic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per order-priority partition: quartile bucket
+    (ntile), percent_rank, cume_dist, and the partition's first/last price
+    (unbounded frame). One window spec → one shuffle on the partition key;
+    all five functions evaluate in the same sorted pass."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wframe = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.first("o_totalprice").over(wframe), 2).alias("part_min"),
+            F.round(F.last("o_totalprice").over(wframe), 2).alias("part_max"),
+        )
+        .orderBy("o_orderpriority", "price", "o_orderkey")
+    )
+
+
+ORACLE_ANALYTIC_DIST = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS price,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(first_value(o_totalprice) OVER wf, 2) AS part_min,
+       round(last_value(o_totalprice) OVER wf, 2) AS part_max
+FROM orders WHERE o_orderkey < 2000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderpriority, price, o_orderkey
+"""
+
+
 QUERIES = {
+    "analytic_dist": q_analytic_dist,
     "topk_per_group": q_topk_per_group,
     "lag_diff_pct": q_lag_diff_pct,
     "running_sum": q_running_sum,
@@ -300,6 +344,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "analytic_dist": ORACLE_ANALYTIC_DIST,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "lag_diff_pct": ORACLE_LAG_DIFF_PCT,
     "running_sum": ORACLE_RUNNING_SUM,

@@ -157,3 +157,46 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+def stream_qcew_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming QCEW ingest: quarterly fixed-width files arriving in a
+    directory → decode/type → append to (year, qtr)-partitioned parquet,
+    exactly-once via the checkpoint (SURVEY.md §4: the reference's serial
+    offline batch loop, reference data_process.py:47-92, becomes a
+    file-source stream with `maxFilesPerTrigger` pacing).
+
+    Partition keys come from each RECORD's parsed (year, qtr) — streaming
+    cannot do the batch path's per-file mode-keying (a per-file aggregate
+    over unbounded input); dirty lines land in their parsed partition and
+    the batch compactor re-keys them on the next `run_etl` pass. Returns the
+    StreamingQuery; callers `awaitTermination()` (availableNow drains the
+    backlog then stops — the replayable test/batch-catchup trigger).
+    """
+    from jp_qcew_spark.sources.fixed_width import decode_qcew, typed_qcew
+
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.format("text")
+        .option("encoding", "ISO-8859-1")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+        .select(F.col("value"), F.input_file_name().alias("source_file"))
+        .filter(F.length(F.trim("value")) > 0)
+    )
+    typed = typed_qcew(decode_qcew(raw)).drop("value", "source_file")
+    return (
+        typed.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("year", "qtr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

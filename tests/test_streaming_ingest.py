@@ -1,0 +1,70 @@
+"""Streaming QCEW ingest: exactly-once file-source → partitioned parquet.
+
+Covers the arriving-quarterly-files design (streaming/pipelines.py): an
+available-now drain processes the backlog; a SECOND drain with one new file
+processes ONLY that file (checkpoint = exactly-once), and the partitioned
+output stays consistent with the batch decode of the same inputs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.sources.fixed_width import decode_qcew, read_qcew_text, typed_qcew
+from jp_qcew_spark.streaming.pipelines import stream_qcew_ingest
+from tests.qcew_fixtures import gen_quarter_file
+
+
+@pytest.fixture()
+def ingest_dirs(tmp_path):
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    rng = random.Random(7)
+    for qtr in (1, 2):
+        gen_quarter_file(str(inp / f"eqin2020{qtr}.txt"), 2020, qtr, 300, rng)
+    return {
+        "inp": str(inp),
+        "out": str(tmp_path / "parquet"),
+        "cp": str(tmp_path / "checkpoint"),
+    }
+
+
+def test_stream_ingest_exactly_once(spark, ingest_dirs, tmp_path):
+    q = stream_qcew_ingest(
+        spark, ingest_dirs["inp"], ingest_dirs["out"], ingest_dirs["cp"]
+    )
+    q.awaitTermination()
+    out1 = spark.read.parquet(ingest_dirs["out"])
+    batch = typed_qcew(decode_qcew(read_qcew_text(spark, ingest_dirs["inp"] + "/*")))
+    assert out1.count() == batch.filter(F.length(F.trim("value")) > 0).count()
+    # partitioned layout on parsed keys
+    assert glob.glob(os.path.join(ingest_dirs["out"], "year=2020", "qtr=1", "*"))
+
+    # a third file arrives; a new available-now drain picks up ONLY it
+    rng = random.Random(8)
+    gen_quarter_file(
+        os.path.join(ingest_dirs["inp"], "eqin20203.txt"), 2020, 3, 150, rng
+    )
+    q2 = stream_qcew_ingest(
+        spark, ingest_dirs["inp"], ingest_dirs["out"], ingest_dirs["cp"]
+    )
+    q2.awaitTermination()
+    out2 = spark.read.parquet(ingest_dirs["out"])
+    assert out2.count() == out1.count() + 150
+    # dirty lines (fixture injects corrupt years) land in their PARSED
+    # partition — compare against the batch decode of the same file
+    f3 = typed_qcew(
+        decode_qcew(
+            read_qcew_text(spark, os.path.join(ingest_dirs["inp"], "eqin20203.txt"))
+        )
+    )
+    expected = f3.filter((F.col("year") == 2020) & (F.col("qtr") == 3)).count()
+    assert (
+        out2.filter((F.col("year") == 2020) & (F.col("qtr") == 3)).count()
+        == expected
+    )

@@ -27,6 +27,7 @@ _GROUPS = [
     "jp_qcew_spark.queries.multimodal",
     "jp_qcew_spark.queries.sketches",
     "jp_qcew_spark.queries.geo",
+    "jp_qcew_spark.queries.scalars",
 ]
 
 

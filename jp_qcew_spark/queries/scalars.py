@@ -1,0 +1,181 @@
+"""Scalar-function surface — math, regex, date, array, map (SURVEY.md §2.H:
+the reference uses none of these; they're the engine's free built-in
+extension tier, exercised here so the oracle pins their exact semantics).
+
+All expressions are whole-stage-codegen built-ins; each query is a single
+narrow scan + projection (+ one bounded agg) — nothing here shuffles more
+than its final group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/ln/pow/abs/ceil/floor over part prices (null-safe: ln guarded)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        F.round(
+            F.when(price > 0, F.log(price)).otherwise(F.lit(None)), 6
+        ).alias("ln_price"),
+        F.round(F.pow(price, F.lit(0.25)), 6).alias("price_4throot"),
+        F.ceil(price).cast("long").alias("ceil_price"),
+        F.floor(price).cast("long").alias("floor_price"),
+        F.abs(price - 1000.0).alias("abs_dev_1000"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_MATH = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(CASE WHEN p_retailprice > 0 THEN ln(p_retailprice) END, 6) AS ln_price,
+       round(pow(p_retailprice, 0.25), 6) AS price_4throot,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       abs(p_retailprice - 1000.0) AS abs_dev_1000
+FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike over part names: first word,
+    vowels stripped, contains-digit flag — counted per brand."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_brand",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", r"[aeiou]", "").alias("devoweled"),
+            F.col("p_name").rlike(r"\d").cast("long").alias("has_digit"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("first_word").alias("n_first_words"),
+            F.sum("has_digit").alias("n_with_digit"),
+            F.max(F.length("devoweled")).alias("max_devoweled_len"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_REGEX = r"""
+WITH x AS (
+  SELECT p_brand,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+         CASE WHEN regexp_matches(p_name, '\d') THEN 1 ELSE 0 END AS has_digit
+  FROM part
+)
+SELECT p_brand,
+       count(DISTINCT first_word) AS n_first_words,
+       sum(has_digit) AS n_with_digit,
+       max(length(devoweled)) AS max_devoweled_len
+FROM x GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/datediff/last_day/dayofweek over order dates, monthly
+    rollup. DuckDB's date_trunc returns DATE; Spark's returns TIMESTAMP —
+    to_date aligns them (the documented cross-engine quirk)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+            F.datediff(F.last_day("o_orderdate"), F.to_date("o_orderdate")).alias(
+                "days_to_month_end"
+            ),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("days_to_month_end"), 4).alias("avg_days_to_eom"),
+            F.countDistinct("dow").alias("n_dows"),
+        )
+        .orderBy("order_month")
+    )
+
+
+ORACLE_DATE = """
+WITH x AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  last_day(CAST(o_orderdate AS DATE))) AS days_to_month_end,
+         dayofweek(o_orderdate) + 1 AS dow  -- DuckDB: 0=Sunday; Spark: 1=Sunday
+  FROM orders
+)
+SELECT order_month, count(*) AS n_orders,
+       round(avg(days_to_month_end), 4) AS avg_days_to_eom,
+       count(DISTINCT dow) AS n_dows
+FROM x GROUP BY order_month ORDER BY order_month
+"""
+
+
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map surface over embeddings: size/min/max/slice-sum, plus a
+    map built from parsed JSON-ish stats — per-label aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double"))
+    head_sum = F.aggregate(
+        F.slice(vd, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        e.select(
+            "label",
+            F.size(v).cast("long").alias("dim"),
+            F.round(F.array_min(vd), 6).alias("vmin"),
+            F.round(F.array_max(vd), 6).alias("vmax"),
+            F.round(head_sum, 6).alias("head8_sum"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.max("dim").alias("dim"),
+            F.round(F.min("vmin"), 6).alias("min_component"),
+            F.round(F.max("vmax"), 6).alias("max_component"),
+            F.round(F.avg("head8_sum"), 6).alias("avg_head8_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_ARRAY_MAP = """
+WITH x AS (
+  SELECT label,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+         round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+         round(list_sum(list_transform((embedding::DOUBLE[])[1:8], y -> y)), 6)
+           AS head8_sum
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs, max(dim) AS dim,
+       round(min(vmin), 6) AS min_component,
+       round(max(vmax), 6) AS max_component,
+       round(avg(head8_sum), 6) AS avg_head8_sum
+FROM x GROUP BY label ORDER BY label
+"""
+
+
+QUERIES = {
+    "math_funcs": q_math_funcs,
+    "regex_extract": q_regex_extract,
+    "date_funcs": q_date_funcs,
+    "array_map_funcs": q_array_map_funcs,
+}
+
+ORACLE = {
+    "math_funcs": ORACLE_MATH,
+    "regex_extract": ORACLE_REGEX,
+    "date_funcs": ORACLE_DATE,
+    "array_map_funcs": ORACLE_ARRAY_MAP,
+}

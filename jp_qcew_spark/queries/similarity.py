@@ -249,6 +249,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wcell))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("clabel").alias("cell"))
+        .persist()  # consumed twice (query side + candidate side)
     )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -62,3 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every oracle table as a temp view so callers can use the
+    engine through plain ``spark.sql`` — the Spark-catalog analog of the
+    reference's embedded SQL-over-files surface (SURVEY §1.1:
+    'Embedded SQL-over-files', data_process.py:93-95), with Catalyst
+    pushdown/pruning instead of a per-query glob scan."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

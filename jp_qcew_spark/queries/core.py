@@ -11,7 +11,7 @@ order-insensitive value-hash is engine-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.io import load_table
@@ -314,8 +314,46 @@ ORDER BY nation_key
 """
 
 
+def q_tick_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis tick sampling (SURVEY §2 P13; reference graph.py:119-124 keeps
+    every 3rd quarterly label with ``x_values[::3]``): distinct ordered
+    period labels → row_number → keep rank ≡ 1 (mod 3). Kept in-engine so
+    the collect boundary ships only the sampled ticks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    periods = (
+        li.select(
+            F.concat(
+                F.year("l_shipdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("l_shipdate").cast("string"),
+            ).alias("period")
+        )
+        .distinct()
+    )
+    w = Window.orderBy("period")
+    return (
+        periods.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") % 3) == 1)
+        .select("period", "rn")
+        .orderBy("rn")
+    )
+
+
+ORACLE_TICK_SAMPLE = """
+WITH p AS (
+  SELECT DISTINCT CAST(year(l_shipdate) AS VARCHAR) || '-Q'
+         || CAST(quarter(l_shipdate) AS VARCHAR) AS period
+  FROM lineitem
+), r AS (
+  SELECT period, row_number() OVER (ORDER BY period) AS rn FROM p
+)
+SELECT period, rn FROM r WHERE rn % 3 = 1 ORDER BY rn
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "tick_sample": q_tick_sample,
     "cast_nullsafe": q_cast_nullsafe,
     "fixedwidth_slice": q_fixedwidth_slice,
     "filter_nonblank": q_filter_nonblank,
@@ -327,6 +365,7 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "tick_sample": ORACLE_TICK_SAMPLE,
     "cast_nullsafe": ORACLE_CAST_NULLSAFE,
     "fixedwidth_slice": ORACLE_FIXEDWIDTH_SLICE,
     "filter_nonblank": ORACLE_FILTER_NONBLANK,

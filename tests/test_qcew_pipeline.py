@@ -254,7 +254,8 @@ def test_catalog_sink_saveastable(etl_out, spark, tmp_path_factory):
     (year, qtr) partitioning replaces the reference's legacy DuckDB .ddb
     persistence (reference README.md:7,56,65); readers address the table by
     name and still get partition pruning."""
-    _, df = etl_out
+    out, _ = etl_out
+    df = spark.read.parquet(out)  # fresh listing (rerun test replaced files)
     wh = str(tmp_path_factory.mktemp("warehouse"))
     (
         df.write.mode("overwrite")
@@ -272,3 +273,19 @@ def test_catalog_sink_saveastable(etl_out, spark, tmp_path_factory):
     # partition pruning reached the scan
     assert "PartitionFilters" in plan
     spark.sql("DROP TABLE IF EXISTS qcew")
+
+
+def test_register_views_sql_surface(spark):
+    """spark.sql over registered views ≡ the DataFrame API (the embedded
+    SQL-over-files surface, SURVEY §1.1)."""
+    from jp_qcew_spark.io import load_table, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    via_sql = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).collect()
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    via_df = (
+        li.groupBy("l_returnflag").agg(F.count("*").alias("n")).orderBy("l_returnflag")
+    ).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]

@@ -194,20 +194,10 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger into a memory sink — then return the sink table. Must equal the
     batch tumbling oracle exactly (same F.window semantics, SURVEY §2.I).
     """
-    import os
+    from jp_qcew_spark.streaming.pipelines import read_events_stream
 
-    from jp_qcew_spark.io import ensure_session_confs
-
-    ensure_session_confs(spark)
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # the parquet streaming source requires a directory; narrow the dir scan
-    # to the events file with a glob filter
     stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(

@@ -79,3 +79,20 @@ ORACLE = {
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL,
 }
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jp_qcew_spark.streaming.pipelines import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir).orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_STREAM_STATIC = """
+SELECT c_mktsegment, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type
+"""
+
+QUERIES["stream_static_join"] = q_stream_static_join
+ORACLE["stream_static_join"] = ORACLE_STREAM_STATIC

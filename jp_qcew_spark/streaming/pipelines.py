@@ -200,3 +200,28 @@ def stream_qcew_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (user_id → c_custkey). Stateless append — the static
+    side is re-planned per micro-batch (and broadcast, being dim-sized), so
+    no streaming state accumulates; the canonical shape for dimension
+    enrichment at ingest time."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+        )
+    )
+    enriched = (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory(enriched, "complete")

@@ -58,3 +58,29 @@ def test_frame_samples_match_python_twin(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
     for r in rows:
         assert r.frame_sig == M.frame_sig_py(p, r.frame_idx)
+
+
+def test_minhash_forms_agree(spark):
+    """ext.dedup exposes two MinHash implementations — the array-lambda form
+    (minhash_array) and the exploded partial-agg form (minhash_from_exploded,
+    the hot path). Same hash family → identical signatures, always."""
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.ext import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "the quick brown fox jumps over a sleeping dog")],
+        "doc_id long, text string",
+    )
+    k = 6
+    arr = docs.select(
+        "doc_id", D.minhash_array(D.word_shingles(F.col("text")), k).alias("sig")
+    ).collect()
+    ex = D.minhash_from_exploded(
+        D.exploded_shingles(docs, "doc_id", "text"), "doc_id", k
+    ).collect()
+    by_id_arr = {r.doc_id: list(r.sig) for r in arr}
+    by_id_ex = {r.doc_id: [r[f"mh_{i}"] for i in range(k)] for r in ex}
+    assert by_id_arr == by_id_ex

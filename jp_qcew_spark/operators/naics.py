@@ -67,3 +67,18 @@ def naics4_aggregate(
         (F.col("total_wages") * MEDICARE_RATE).alias("medicare_contributions"),
         (F.col("total_wages") * SSN_RATE).alias("ssn_contributions"),
     )
+
+
+def naics4_legacy_view(agg: DataFrame) -> DataFrame:
+    """Rename the aggregate to the REFERENCE's shipped golden-output schema
+    (reference data/external/naics4_df.parquet; legacy ibis suffix names from
+    reference graph.py:16,38: first_4_naics_code, *_sum, dummy:int32) so a
+    consumer of the reference's parquet can point at this engine unchanged."""
+    return agg.select(
+        F.col("year").cast("long").alias("year"),
+        F.col("qtr").cast("long").alias("qtr"),
+        F.col("naics4").alias("first_4_naics_code"),
+        F.col("total_wages").cast("long").alias("total_wages_sum"),
+        F.col("total_employment").cast("double").alias("total_employment_sum"),
+        F.col("dummy").cast("int").alias("dummy"),
+    )

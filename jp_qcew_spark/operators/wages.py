@@ -102,3 +102,22 @@ def label_domain(enriched: DataFrame) -> list[str]:
         .collect()
     )
     return [r[0] for r in rows]
+
+
+def measure_column(data_type: str, selected_column: str) -> str:
+    """Map (data_type, selected_column) → the measure column to plot —
+    the reference's dispatch in gen_wages_graph (reference graph.py:88-103).
+    ``nivel`` = level, ``primera_diferencia`` = first difference,
+    ``cambio_porcentual`` = percent change; salary/payroll carry legacy
+    special-case names, everything else uses the _diff/_diff_p suffix that
+    ``timeseries.with_diffs`` computes natively (SURVEY §2.E)."""
+    if data_type == "nivel":
+        return selected_column
+    special = {"average_salary": "salary", "total_wages": "payroll"}
+    base = special.get(selected_column, selected_column)
+    suffix = {"primera_diferencia": "_diff", "cambio_porcentual": "_diff_p"}
+    if data_type not in suffix:
+        raise ValueError(f"unknown data_type {data_type!r}")
+    if selected_column in special:
+        return base + suffix[data_type]
+    return selected_column + suffix[data_type]

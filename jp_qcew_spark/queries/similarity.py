@@ -383,3 +383,58 @@ ORACLE = {
     "knn_ivf": ORACLE_KNN_IVF,
     "dedup_embedding_cos": _oracle_dedup_embedding(),
 }
+
+
+_ZSCORE_SCHEMA = (
+    "vec_id long, label long, norm double, znorm double"
+)
+
+
+def _zscore_group(pdf):
+    """Grouped-map kernel: per-label z-score of the L2 norm (ddof=1 to match
+    SQL stddev_samp). Pure numpy over one label's Arrow batch."""
+    import numpy as np
+
+    vecs = np.stack(pdf["embedding"].map(np.asarray, na_action=None).to_list())
+    # z-score over the ROUNDED norms (both engines see identical inputs to
+    # mean/std, so cross-engine float drift can't straddle the final round)
+    norms = np.round(np.sqrt((vecs.astype("float64") ** 2).sum(axis=1)), 6)
+    mu = norms.mean()
+    sd = norms.std(ddof=1)
+    out = pdf[["vec_id"]].copy()
+    out["label"] = pdf["label"].astype("int64")
+    out["norm"] = norms
+    out["znorm"] = np.round((norms - mu) / sd, 4) if sd > 0 else float("nan")
+    return out
+
+
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas`` — SURVEY §2.J extension
+    surface): per-label z-score of embedding norms. The group key is the
+    shuffle key; each label's vectors arrive as ONE Arrow batch to numpy —
+    the idiomatic shape for per-group model-ish computations (normalizers,
+    per-group fits) that built-ins can't express row-wise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", e.label.cast("long").alias("label"), "embedding")
+        .groupBy("label")
+        .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_GROUPED_ZSCORE = """
+WITH n AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+           AS norm
+  FROM embeddings
+)
+SELECT vec_id, label, norm,
+       round((norm - avg(norm) OVER w) / stddev_samp(norm) OVER w, 4) AS znorm
+FROM n WINDOW w AS (PARTITION BY label)
+ORDER BY vec_id
+"""
+
+QUERIES["grouped_zscore"] = q_grouped_zscore
+ORACLE["grouped_zscore"] = ORACLE_GROUPED_ZSCORE

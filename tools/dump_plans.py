@@ -1,0 +1,68 @@
+"""Regenerate PLANS.md — committed formatted physical plans for the headline
+queries, with the plan property each is designed around. Run from repo root:
+
+    python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADLINERS = [
+    ("pricing_summary",
+     "Flagship aggregate: predicate pushdown into the parquet scan, 7-of-11 "
+     "column pruning, map-side partial aggregation, one agg shuffle + one "
+     "sort shuffle."),
+    ("join_broadcast_dims",
+     "Star join: every dimension arrives as BroadcastHashJoin — the fact "
+     "table is never shuffled per-dim."),
+    ("suppressed_agg",
+     "QCEW disclosure aggregate: filter→agg→HAVING fused into one hash-agg "
+     "pipeline with partial aggregation."),
+    ("dedup_minhash_lsh",
+     "Sub-quadratic LSH: candidate generation joins on band keys; verify "
+     "narrows to candidate docs via broadcast semi-join — no corpus-width "
+     "shuffle after signatures."),
+    ("knn_ivf",
+     "IVF ANN: cell assignment is a broadcast nested-loop over 10 centroids; "
+     "search joins only within the query's cell."),
+    ("geo_bbox_join",
+     "Geo enrich: bbox range predicates push to the scan; nation dim "
+     "broadcast; trig runs post-filter only."),
+]
+
+
+def main() -> None:
+    from jp_qcew_spark.plans.inspect import formatted_plan
+    from jp_qcew_spark.queries import all_queries
+    from jp_qcew_spark.session import get_spark
+
+    spark = get_spark(app_name="dump_plans", master="local[8]",
+                      shuffle_partitions=8)
+    queries = all_queries()
+    sf = "/root/testdata/sf0.001"
+    out = [
+        "# PLANS — headline physical plans (auto-generated)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. These are the",
+        "`explain('formatted')` plans the engine is designed around;",
+        "`tests/test_plans.py` asserts their load-bearing properties so they",
+        "can't regress silently.",
+        "",
+    ]
+    for name, note in HEADLINERS:
+        df = queries[name](spark, sf)
+        out += [f"## {name}", "", note, "", "```",
+                formatted_plan(df).rstrip(), "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

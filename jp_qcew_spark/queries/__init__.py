@@ -28,6 +28,7 @@ _GROUPS = [
     "jp_qcew_spark.queries.sketches",
     "jp_qcew_spark.queries.geo",
     "jp_qcew_spark.queries.scalars",
+    "jp_qcew_spark.queries.llm_prep",
 ]
 
 

@@ -43,6 +43,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Let AQE re-plan (and coalesce) CACHED plans: without this, a
+    # .persist() under a default 200-shuffle-partition session freezes 200
+    # near-empty cache partitions, and every downstream stage pays 200
+    # task-overheads — measured 10× slowdowns on the dedup pipelines.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

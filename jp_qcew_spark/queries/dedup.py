@@ -287,3 +287,124 @@ ORACLE = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }
+
+
+def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs (≥ 0.5) — the script-agnostic
+    dedup variant (word shingles assume whitespace segmentation; char grams
+    work for CJK/no-space text). Normalized = lowercased, whitespace
+    collapsed. Same exploded keyed-join plan as the word-gram family; the
+    gram explosion is bounded per doc by text length, and distinct() keeps
+    one row per (doc, gram)."""
+    k = 5
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+        )
+        .filter(F.length("t") >= k)
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (k - 1))
+            ).alias("pos"),
+            F.col("t"),
+        )
+        .select("doc_id", F.expr(f"substring(t, pos, {k})").alias("gram"))
+        .distinct()
+        .persist()
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_CHAR_NGRAM = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT DISTINCT doc_id,
+         substr(t, CAST(unnest(range(1, length(t) - 3)) AS INTEGER), 5) AS gram
+  FROM d WHERE length(t) >= 5
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jac
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split: assignment = range of the
+    first 2 hex digits of md5(normalized text) (~80/10/10). Hash-of-content
+    (not of doc_id) keeps the split stable under re-ingestion, re-sharding
+    and dedup — the property a training-data split actually needs. Pure
+    map-side; the only shuffle is the final per-split rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(fingerprint(F.col("text")), 1, 2)
+    split = (
+        F.when(h < "cc", F.lit("train"))
+        .when(h < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), F.col("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_DATA_SPLIT = r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY split ORDER BY split
+"""
+
+QUERIES["dedup_char_ngram"] = q_dedup_char_ngram
+QUERIES["data_split"] = q_data_split
+ORACLE["dedup_char_ngram"] = ORACLE_DEDUP_CHAR_NGRAM
+ORACLE["data_split"] = ORACLE_DATA_SPLIT

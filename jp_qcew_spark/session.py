@@ -50,6 +50,9 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark's reader rejects it
         # unless nanos surface as long — load_table converts back to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

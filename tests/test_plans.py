@@ -74,3 +74,42 @@ def test_asof_join_shape(spark, sf_dir):
     """as-of join compiles to keyed join + bounded window — no product."""
     df = JOIN_QUERIES["join_asof"](spark, sf_dir)
     assert not I.has_cartesian_product(df)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both join sides on the key lets the join run with ZERO
+    Exchange operators — the co-located-join strategy for repeated fact-fact
+    joins at 100 TB (SURVEY §4: 'bucketing for co-located joins')."""
+    import os
+
+    from jp_qcew_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for name, df, key in (("li_b", li, "l_orderkey"), ("o_b", o, "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(wh, name))
+            .saveAsTable(name)
+        )
+    joined = (
+        spark.table("li_b")
+        .join(spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity"))
+    )
+    # autoBroadcast would hide the point — disable for the assertion
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert I.sort_merge_joins(joined) >= 1
+        assert I.count_exchanges(joined) == 0  # bucket layout == join layout
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")

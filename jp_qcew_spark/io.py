@@ -71,6 +71,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def cache_parallel(df: DataFrame) -> DataFrame:
+    """Persist ``df`` spread over ``defaultParallelism`` partitions.
+
+    Pairs with ``canChangeCachedPlanOutputPartitioning`` (ensure_session_confs):
+    that conf lets AQE coalesce tiny caches — which can collapse a hot
+    intermediate to ONE partition and serialize every downstream stage. An
+    explicit round-robin repartition pins the cache at core-count
+    parallelism: small enough to dodge task-overhead storms under a
+    200-shuffle-partition session, wide enough to keep all cores busy."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(dp).persist()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every oracle table as a temp view so callers can use the
     engine through plain ``spark.sql`` — the Spark-catalog analog of the

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import dedup as D
 from jp_qcew_spark.functions.text import fingerprint
-from jp_qcew_spark.io import load_table
+from jp_qcew_spark.io import cache_parallel, load_table
 
 _SH_SQL = r"""
   SELECT doc_id,
@@ -68,7 +68,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one shingle ever meet — shuffle keyed by shingle, never n²);
     |A∩B| falls out of the join group-count, |A∪B| from broadcast sizes.
     """
-    ex = _exploded(spark, sf_dir).persist()
+    ex = cache_parallel(_exploded(spark, sf_dir))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -127,7 +127,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the only shuffles are the band-bucket join and the verify join —
     the classic sub-quadratic LSH plan.
     """
-    ex = _exploded(spark, sf_dir).persist()
+    ex = cache_parallel(_exploded(spark, sf_dir))
     sig = D.minhash_from_exploded(ex, "doc_id", _NUM_HASHES)
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_NUM_HASHES)])
     banded = sig.select(
@@ -316,8 +316,8 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr(f"substring(t, pos, {k})").alias("gram"))
         .distinct()
-        .persist()
     )
+    grams = cache_parallel(grams)
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(

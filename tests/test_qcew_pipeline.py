@@ -289,3 +289,19 @@ def test_register_views_sql_surface(spark):
         li.groupBy("l_returnflag").agg(F.count("*").alias("n")).orderBy("l_returnflag")
     ).collect()
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
+def test_latin1_roundtrip(spark, tmp_path):
+    """S1 encoding contract (SURVEY §7.2 stage-1 risk): QCEW files are
+    latin-1 (Puerto Rico names carry ñ/é/ü). Bytes written as ISO-8859-1
+    must decode to the right characters — a UTF-8 misread would mangle every
+    name field."""
+    name = "COMPAÑÍA AZUCARERA JOSÉ MUÑOZ"
+    line = make_line({"leg_corp_name": name, "year": "2015", "qtr": "1"})
+    p = tmp_path / "latin1.txt"
+    p.write_bytes((line + "\n").encode("iso-8859-1"))
+    from jp_qcew_spark.sources.fixed_width import read_qcew_text
+
+    row = typed_qcew(decode_qcew(read_qcew_text(spark, str(p)))).first()
+    assert row["leg_corp_name"] == name
+    assert row["year"] == 2015

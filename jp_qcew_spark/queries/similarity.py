@@ -525,3 +525,104 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 
 QUERIES["knn_hybrid"] = q_knn_hybrid
 ORACLE["knn_hybrid"] = ORACLE_KNN_HYBRID
+
+
+def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-3: each query probes its own bucket PLUS all
+    8 Hamming-distance-1 buckets (one sign bit flipped) — the classic
+    recall/latency dial for LSH ANN (9 keyed probes ≪ a full scan, but far
+    better recall than single-probe). Probes explode to (query, bucket) rows,
+    so candidate generation stays an equi-join on the bucket key."""
+    n_planes = 8
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "bucket", S.sign_bucket(F.col("v"), n_planes)
+    )
+    base = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    flips = [F.col("qbucket")] + [
+        F.concat(
+            F.substring("qbucket", 1, i - 1),
+            F.when(F.substring("qbucket", i, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring("qbucket", i + 1, n_planes - i),
+        )
+        for i in range(1, n_planes + 1)
+    ]
+    probes = base.select(
+        "query_id", "qv", F.explode(F.array(*flips)).alias("probe_bucket")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            vecs,
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_multiprobe() -> str:
+    n = 8
+    bucket = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, n + 1)
+    )
+    flip = lambda i: (
+        f"substr(qbucket, 1, {i - 1}) || "
+        f"(CASE substr(qbucket, {i}, 1) WHEN '1' THEN '0' ELSE '1' END) || "
+        f"substr(qbucket, {i + 1}, {n - i})"
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        [f"    SELECT query_id, qv, qbucket AS probe_bucket FROM base"]
+        + [
+            f"    SELECT query_id, qv, {flip(i)} FROM base"
+            for i in range(1, n + 1)
+        ]
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+),
+base AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM vecs
+  WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+{probe_rows}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(p.qv, c.v), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(list_zip(p.qv, p.qv), x -> x[1] * x[2])))
+            * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2])))), 6)
+           AS score
+  FROM probes p JOIN vecs c
+    ON c.bucket = p.probe_bucket AND c.vec_id <> p.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+QUERIES["knn_multiprobe"] = q_knn_multiprobe
+ORACLE["knn_multiprobe"] = _oracle_multiprobe()

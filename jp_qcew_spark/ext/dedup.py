@@ -114,6 +114,41 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     ).distinct()
 
 
+DF_CAP_DEFAULT = 32
+
+
+def stop_shingle_filter(
+    ex: DataFrame,
+    df_cap: int = DF_CAP_DEFAULT,
+    sh_col: str = "shingle",
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_cap`` before a
+    shared-shingle self-join (the "stop-shingle" guard).
+
+    A shingle appearing in f documents contributes f·(f-1)/2 candidate pairs
+    to the self-join — one boilerplate phrase shared by 10^6 docs would alone
+    emit ~5·10^11 pair rows. Capping document frequency bounds per-shingle
+    join fan-out at df_cap², making the candidate stage linear in corpus
+    size. The count window partitions on the shingle key — the same shuffle
+    layout the self-join needs, so AQE reuses the exchange and the guard
+    costs no extra shuffle.
+
+    Semantics (documented threshold, mirrored in every oracle that uses it):
+    pairs whose ONLY shared shingles are ubiquitous (df > cap) stop being
+    candidates; for near-dup detection those boilerplate-only matches are
+    noise. With df_cap=32 no shingle in the sf0.001-0.1 corpora is dropped
+    (max observed df = 25), so small-scale results are unchanged.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(sh_col)
+    return (
+        ex.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+
+
 def minhash_from_exploded(ex: DataFrame, id_col: str, num_hashes: int = 12) -> DataFrame:
     """(id, mh_0..mh_{n-1}) MinHash signatures from exploded shingles.
 

@@ -163,3 +163,14 @@ def frame_sig_py(payload: bytes, idx: int, frame_bytes: int = 16) -> str:
     """Python twin of the frame signature (for tests)."""
     frame = payload[4 + idx * frame_bytes : 4 + (idx + 1) * frame_bytes]
     return hashlib.md5(frame.hex().encode()).hexdigest()
+
+
+# Executors must never need this package on their import path: the driver can
+# run from any cwd (the round driver does), and functions defined here cross
+# the JVM->Python-worker boundary. Pickle-by-value makes every shipped
+# closure self-contained, so workers only need pyspark/pandas/numpy.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

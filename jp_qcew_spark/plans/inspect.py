@@ -87,6 +87,16 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Explicit ``F.broadcast()`` hints surviving in the analyzed logical
+    plan. A forced hint bypasses AQE's size check, so any table that grows
+    with the corpus (per-doc sizes, loser lists) must contribute ZERO here —
+    AQE may still broadcast it at runtime when it is genuinely small, which
+    is the behavior we want and this counter deliberately ignores."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return plan.count("strategy=broadcast")
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the plan combines map-side (partial_*) before the shuffle —
     the difference between shuffling group states and shuffling raw rows."""

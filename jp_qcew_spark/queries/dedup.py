@@ -65,10 +65,15 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.2.
 
     Candidate generation = shared-shingle equi-join (only docs sharing at
-    least one shingle ever meet — shuffle keyed by shingle, never n²);
-    |A∩B| falls out of the join group-count, |A∪B| from broadcast sizes.
+    least one shingle ever meet — shuffle keyed by shingle, never n²), with
+    a stop-shingle document-frequency cap (ext.dedup.stop_shingle_filter) so
+    one ubiquitous shingle can't explode the self-join quadratically; |A∩B|
+    falls out of the join group-count, |A∪B| from per-doc size counts. The
+    size joins are plain equi-joins on doc_id — the sizes table is one row
+    per document (unbounded at corpus scale), so it must never carry a
+    broadcast hint; AQE still broadcasts it when genuinely small.
     """
-    ex = cache_parallel(_exploded(spark, sf_dir))
+    ex = cache_parallel(D.stop_shingle_filter(_exploded(spark, sf_dir)))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -84,8 +89,8 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        pairs.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -98,18 +103,27 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the df <= 32 filter mirrors ext.dedup.stop_shingle_filter (DF_CAP_DEFAULT);
+# sizes are counted over the SAME capped shingle universe as the intersection,
+# so the Jaccard stays self-consistent
 ORACLE_DEDUP_JACCARD_PAIRS = rf"""
 WITH sh AS ({_SH_SQL}),
-ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+ex0 AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0
+  ) WHERE df <= {D.DF_CAP_DEFAULT}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(inter::DOUBLE / (len(x.shset) + len(y.shset) - inter), 6) AS jac
-FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-WHERE inter::DOUBLE / (len(x.shset) + len(y.shset) - inter) >= 0.2
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jac
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.2
 ORDER BY doc_a, doc_b
 """
 
@@ -178,10 +192,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is one row per candidate doc — usually tiny, but unbounded in the
+    # worst case, so no broadcast hint; AQE broadcasts it when it is small
     sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -330,8 +346,8 @@ def q_dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -66,7 +66,9 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_kept = cache_parallel(exact_kept)
     # near-dup pairs among survivors (shared-shingle candidates, exact
     # Jaccard verify — the sub-quadratic keyed-join plan from queries.dedup)
-    ex = cache_parallel(D.exploded_shingles(exact_kept, "doc_id", "text"))
+    ex = cache_parallel(
+        D.stop_shingle_filter(D.exploded_shingles(exact_kept, "doc_id", "text"))
+    )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -77,10 +79,13 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes (one row per surviving doc) and losers (one row per dropped doc)
+    # grow with the corpus — plain equi/anti joins, no broadcast hints; AQE
+    # broadcasts them at small scale, shuffles them at 100 TB
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     losers = (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
         .filter(
             F.col("inter")
             / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
@@ -89,7 +94,7 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("db").alias("doc_id"))
         .distinct()
     )
-    survivors = exact_kept.join(F.broadcast(losers), "doc_id", "left_anti")
+    survivors = exact_kept.join(losers, "doc_id", "left_anti")
     return (
         survivors.select("doc_id", "quality", "words", "bpe_tokens")
         .orderBy("doc_id")
@@ -136,7 +141,7 @@ WITH feats AS (
     SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
     FROM gated
   ) WHERE rn = 1
-), sh AS (
+), sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
@@ -146,6 +151,11 @@ WITH feats AS (
            AS shingle
   FROM exact_kept
   WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+), sh AS (
+  -- stop-shingle cap, lockstep with ext.dedup.stop_shingle_filter
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ) WHERE df <= 32
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (

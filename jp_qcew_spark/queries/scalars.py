@@ -75,7 +75,7 @@ WITH x AS (
 )
 SELECT p_brand,
        count(DISTINCT first_word) AS n_first_words,
-       sum(has_digit) AS n_with_digit,
+       CAST(sum(has_digit) AS BIGINT) AS n_with_digit,
        max(length(devoweled)) AS max_devoweled_len
 FROM x GROUP BY p_brand ORDER BY p_brand
 """

@@ -404,7 +404,10 @@ def _zscore_group(pdf):
     out = pdf[["vec_id"]].copy()
     out["label"] = pdf["label"].astype("int64")
     out["norm"] = norms
-    out["znorm"] = np.round((norms - mu) / sd, 4) if sd > 0 else float("nan")
+    # sd <= 0 (singleton or all-equal group) must yield NULL, not NaN: the
+    # SQL oracle's stddev_samp of one row is NULL and x/0 is NULL, and the
+    # driver hash distinguishes NaN from null (ADVICE r1)
+    out["znorm"] = np.round((norms - mu) / sd, 4) if sd > 0 else None
     return out
 
 
@@ -626,3 +629,14 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 
 QUERIES["knn_multiprobe"] = q_knn_multiprobe
 ORACLE["knn_multiprobe"] = _oracle_multiprobe()
+
+
+# Executors must never need this package on their import path: the driver can
+# run from any cwd (the round driver does), and functions defined here cross
+# the JVM->Python-worker boundary. Pickle-by-value makes every shipped
+# closure self-contained, so workers only need pyspark/pandas/numpy.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

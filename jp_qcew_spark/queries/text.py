@@ -143,7 +143,8 @@ WITH t AS (
               AS BIGINT) AS n_tokens
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens
 FROM t GROUP BY source ORDER BY source
 """

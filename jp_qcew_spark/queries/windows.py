@@ -18,16 +18,35 @@ from jp_qcew_spark.io import load_table
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by value per market segment (SURVEY §2.F: top-k via
-    row_number, the scale-safe alternative to a global sort)."""
+    """Top-3 orders by value per market segment, partial-then-final top-k
+    (SURVEY §2.F).
+
+    With only ~5 segments, a single window over c_mktsegment serializes the
+    whole fact table into 5 sort tasks at scale. Two-phase plan instead:
+    stage 1 ranks within (segment, input-partition-id) — every core
+    participates, each sorting only its own slice; stage 2 re-ranks the
+    ≤ 3·n_partitions survivors per segment, a window over a tiny input.
+    Result is identical to the single-window form: every global top-3 row is
+    necessarily inside its partition's top-3 for that segment (VERDICT r1
+    #5)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.spark_partition_id().alias("pid"),
     )
+    w_partial = Window.partitionBy("c_mktsegment", "pid").orderBy(*order_cols)
+    survivors = (
+        joined.withColumn("prk", F.row_number().over(w_partial))
+        .filter(F.col("prk") <= 3)
+        .drop("prk", "pid")
+    )
+    w_final = Window.partitionBy("c_mktsegment").orderBy(*order_cols)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w_final))
         .filter(F.col("rk") <= 3)
         .select(
             "c_mktsegment",

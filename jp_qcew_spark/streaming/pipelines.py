@@ -331,3 +331,14 @@ def stream_tws_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 2).alias("max_value"),
         F.round("min_value", 2).alias("min_value"),
     )
+
+
+# Executors must never need this package on their import path: the driver can
+# run from any cwd (the round driver does), and functions defined here cross
+# the JVM->Python-worker boundary. Pickle-by-value makes every shipped
+# closure self-contained, so workers only need pyspark/pandas/numpy.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

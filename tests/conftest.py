@@ -22,4 +22,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMOKE
+    # JP_TEST_SF_DIR=/root/testdata/sf0.01 mirrors the driver's correctness
+    # scale; default stays sf0.001 for fast local iteration.
+    return os.environ.get("JP_TEST_SF_DIR", SF_SMOKE)

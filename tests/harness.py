@@ -53,21 +53,56 @@ def _sort_key(row):
     )
 
 
-def fetch_spark(df) -> tuple[list[str], list[tuple]]:
+def _col_types(raw_rows: list[tuple], ncols: int) -> list[set]:
+    """Python type names observed per column (None excluded) BEFORE
+    normalization — the driver's value-hash is type-sensitive (Decimal from a
+    DuckDB HUGEINT sum vs Spark's int hashed differently in round 1), so the
+    local check must see raw types too."""
+    types: list[set] = [set() for _ in range(ncols)]
+    for r in raw_rows:
+        for i, v in enumerate(r):
+            if v is not None:
+                types[i].add(type(v).__name__)
+    return types
+
+
+def fetch_spark(df) -> tuple[list[str], list[tuple], list[set]]:
     cols = sorted(df.columns)
-    rows = [tuple(_norm_value(r[c]) for c in cols) for r in df.collect()]
+    raw = [tuple(r[c] for c in cols) for r in df.collect()]
+    rows = [tuple(_norm_value(v) for v in r) for r in raw]
     rows.sort(key=_sort_key)
-    return cols, rows
+    return cols, rows, _col_types(raw, len(cols))
 
 
-def fetch_duckdb(con, sql: str) -> tuple[list[str], list[tuple]]:
+def fetch_duckdb(con, sql: str) -> tuple[list[str], list[tuple], list[set]]:
     cur = con.execute(sql)
     names = [d[0] for d in cur.description]
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
-    rows = [tuple(_norm_value(r[i]) for i in order) for r in cur.fetchall()]
+    raw = [tuple(r[i] for i in order) for r in cur.fetchall()]
+    rows = [tuple(_norm_value(v) for v in r) for r in raw]
     rows.sort(key=_sort_key)
-    return cols, rows
+    return cols, rows, _col_types(raw, len(cols))
+
+
+def _type_divergence(name, cols, s_types, d_types) -> list[str]:
+    """Flag the one proven driver-hash killer (round 1 `text_token_count`):
+    DuckDB returning Decimal (HUGEINT from integer sum(), or DECIMAL) where
+    Spark emits int/float. Other cross-type pairs (date vs datetime, bool vs
+    int) hash-matched in round 1, so only Decimal is treated as fatal."""
+    problems = []
+    for c, st, dt in zip(cols, s_types, d_types):
+        if not st or not dt or st == dt:
+            continue
+        # the one proven driver-hash killer: DuckDB Decimal (HUGEINT/DECIMAL)
+        # where Spark emits int — cast the oracle to BIGINT/DOUBLE.
+        if "Decimal" in dt and dt != st:
+            problems.append(
+                f"[{name}] column {c!r}: duckdb yields Decimal {sorted(dt)} vs "
+                f"spark {sorted(st)} — driver value-hash WILL mismatch; "
+                f"CAST the oracle aggregate"
+            )
+    return problems
 
 
 def _values_equal(a, b) -> bool:
@@ -85,12 +120,13 @@ def _values_equal(a, b) -> bool:
 
 def compare(spark_df, con, oracle: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
-    s_cols, s_rows = fetch_spark(spark_df)
-    d_cols, d_rows = fetch_duckdb(con, oracle)
+    s_cols, s_rows, s_types = fetch_spark(spark_df)
+    d_cols, d_rows, d_types = fetch_duckdb(con, oracle)
     problems: list[str] = []
     if s_cols != d_cols:
         problems.append(f"[{name}] columns differ: spark={s_cols} duckdb={d_cols}")
         return problems
+    problems.extend(_type_divergence(name, s_cols, s_types, d_types))
     if len(s_rows) != len(d_rows):
         problems.append(
             f"[{name}] row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"

@@ -64,6 +64,43 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     assert not I.has_cartesian_product(q_dedup_minhash_lsh(spark, sf_dir))
 
 
+def test_dedup_family_no_unbounded_broadcast_hints(spark, sf_dir):
+    """No broadcast side in the dedup family may grow with corpus size.
+
+    Per-doc tables (shingle-set sizes, near-dup loser lists) are one row per
+    document — multi-GB at 100 TB — so they must reach the join as plain
+    shuffle sides (AQE can still broadcast them when small). The only
+    tolerated hints are MinHash-LSH's candidate-set broadcasts, bounded by
+    the LSH contract |candidates| << |corpus|."""
+    from jp_qcew_spark.queries.dedup import (
+        q_dedup_char_ngram,
+        q_dedup_jaccard_pairs,
+    )
+    from jp_qcew_spark.queries.llm_prep import q_llm_prep_pipeline
+
+    for q in (q_dedup_jaccard_pairs, q_dedup_char_ngram, q_llm_prep_pipeline):
+        assert I.broadcast_hint_count(q(spark, sf_dir)) == 0, q.__name__
+    # candidate-bounded hints only (cand_docs semi, cand, per-candidate
+    # shingles); the analyzed plan repeats the reused `exc` subtree (and its
+    # inner hint) once per reference, so the textual count is 6, not 3
+    assert I.broadcast_hint_count(q_dedup_minhash_lsh(spark, sf_dir)) <= 6
+
+
+def test_topk_partial_then_final(spark, sf_dir):
+    """q_topk_per_group must rank in two phases: a (segment, partition-id)
+    window that spreads the heavy sort across all cores, then a final window
+    over the surviving ≤ 3·n_partitions rows — never one 5-task global sort
+    of the fact table."""
+    import re
+
+    from jp_qcew_spark.queries.windows import q_topk_per_group
+
+    df = q_topk_per_group(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) >= 2
+    assert "SPARK_PARTITION_ID" in plan.upper()
+
+
 def test_geo_join_broadcasts_nation(spark, sf_dir):
     df = q_geo_bbox_join(spark, sf_dir)
     assert I.broadcast_hash_joins(df) >= 1

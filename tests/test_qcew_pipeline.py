@@ -126,9 +126,9 @@ def test_naics_aggregate_matches_duckdb_golden(etl_out, spark):
            sum(total_wages) AS total_wages,
            avg(total_employment) AS total_employment,
            count(*) AS dummy,
-           sum(total_wages) * 0.014  AS fondo_contributions,
-           sum(total_wages) * 0.0145 AS medicare_contributions,
-           sum(total_wages) * 0.062  AS ssn_contributions
+           CAST(sum(total_wages) * 0.014  AS DOUBLE) AS fondo_contributions,
+           CAST(sum(total_wages) * 0.0145 AS DOUBLE) AS medicare_contributions,
+           CAST(sum(total_wages) * 0.062  AS DOUBLE) AS ssn_contributions
     FROM base GROUP BY year, qtr, naics4 HAVING count(*) > 4
     ORDER BY year, qtr, naics4
     """

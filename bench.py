@@ -84,7 +84,7 @@ def main() -> None:
         "metric": "suite_seconds_median_per_query",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "config": {
             "spark": spark.version,
@@ -94,7 +94,26 @@ def main() -> None:
             "runs_per_query": RUNS,
         },
     }
-    print(json.dumps(result))
+    # full-precision per-round history for mechanical regression diffs
+    detail = dict(result, queries=timings)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # The driver records only the last ~2000 chars of stdout and parses the
+    # final line as JSON; round 1's 2930-char line was truncated mid-JSON
+    # ("parsed": null in BENCH_r01.json). Progressively compact until the
+    # line fits with margin.
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result.pop("config", None)
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

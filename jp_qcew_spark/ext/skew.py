@@ -45,9 +45,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side's rows scattered over ``n_salts`` salted
-    copies of the small side. Result is exactly ``big.join(small, on, how)``
-    — the salt only changes the *physical* key distribution, so a hot join
-    key occupies ``n_salts`` tasks instead of one."""
+    copies of the small side. For the supported join types the result is
+    exactly ``big.join(small, on, how)`` — the salt only changes the
+    *physical* key distribution, so a hot join key occupies ``n_salts``
+    tasks instead of one.
+
+    Only big-side-preserving types are allowed: under right/full outer an
+    unmatched small-side row would surface once per salted copy (n_salts
+    null-padded duplicates), which is NOT the plain-join result."""
+    safe = {"inner", "left", "left_outer", "leftouter", "semi", "left_semi",
+            "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join supports {sorted(safe)}; {how!r} would duplicate "
+            "unmatched small-side rows once per salt copy"
+        )
     b = with_salt(big, n_salts)
     s = replicate(small, n_salts)
     out = b.join(s, on + ["_salt"], how)

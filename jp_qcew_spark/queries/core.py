@@ -330,6 +330,10 @@ def q_tick_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Scale guard: the global (partitionBy-less) window is safe ONLY because
+    # its input is the post-distinct period domain — bounded by #quarters in
+    # the data (~30 rows at any corpus size), not by row count. The heavy
+    # distinct runs distributed; the single-task sort sees dozens of rows.
     w = Window.orderBy("period")
     return (
         periods.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -21,10 +21,16 @@ from jp_qcew_spark.schema.qcew_fields import FIELDS, FLOAT_FIELDS, INT_FIELDS
 
 def decode_columns(raw: Column | str = "value") -> list[Column]:
     """The 121-field decode projection: 1-based (position, length) slices,
-    trimmed (reference data_process.py:128-133 slices then strips)."""
+    whitespace-stripped (reference data_process.py:128-133 slices then
+    ``str.strip_chars()``, which strips the full whitespace class — tabs and
+    stray \\r included — so a plain ``F.trim`` (ASCII space only) would
+    decode dirty fields differently; ``btrim`` with the explicit whitespace
+    set matches the reference and stays non-regex for the 121-slice hot
+    path)."""
     col = F.col(raw) if isinstance(raw, str) else raw
+    ws = " \t\r\n\x0b\x0c"
     return [
-        F.trim(F.substring(col, pos, length)).alias(name)
+        F.btrim(F.substring(col, pos, length), F.lit(ws)).alias(name)
         for name, pos, length in FIELDS
     ]
 

@@ -29,6 +29,8 @@ _GROUPS = [
     "jp_qcew_spark.queries.geo",
     "jp_qcew_spark.queries.scalars",
     "jp_qcew_spark.queries.llm_prep",
+    "jp_qcew_spark.queries.wages_ts",
+    "jp_qcew_spark.queries.training",
 ]
 
 

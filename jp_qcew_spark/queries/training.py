@@ -1,0 +1,260 @@
+r"""LLM training-data assembly operators (extension tier, round 2).
+
+The round-1 tier covered dedup / ANN / quality-gates / splits; this group
+adds the remaining ops a 100 TB pretraining pipeline runs between "clean
+corpus" and "training shards":
+
+- ``seq_pack``        — pack documents into fixed token-budget training
+                        sequences (concat-then-chunk in document units, the
+                        GPT-style packing that wastes no budget on padding)
+- ``stratified_sample`` — deterministic per-class downsampling (rebalance an
+                        over-represented language), content-hash-addressed
+                        like ``data_split`` so the sample is stable under
+                        re-ingestion and re-sharding
+- ``text_repetition`` — repeated-word ratio quality signal (the classic
+                        boilerplate/spam gate alongside ``text_quality``)
+- ``text_tfidf``      — per-document keyword extraction (tf, rarity-ranked)
+                        — corpus-wide document frequency join done the
+                        scale-safe way (aggregate then join, no collect)
+
+Every query is hash-checked against a DuckDB oracle; every plan is shuffle-
+minimal and stays JVM-side (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+_WORDS = r"\s+"
+
+
+def _n_words(text):
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, _WORDS))
+    ).cast("long")
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each source shard, lay
+    documents end-to-end in doc_id order and cut every PACK_BUDGET tokens; a
+    document belongs to the pack where it starts. Per-pack rollup reports
+    fill (packed tokens / budget) — the metric packing exists to maximize.
+
+    Scale shape: ONE window partitioned by ``source`` (the shard key — at
+    100 TB packs are built per shard precisely so no global order is
+    needed), then a groupBy on the same key prefix. No global sort, no
+    collect; shard skew is bounded by shard size, which the writer controls.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", _n_words(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "fill",
+            F.round(F.col("pack_tokens") / F.lit(PACK_BUDGET), 4),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+ORACLE_SEQ_PACK = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       round(CAST(sum(n_tokens) AS BIGINT) / {PACK_BUDGET}.0, 4) AS fill
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+# hex cutoff on the first 2 digits of md5(normalized text): 'xx' keeps
+# int('xx',16)/256 of each class. English is over-represented in the corpus
+# → keep 25% ('40'); everything else keeps 75% ('c0').
+_RATE_CUTOFFS = [("en", "40")]
+_DEFAULT_CUTOFF = "c0"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class (language) downsampling. Content-addressed:
+    keep iff the first md5 byte of the normalized text falls under the
+    class cutoff — same hash family as ``data_split``, so sample ∘ split is
+    stable under re-ingestion, re-partitioning, and dedup. Pure map-side
+    filter + one rollup shuffle; no RNG, no sampleBy (whose seed semantics
+    are engine-private and unreproducible across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")), 1, 2
+    )
+    cutoff = F.lit(_DEFAULT_CUTOFF)
+    for lang, cut in _RATE_CUTOFFS:
+        cutoff = F.when(F.col("lang") == lang, F.lit(cut)).otherwise(cutoff)
+    return (
+        d.select("lang", (h < cutoff).cast("long").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = r"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2)
+                   < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-word ratio per document: 1 - distinct/total words. High
+    ratio = boilerplate / keyword-stuffed / degenerate text — the standard
+    repetition gate next to ``text_quality``'s length/alpha/stopword gates.
+    Map-side only (array ops inside codegen), zero shuffles before the
+    final sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), _WORDS)
+    n = F.size(words).cast("long")
+    nd = F.size(F.array_distinct(words)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_words"),
+            nd.alias("n_distinct"),
+            F.round(1 - nd / n, 4).alias("rep_ratio"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn("is_repetitive", (F.col("rep_ratio") > 0.5).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       round(1 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 4)
+           AS rep_ratio,
+       CAST(CASE WHEN round(1 - len(list_distinct(words))
+                 / CAST(len(words) AS DOUBLE), 4) > 0.5
+            THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+FROM w WHERE len(words) > 0 ORDER BY doc_id
+"""
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document, ranked by term frequency with corpus
+    rarity as tie-break (tf DESC, document-frequency ASC, word ASC — an
+    integer-only ordering that is bit-identical across engines, unlike a
+    float tf·idf sort key); the tf·idf score itself is emitted as a value.
+
+    Scale shape: explode → two partial-agg shuffles (per-doc tf, per-word
+    df) → equi-join on word → bounded top-k window per doc. The corpus size
+    N joins in as a 1-row broadcast scalar, NOT a driver collect, so the
+    plan is fully lazy and cluster-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), _WORDS)).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_corpus"))
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_corpus") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TEXT_TFIDF = r"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(w)
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_corpus FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         round(tf.tf * ln(n.n_corpus / CAST(df.df AS DOUBLE)), 4) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.word ASC)
+             AS rank
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, rank, word, tf, df, tfidf
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+QUERIES = {
+    "seq_pack": q_seq_pack,
+    "stratified_sample": q_stratified_sample,
+    "text_repetition": q_text_repetition,
+    "text_tfidf": q_text_tfidf,
+}
+
+ORACLE = {
+    "seq_pack": ORACLE_SEQ_PACK,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_tfidf": ORACLE_TEXT_TFIDF,
+}

@@ -8,6 +8,8 @@ efficiency regression fails CI at sf0.001.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from jp_qcew_spark.plans import inspect as I
@@ -99,6 +101,52 @@ def test_topk_partial_then_final(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) >= 2
     assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_seq_pack_shard_local_window(spark, sf_dir):
+    """Packing must never need a global sort: the window partitions by the
+    shard key (source), and the per-pack rollup reuses that partitioning
+    (source is a prefix of the grouping key), so the whole query is one
+    shuffle plus the final presentation sort."""
+    from jp_qcew_spark.queries.training import q_seq_pack
+
+    df = q_seq_pack(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert not I.has_cartesian_product(df)
+    # the window's partition spec carries source — a partitionBy-less
+    # global window would print windowspecdefinition(doc_id ...) with no
+    # leading partition column
+    assert re.search(r"windowspecdefinition\(source#\d+,", plan)
+    assert I.count_exchanges(df) <= 2, plan
+
+
+def test_training_scans_pruned(spark, sf_dir):
+    """Every training-tier scan of `documents` must read only the columns
+    it uses — a full-width scan of a 100 TB text corpus to compute a
+    3-column signal is the canonical pruning failure."""
+    from jp_qcew_spark.queries.training import (
+        q_stratified_sample,
+        q_text_repetition,
+    )
+
+    for q, want in (
+        (q_text_repetition, {"doc_id", "text"}),
+        (q_stratified_sample, {"lang", "text"}),
+    ):
+        (schema,) = I.read_schemas(q(spark, sf_dir))
+        assert set(schema) <= want, q.__name__
+
+
+def test_tfidf_no_cartesian_and_bounded_broadcast(spark, sf_dir):
+    """The corpus-size scalar joins in as a 1-row broadcast (never a
+    collect, never a cartesian over data-sized inputs); tf×df is a keyed
+    equi-join."""
+    from jp_qcew_spark.queries.training import q_text_tfidf
+
+    df = q_text_tfidf(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    # exactly the one deliberate hint (the 1-row n_corpus scalar)
+    assert I.broadcast_hint_count(df) <= 1
 
 
 def test_geo_join_broadcasts_nation(spark, sf_dir):

@@ -2,11 +2,14 @@
 
 Media are modeled the Spark-idiomatic way for a 100 TB training-data
 pipeline: an opaque ``binary`` payload column plus typed metadata columns,
-decoded/feature-extracted by Arrow-batched ``mapInPandas`` UDFs. The real
-codec step (PIL/ffmpeg/librosa are not in this container) is STUBBED behind
-``decode_media(..., real=True) -> NotImplementedError``; everything around
-it — schema, binary synthesis, magic-byte sniffing, byte-level parsing in
-pandas batches, frame sampling — is real and oracle-checked.
+decoded/feature-extracted by Arrow-batched ``mapInPandas`` UDFs. Decoding
+is REAL for the netpbm image family (``decode_netpbm``: P5/P6 header parse
++ numpy pixel plane + nearest-neighbor downsample — no codec library
+needed); compressed codecs (PNG/JPEG/WAV/MPEG — PIL/ffmpeg/librosa are not
+in this container) stay honestly gated behind ``decode_media(...,
+real=True) -> NotImplementedError``. Everything around the decode — schema,
+binary synthesis, magic-byte sniffing, byte-level parsing in pandas
+batches, frame sampling — is real and oracle-checked.
 
 Payload layout (deterministic, derived from the document text):
 
@@ -31,6 +34,7 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -81,6 +85,61 @@ def parsed_dims(payload: Column) -> tuple[Column, Column]:
     return width, height
 
 
+def synth_ppm(text: Column, w: int = 4, h: int = 4) -> Column:
+    """A REAL P6 PPM image derived deterministically from the text: ASCII
+    netpbm header + ``w*h*3`` raw RGB bytes cycling through md5(text). Built
+    entirely from JVM-side expressions (encode/repeat/unhex/concat on
+    binary), so payload synthesis is codegen'd — no Python until decode."""
+    n = w * h * 3
+    reps = (2 * n + 31) // 32  # md5 hex is 32 chars = 16 bytes per rep
+    header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "UTF-8")
+    pixels = F.unhex(F.substring(F.repeat(F.md5(text), reps), 1, 2 * n))
+    return F.concat(header, pixels)
+
+
+def decode_netpbm(payload: bytes) -> dict:
+    """REAL image decode for the netpbm family — P6 (RGB) and P5 (gray):
+    parse the ASCII header (magic, dims, maxval, '#' comments), then
+    ``np.frombuffer`` the raw pixel plane and compute real pixel features,
+    including a genuine nearest-neighbor 2× downsample (``arr[::2, ::2]``).
+    This is the one image family decodable with numpy alone; compressed
+    codecs (PNG/JPEG/WAV/MPEG) stay behind the ``decode_media(real=True)``
+    gate until PIL/ffmpeg exist in the runtime."""
+    import numpy as np
+
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError(f"not a netpbm payload: {payload[:2]!r}")
+    # tokenize header: magic, width, height, maxval (whitespace/comments)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # single whitespace after maxval, then raw pixels
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    channels = 3 if payload[:2] == b"P6" else 1
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
+                        offset=i).reshape(h, w, channels)
+    ds = arr[::2, ::2]
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "mean_px": round(float(arr.mean()), 4),
+        "ds_mean_px": round(float(ds.mean()), 4),
+    }
+
+
 def decode_media(payload: bytes, real: bool = False) -> dict:
     """Byte-level 'decode' of one payload. ``real=True`` would hand off to an
     actual codec (PIL / ffmpeg / librosa) — not present in this container, so
@@ -112,6 +171,36 @@ DECODE_SCHEMA = StructType(
         StructField("mean_px", LongType()),
     ]
 )
+
+
+PPM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("ds_mean_px", DoubleType()),
+    ]
+)
+
+
+def ppm_features(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Real-image feature extraction (decode_netpbm) over Arrow batches —
+    same mapInPandas shape as ``decode_features`` but the decode step is an
+    actual pixel decode + downsample, not header math."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_netpbm(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(extract, PPM_SCHEMA)
 
 
 def decode_features(df: DataFrame, id_col: str = "doc_id",

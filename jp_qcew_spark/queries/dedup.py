@@ -424,3 +424,89 @@ QUERIES["dedup_char_ngram"] = q_dedup_char_ngram
 QUERIES["data_split"] = q_data_split
 ORACLE["dedup_char_ngram"] = ORACLE_DEDUP_CHAR_NGRAM
 ORACLE["data_split"] = ORACLE_DATA_SPLIT
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.1 pair
+    graph (ext.graph.connected_components — iterative hash-min label
+    propagation, rounds bounded by cluster diameter). This is the step a
+    real dedup pipeline runs after pair generation: transitive closure
+    (a~b, b~c ⇒ {a,b,c} one cluster even when a≁c) with the cluster's min
+    doc_id as the deterministic canonical label. Output: every clustered
+    doc with its component label and component size."""
+    from jp_qcew_spark.ext.graph import connected_components
+
+    ex = cache_parallel(D.stop_shingle_filter(_exploded(spark, sf_dir)))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    edges = (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        # unrounded threshold, mirrored exactly in the oracle's WHERE
+        .filter(
+            F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            >= 0.1
+        )
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(edges, "doc_a", "doc_b")
+    comp_sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return (
+        labels.join(comp_sizes, "comp")
+        .select(F.col("id").alias("doc_id"), "comp", "comp_size")
+        .orderBy("doc_id")
+    )
+
+
+# transitive closure via recursive CTE: reach(src,dst) grows by one edge hop
+# per recursion until fixpoint (UNION dedups); comp = min reachable id.
+ORACLE_DEDUP_COMPONENTS = rf"""
+WITH RECURSIVE sh AS ({_SH_SQL}),
+ex0 AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0
+  ) WHERE df <= {D.DF_CAP_DEFAULT}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pedges AS (
+  SELECT doc_a, doc_b
+  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pedges
+  UNION ALL SELECT doc_b, doc_a FROM pedges
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)
+SELECT doc_id, comp, sz.comp_size
+FROM comp
+JOIN (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp) sz
+  USING (comp)
+ORDER BY doc_id
+"""
+
+QUERIES["dedup_components"] = q_dedup_components
+ORACLE["dedup_components"] = ORACLE_DEDUP_COMPONENTS

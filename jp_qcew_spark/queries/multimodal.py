@@ -125,14 +125,50 @@ FROM frames WHERE frame_idx % 3 = 0 ORDER BY doc_id, frame_idx
 """
 
 
+def q_mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a genuine 4×4 P6 PPM per
+    document (JVM-side expressions), decode it with numpy in Arrow batches
+    (header parse → pixel plane → mean), including a real nearest-neighbor
+    2× downsample. The oracle recomputes every pixel byte from md5(text) in
+    SQL, so a hash match proves actual pixel arithmetic, not header math."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    img = d.select("doc_id", M.synth_ppm(F.col("text")).alias("payload"))
+    return M.ppm_features(img).orderBy("doc_id")
+
+
+# 4×4 P6: 48 pixel bytes = 96 hex chars = md5(text) hex repeated 3×.
+# byte i → pixel i//3, row (i//3)//4, col (i//3)%4; downsample keeps
+# even rows and even cols (numpy arr[::2, ::2]).
+ORACLE_MM_PPM_DECODE = """
+WITH m AS (
+  SELECT doc_id, substr(repeat(md5(text), 3), 1, 96) AS hx
+  FROM documents WHERE doc_id < 200
+), b AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS v,
+         (i // 3) // 4 AS r, (i // 3) % 4 AS c
+  FROM m CROSS JOIN range(0, 48) t(i)
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       round(avg(v), 4) AS mean_px,
+       round(avg(v) FILTER (r % 2 = 0 AND c % 2 = 0), 4) AS ds_mean_px
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_metadata": q_mm_metadata,
     "mm_decode_features": q_mm_decode_features,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_ppm_decode": q_mm_ppm_decode,
 }
 
 ORACLE = {
     "mm_metadata": ORACLE_MM_METADATA,
     "mm_decode_features": ORACLE_MM_DECODE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
+    "mm_ppm_decode": ORACLE_MM_PPM_DECODE,
 }

@@ -2,10 +2,11 @@
 "not present" row — extension tier 7: cube / rollup / grouping sets,
 approx_count_distinct, percentile sketches).
 
-Exact forms are oracle-checked; the genuinely approximate sketches
-(HyperLogLog, GK-quantile) are rows-only by design — their estimates are
-algorithm-specific, so the test instead pairs each with an exact twin query
-the oracle can hash.
+Exact forms are oracle-checked directly. The approximate sketches
+(HyperLogLog, GK-quantile, DataSketches HLL union) are hash-checked via the
+bounded-error contract: each query computes the exact value alongside the
+estimate and emits within-band flags the oracle re-derives, so an
+out-of-band estimate breaks the value hash.
 """
 
 from __future__ import annotations
@@ -129,13 +130,21 @@ def q_sketch_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle regardless of group cardinality."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-    agg = li.groupBy("l_returnflag").agg(
+    # Two separate aggregates, NOT one: countDistinct rewrites through an
+    # Expand (row duplication per distinct group), and feeding that expanded
+    # stream into the exact-percentile object buffers forces a sort-based
+    # fallback — measured 21 s vs 1.5 s each at sf0.1 (26× blowup). Joining
+    # the two 3-row results back is free (AQE broadcasts).
+    counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.approx_count_distinct("l_orderkey").alias("hll"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
         pct.alias("pcts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95a"),
     )
+    agg = counts.join(pcts, "l_returnflag")
     p50 = F.get("pcts", 0)
     p95 = F.get("pcts", 1)
 
@@ -162,6 +171,48 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
        CAST(1 AS BIGINT) AS p95_within_1pct
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that makes sketches matter at
+    100 TB: build DataSketches HLL sketches at a FINE grain (lang × source),
+    store/ship the binary sketch column, then answer the COARSE-grain
+    distinct question (per lang) by unioning sketches — no rescan of the
+    base data, no re-shuffle of raw ids. ``hll_sketch_agg`` →
+    ``hll_union_agg`` → ``hll_sketch_estimate`` (Spark 3.5+ Apache
+    DataSketches bindings).
+
+    Hash-checkable via the bounded-error contract: doc_id is row-unique and
+    each doc has one source, so the fine-grain exact distincts SUM to the
+    coarse exact distinct; the estimate must land within 15% (HLL lgK=12 →
+    ~1.6% rsd; 15% is a conservative band)."""
+    d = load_table(spark, sf_dir, "documents")
+    partial = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id", 12).alias("sk"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    merged = partial.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("est"),
+        F.sum("nd").alias("n_docs"),
+        F.count("*").alias("n_sketches"),
+    )
+    return merged.select(
+        "lang",
+        "n_docs",
+        "n_sketches",
+        (F.abs(F.col("est") - F.col("n_docs")) / F.col("n_docs") <= 0.15)
+        .cast("long")
+        .alias("est_within_15pct"),
+    ).orderBy("lang")
+
+
+ORACLE_SKETCH_HLL_ROLLUP = """
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT source) AS n_sketches,
+       CAST(1 AS BIGINT) AS est_within_15pct
+FROM documents GROUP BY lang ORDER BY lang
 """
 
 
@@ -193,6 +244,7 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "quantiles_exact": q_quantiles_exact,
     "sketch_approx": q_sketch_approx,
+    "sketch_hll_rollup": q_sketch_hll_rollup,
     "agg_distinct_exact": q_agg_distinct_exact,
 }
 
@@ -202,4 +254,5 @@ ORACLE = {
     "quantiles_exact": ORACLE_QUANTILES_EXACT,
     "agg_distinct_exact": ORACLE_AGG_DISTINCT,
     "sketch_approx": ORACLE_SKETCH_APPROX,
+    "sketch_hll_rollup": ORACLE_SKETCH_HLL_ROLLUP,
 }

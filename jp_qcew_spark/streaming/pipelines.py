@@ -215,6 +215,52 @@ def stream_qcew_ingest(
     )
 
 
+def stream_foreach_batch_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once parquet sink on plain OSS Spark via ``foreachBatch`` +
+    batch-id-keyed dynamic partition overwrite.
+
+    The parquet streaming sink is at-least-once across failures (a batch
+    re-run appends duplicate files); the canonical fix without a
+    transactional table format is: each micro-batch writes to its OWN
+    partition (``batch_id=N``) in overwrite mode with dynamic partition
+    overwrite, so a replayed batch rewrites exactly its partition —
+    idempotent by construction — while the checkpoint guarantees each source
+    offset range maps to one batch id. Readers see append-only data keyed by
+    a monotonically increasing batch id (also the incremental-consumption
+    cursor for downstream jobs). At warehouse scale the same shape becomes
+    Delta/Iceberg MERGE; the partition-overwrite contract is identical."""
+    ensure_session_confs(spark)
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # dynamic mode: overwrite ONLY the partitions this batch writes
+        # (its own batch_id dir) — a replayed batch replaces itself and
+        # never clobbers earlier batches
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    return (
+        ev.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (user_id → c_custkey). Stateless append — the static

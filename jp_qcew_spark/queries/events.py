@@ -268,3 +268,51 @@ ORACLE = {
     "events_dedup": ORACLE_EVENTS_DEDUP,
     "events_tumbling_stream": ORACLE_EVENTS_TUMBLING,
 }
+
+
+def q_events_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (the hypertable-rollup shape): maintain
+    a FINE-grain rollup (10-min tumbling per event_type — what a streaming
+    job would upsert continuously), answer COARSE-grain questions (hourly)
+    by re-aggregating the rollup, never rescanning base events. Works
+    because count/sum are algebraic (merge losslessly); avg derives at the
+    end from merged sum/count (not emitted: a 2-decimal-data sum divided by
+    small counts lands exactly on round-half boundaries, where the rollup's
+    different float addition order legitimately flips the last digit). The
+    oracle computes the hourly answer DIRECTLY from base events, so the
+    hash match proves rollup-re-aggregation ≡ direct aggregation.
+
+    At 100 TB the fine rollup is ~10^4-10^6 rows/day vs 10^10 raw events —
+    re-aggregation touches the small table only; both aggs shuffle on
+    bounded (bucket, type) keys."""
+    ev = load_table(spark, sf_dir, "events")
+    fine = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),  # unrounded: rollups store exact states
+    )
+    return (
+        fine.groupBy(
+            F.date_trunc("hour", F.col("w.start")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_ROLLUP_REAGG = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY hour_start, event_type
+"""
+
+QUERIES["events_rollup_reagg"] = q_events_rollup_reagg
+ORACLE["events_rollup_reagg"] = ORACLE_EVENTS_ROLLUP_REAGG

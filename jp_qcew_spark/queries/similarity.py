@@ -460,7 +460,11 @@ def q_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = d.filter((F.col("lang") == "en") & (F.col("quality") >= 0.4)).select(
         F.col("doc_id").alias("vec_id")
     )
-    vecs = _vecs(spark, sf_dir).join(F.broadcast(ok), "vec_id", "semi")
+    # no hint on the gate set: it is corpus-proportional (a filtered subset
+    # of ALL docs), so a forced broadcast is unbounded at 100 TB — AQE
+    # still broadcasts it while it fits; only the query side (bounded by
+    # _N_QUERIES) is hinted below
+    vecs = _vecs(spark, sf_dir).join(ok, "vec_id", "semi")
     q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

@@ -32,8 +32,10 @@ _SERIES_LABEL = "(N1009) NATION_9"  # n_nationkey=9: fixed at every SF
 def _wage_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # no broadcast hint: customer GROWS with the corpus (1:10 with orders)
+    # — an unbounded broadcast at 100 TB. AQE broadcasts it while small.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select(
             F.concat(
                 (F.lit(1000) + F.col("c_nationkey")).cast("string"), F.lit("00")

@@ -80,8 +80,13 @@ def test_dedup_family_no_unbounded_broadcast_hints(spark, sf_dir):
     )
     from jp_qcew_spark.queries.llm_prep import q_llm_prep_pipeline
 
+    from jp_qcew_spark.queries.wages_ts import q_wages_series
+
     for q in (q_dedup_jaccard_pairs, q_dedup_char_ngram, q_llm_prep_pipeline):
         assert I.broadcast_hint_count(q(spark, sf_dir)) == 0, q.__name__
+    # wages fact x customer must NOT hint (customer grows with the corpus);
+    # only the bounded nation/region dims may (enrich_wages adds exactly 2)
+    assert I.broadcast_hint_count(q_wages_series(spark, sf_dir)) <= 2
     # candidate-bounded hints only (cand_docs semi, cand, per-candidate
     # shingles); the analyzed plan repeats the reused `exc` subtree (and its
     # inner hint) once per reference, so the textual count is 6, not 3

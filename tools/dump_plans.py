@@ -32,6 +32,17 @@ HEADLINERS = [
     ("geo_bbox_join",
      "Geo enrich: bbox range predicates push to the scan; nation dim "
      "broadcast; trig runs post-filter only."),
+    ("seq_pack",
+     "Sequence packing: ONE shard-local window (partitioned by source) "
+     "whose hash partitioning is reused by the per-pack rollup — no global "
+     "sort anywhere."),
+    ("text_tfidf",
+     "TF-IDF keywords: explode → two partial-agg shuffles (tf, df) → keyed "
+     "equi-join; corpus size enters as a 1-row broadcast scalar, not a "
+     "collect."),
+    ("events_rollup_reagg",
+     "Continuous aggregate: hourly answers re-aggregate the 10-min rollup "
+     "(algebraic merge), never rescanning base events."),
 ]
 
 

@@ -31,6 +31,7 @@ _GROUPS = [
     "jp_qcew_spark.queries.llm_prep",
     "jp_qcew_spark.queries.wages_ts",
     "jp_qcew_spark.queries.training",
+    "jp_qcew_spark.queries.warehouse",
 ]
 
 

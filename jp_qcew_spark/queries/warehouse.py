@@ -1,0 +1,188 @@
+"""Warehouse / CDC / data-profiling tier: SCD2 dimension history, event
+funnel, single-pass column profiling.
+
+Extension surface beyond the reference (which stops at flat NAICS/wage
+aggregates — data_process.py:35-274): the three ops every warehouse user of
+the engine reaches for next. All are pure DataFrame compositions — no UDFs,
+no collect.
+
+Scale notes (100 TB):
+- SCD2: one shuffle on user_id (the natural dimension key); ``lead`` window
+  sorts only within each key's partition — no global sort in the versioning
+  step itself (the final orderBy is presentation-only).
+- Funnel: three aggregates + two joins ALL keyed on user_id, so the
+  partitioning established by the first groupBy is reused end-to-end;
+  per-step state is one row per surviving user (monotonically shrinking).
+- Profiling: single scan, one agg row, then a constant-size stack() unpivot
+  — the multi-column distinct uses Spark's expand (3× row duplication in the
+  partial agg), still one shuffle of pre-aggregated partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jp_qcew_spark.io import load_table
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a changelog:
+    each purchase event is a new version of the user's row; ``valid_from`` =
+    event ts, ``valid_to`` = next version's ts (null = current), with the
+    unique event_id as deterministic tie-break within equal timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        pur.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "value",
+            F.col("valid_to").isNull().cast("long").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+ORACLE_SCD2 = """
+WITH v AS (
+  SELECT user_id, event_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         round(value, 2) AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, valid_from, valid_to, value,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM v ORDER BY user_id, valid_from, event_id
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts at
+    step k only if step k's first event occurs at-or-after their first
+    step-(k-1) event. Strictly ordered semantics (not mere set membership)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), fc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= fv.t_view GROUP BY 1
+), fp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN fc USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click GROUP BY 1
+)
+SELECT count(t_view) AS n_view,
+       count(t_click) AS n_click_after_view,
+       count(t_purchase) AS n_purchase_after_click
+FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+"""
+
+
+_PROFILE_COLS = ("lang", "source", "text")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass before any training run):
+    per string column of ``documents`` — row/null/distinct counts and
+    min/max/avg byte length — computed in ONE scan producing one wide row,
+    then unpivoted to a row per column with ``stack``."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nul_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.length(c)).cast("long").alias(f"mn_{c}"),
+            F.max(F.length(c)).cast("long").alias(f"mx_{c}"),
+            F.round(F.avg(F.length(c)), 4).alias(f"av_{c}"),
+        ]
+    wide = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nul_{c}, nd_{c}, mn_{c}, mx_{c}, av_{c}"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_len, max_len, avg_len)"
+    ).orderBy("col_name")
+
+
+ORACLE_PROFILE = """
+SELECT * FROM (
+  SELECT 'lang' AS col_name, count(*) AS n_rows,
+         CAST(count(*) - count(lang) AS BIGINT) AS n_nulls,
+         count(DISTINCT lang) AS n_distinct,
+         CAST(min(length(lang)) AS BIGINT) AS min_len,
+         CAST(max(length(lang)) AS BIGINT) AS max_len,
+         round(avg(length(lang)), 4) AS avg_len
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*), CAST(count(*) - count(source) AS BIGINT),
+         count(DISTINCT source), CAST(min(length(source)) AS BIGINT),
+         CAST(max(length(source)) AS BIGINT),
+         round(avg(length(source)), 4)
+  FROM documents
+  UNION ALL
+  SELECT 'text', count(*), CAST(count(*) - count(text) AS BIGINT),
+         count(DISTINCT text), CAST(min(length(text)) AS BIGINT),
+         CAST(max(length(text)) AS BIGINT),
+         round(avg(length(text)), 4)
+  FROM documents
+) ORDER BY col_name
+"""
+
+
+QUERIES = {
+    "scd2_history": q_scd2_history,
+    "funnel_steps": q_funnel_steps,
+    "profile_columns": q_profile_columns,
+}
+ORACLE = {
+    "scd2_history": ORACLE_SCD2,
+    "funnel_steps": ORACLE_FUNNEL,
+    "profile_columns": ORACLE_PROFILE,
+}

@@ -43,6 +43,13 @@ HEADLINERS = [
     ("events_rollup_reagg",
      "Continuous aggregate: hourly answers re-aggregate the 10-min rollup "
      "(algebraic merge), never rescanning base events."),
+    ("funnel_steps",
+     "Conversion funnel: three min-aggs and two joins all keyed on "
+     "user_id — the first groupBy's partitioning is reused end-to-end, "
+     "per-step state shrinks monotonically."),
+    ("profile_columns",
+     "Column profiling: one scan, one wide agg row, constant-size stack "
+     "unpivot — the multi-distinct expand happens in the partial agg."),
 ]
 
 

@@ -113,6 +113,12 @@ def main() -> None:
     if len(line) > 1900:
         result["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        # last resort: the full per-query map lives in the committed
+        # BENCH_LOCAL.json; a truncated stdout line is worse than a terse one
+        result["queries"] = {"full_detail": "BENCH_LOCAL.json"}
+        result["n_queries"] = len(timings)
+        line = json.dumps(result, separators=(",", ":"))
     print(line)
     spark.stop()
 

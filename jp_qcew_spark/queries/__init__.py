@@ -32,6 +32,7 @@ _GROUPS = [
     "jp_qcew_spark.queries.wages_ts",
     "jp_qcew_spark.queries.training",
     "jp_qcew_spark.queries.warehouse",
+    "jp_qcew_spark.queries.curation",
 ]
 
 

@@ -154,6 +154,46 @@ def test_tfidf_no_cartesian_and_bounded_broadcast(spark, sf_dir):
     assert I.broadcast_hint_count(df) <= 1
 
 
+def test_curation_plan_shapes(spark, sf_dir):
+    """Curation tier scale contracts: only BOUNDED sides carry broadcast
+    hints (the eval shingle set, the 1-row domain minimum, the ≤m-position
+    bloom set); the corpus-proportional fingerprint index in incremental
+    dedup must reach its join unhinted; every documents scan is pruned."""
+    from jp_qcew_spark.queries.curation import (
+        q_bloom_prefilter,
+        q_decontaminate,
+        q_dedup_incremental,
+        q_domain_mix,
+        q_scrub_denylist,
+    )
+
+    df = q_decontaminate(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 1  # the bounded eval shingle set
+
+    df = q_dedup_incremental(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0  # corpus-sized fp index: no hint
+
+    df = q_domain_mix(spark, sf_dir)
+    assert I.broadcast_hint_count(df) <= 1  # the 1-row global minimum
+    assert all(set(s) <= {"source", "text"} for s in I.read_schemas(df))
+
+    df = q_bloom_prefilter(spark, sf_dir)
+    # the bloom set is an aggregate bounded by m positions — broadcast is
+    # correct; the dim scan must push the segment filter and prune columns
+    assert I.broadcast_hint_count(df) <= 1
+    assert any("c_mktsegment" in f for f in I.pushed_filters(df))
+    assert any(
+        set(s) <= {"c_custkey", "c_mktsegment"} for s in I.read_schemas(df)
+    )
+
+    df = q_scrub_denylist(spark, sf_dir)
+    (schema,) = I.read_schemas(df)
+    assert set(schema) <= {"lang", "text"}
+    assert I.count_exchanges(df) <= 2  # one agg shuffle + final sort
+
+
 def test_geo_join_broadcasts_nation(spark, sf_dir):
     df = q_geo_bbox_join(spark, sf_dir)
     assert I.broadcast_hash_joins(df) >= 1

@@ -18,8 +18,13 @@ Scale notes:
 - ``localCheckpoint`` after every round truncates the lineage so the
   iterative plan doesn't grow unboundedly (the classic iterative-DataFrame
   failure mode: round N replays rounds 1..N-1).
-- The convergence test is one ``limit(1).count()`` driver action per round
-  — an O(1) boundary, documented like the wages label-domain collect.
+- Convergence is detected from the LABEL SUM: hash-min labels only ever
+  decrease, so sum(comp) strictly decreases until fixpoint and equality
+  with the previous round's sum == "no label changed". One 1-row partial
+  aggregate over the already-checkpointed labels — no join, no extra
+  shuffle (the old new⋈old + limit(1).count() check shuffled both label
+  sets every round). decimal(38,0) keeps the sum exact far beyond any
+  realistic node-id mass (10^38 ≫ 10^9 docs × 10^18 max id).
 - For billion-edge graphs with LONG chains (not the dedup shape), swap in
   large-star/small-star (Kiveris et al., "Connected Components in
   MapReduce"), which converges in O(log n) rounds with the same
@@ -56,26 +61,27 @@ def connected_components(
         .agg(F.min("comp").alias("comp"))
         .localCheckpoint()
     )
+
+    def _label_mass(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("m")
+        ).collect()[0]["m"]
+
+    mass = _label_mass(labels)
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.id).select(
             F.col("b").alias("id"), "comp"
         )
-        new = (
+        labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        new_mass = _label_mass(labels)
+        if new_mass == mass:
             return labels
+        mass = new_mass
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the dedup-graph assumption; use a "

@@ -510,3 +510,78 @@ ORDER BY doc_id
 
 QUERIES["dedup_components"] = q_dedup_components
 ORACLE["dedup_components"] = ORACLE_DEDUP_COMPONENTS
+
+
+# --------------------------------------------------------------------------
+# dedup_fuzzy — edit-distance record linkage with blocking
+# --------------------------------------------------------------------------
+
+_FZ_HEAD = 40  # chars of normalized head compared by edit distance
+_FZ_BLK = 8  # chars of blocking prefix
+_FZ_DIST = 5  # max Levenshtein distance to call a pair fuzzy-linked
+_FZ_BLK_CAP = 64  # max docs per block before the block is skipped
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by EDIT DISTANCE — the record-linkage member of
+    the dedup family (typo'd titles, OCR noise — variation Jaccard shingles
+    miss because a single in-word typo changes every overlapping shingle).
+
+    Plan: block on the first 8 normalized chars (equi-join key), compare
+    Levenshtein over the first 40 chars only within a block, keep pairs with
+    distance <= 5. Classic blocking linkage: candidate count is
+    sum-of-block-sizes², not corpus², and the Levenshtein (O(40²) per pair,
+    JVM codegen) runs only on candidates.
+
+    Scale guards, both mirrored in the oracle: the a<b inequality halves the
+    self-join, and blocks larger than 64 docs are dropped entirely (the
+    stop-shingle rule applied to linkage blocking — an over-common prefix is
+    boilerplate, not a typo cluster, and would reintroduce the quadratic).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    heads = d.select(
+        "doc_id",
+        F.substring(F.lower(F.trim("text")), 1, _FZ_HEAD).alias("head"),
+        F.substring(F.lower(F.trim("text")), 1, _FZ_BLK).alias("blk"),
+    )
+    bf = heads.groupBy("blk").agg(F.count("*").alias("_bf"))
+    heads = heads.join(bf, "blk").filter(F.col("_bf") <= _FZ_BLK_CAP)
+    a, b = heads.alias("a"), heads.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
+        )
+        .filter(F.col("dist") <= _FZ_DIST)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_FUZZY = f"""
+WITH h AS (
+  SELECT doc_id,
+         substr(lower(trim(text)), 1, {_FZ_HEAD}) AS head,
+         substr(lower(trim(text)), 1, {_FZ_BLK}) AS blk
+  FROM documents
+), capped AS (
+  SELECT * FROM h
+  WHERE blk IN (
+    SELECT blk FROM h GROUP BY blk HAVING count(*) <= {_FZ_BLK_CAP}
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS dist
+FROM capped a JOIN capped b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {_FZ_DIST}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_fuzzy"] = q_dedup_fuzzy
+ORACLE["dedup_fuzzy"] = ORACLE_DEDUP_FUZZY

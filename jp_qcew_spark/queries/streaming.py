@@ -98,6 +98,27 @@ QUERIES["stream_static_join"] = q_stream_static_join
 ORACLE["stream_static_join"] = ORACLE_STREAM_STATIC
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jp_qcew_spark.streaming.pipelines import stream_stream_attribution
+
+    return stream_stream_attribution(spark, sf_dir).orderBy(
+        "user_id", "view_id", "buy_id"
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT b.user_id, v.event_id AS view_id, b.event_id AS buy_id
+FROM events b JOIN events v
+  ON b.user_id = v.user_id
+ AND v.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY b.user_id, view_id, buy_id
+"""
+
+QUERIES["stream_stream_join"] = q_stream_stream_join
+ORACLE["stream_stream_join"] = ORACLE_STREAM_STREAM_JOIN
+
+
 def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jp_qcew_spark.streaming.pipelines import stream_tws_user_extremes
 

@@ -109,6 +109,55 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, "append", "sink_dedup_keys")
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join — the classic attribution shape: every
+    purchase joined to every view by the same user in the preceding 30
+    minutes, both sides unbounded streams.
+
+    This is the one join class a static plan cannot express: both sides
+    arrive forever, so the engine must buffer each side keyed by user and
+    age rows out as the other side's watermark passes. The time-range
+    predicate (`buy_ts BETWEEN view_ts AND view_ts + 30 min`) is what makes
+    state FINITE: Spark derives per-side state-retention bounds from it plus
+    the two watermarks — without the range the state would grow without
+    bound and the query is (rightly) rejected.
+
+    Scale: state is hash-partitioned by user_id (the equi-key) exactly like
+    the other stateful pipelines; matched pairs emit in append mode once
+    both rows are final. The emitted PAIR SET is deterministic (inner join,
+    closed predicate), which is what the DuckDB oracle checks.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = buys.join(
+        views,
+        F.expr(
+            "user_id = v_user AND "
+            "buy_ts >= view_ts AND "
+            "buy_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select("user_id", "view_id", "buy_id")
+    return run_to_memory(joined, "append", "sink_ss_attribution")
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total", DoubleType())]
 )

@@ -194,7 +194,10 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger into a memory sink — then return the sink table. Must equal the
     batch tumbling oracle exactly (same F.window semantics, SURVEY §2.I).
     """
-    from jp_qcew_spark.streaming.pipelines import read_events_stream
+    from jp_qcew_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_memory,
+    )
 
     stream = (
         read_events_stream(spark, sf_dir)
@@ -205,16 +208,8 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    query = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("events_tumbling_stream_sink")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     return (
-        spark.table("events_tumbling_stream_sink")
+        run_to_memory(stream, "complete", "events_tumbling_stream_sink")
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

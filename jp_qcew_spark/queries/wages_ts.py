@@ -229,3 +229,86 @@ ORACLE = {
     "ts_resample": ORACLE_TS_RESAMPLE,
     "ts_resample_yearly": ORACLE_TS_RESAMPLE_YEARLY,
 }
+
+
+# --------------------------------------------------------------------------
+# ts_gapfill — calendar spine + forward fill
+# --------------------------------------------------------------------------
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill: hourly per-type event series densified onto a
+    complete calendar spine, missing hours carrying the last observed value
+    — the resample/ffill pair every monitoring and econometrics pipeline
+    needs (the reference's pandas-era ancestor is DataFrame.resample().ffill()).
+
+    Plan shape: the spine is GENERATED per series from its own [min, max]
+    span (F.sequence + explode — a few thousand rows per series, never a
+    scan), the spine⋈observations join is keyed on (series, hour), and the
+    fill is one window per series: ``last(value, ignorenulls=True)`` over
+    rows unbounded-preceding. Scale: partitioned by series key — a million
+    independent series fill in parallel; only a single series' calendar ever
+    sits in one task.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"), F.count("*").alias("n"))
+    )
+    cal = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.col("n").isNull().cast("long").alias("is_gap"),
+            F.round(F.last("v", ignorenulls=True).over(w), 2).alias(
+                "v_filled"
+            ),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+ORACLE_TS_GAPFILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(sum(value), 2) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+), cal AS (
+  SELECT event_type,
+         unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM hourly GROUP BY event_type
+), j AS (
+  SELECT c.event_type, c.h, o.n, o.v
+  FROM cal c LEFT JOIN hourly o
+    ON c.event_type = o.event_type AND c.h = o.h
+)
+SELECT event_type, h,
+       CAST(n IS NULL AS BIGINT) AS is_gap,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+FROM j ORDER BY event_type, h
+"""
+
+QUERIES["ts_gapfill"] = q_ts_gapfill
+ORACLE["ts_gapfill"] = ORACLE_TS_GAPFILL

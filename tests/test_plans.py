@@ -268,3 +268,28 @@ def test_dynamic_partition_pruning_on_qcew(spark, tmp_path_factory):
     joined = fact.join(dim, fact.file_year == dim.dim_year).groupBy("tag").count()
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
+
+
+def test_fuzzy_dedup_blocked_join(spark, sf_dir):
+    """Edit-distance linkage must stay BLOCKED: an equi-join on the block
+    prefix (never cartesian), no forced broadcasts, and the block-frequency
+    cap keyed off the same scan."""
+    from jp_qcew_spark.queries.dedup import q_dedup_fuzzy
+
+    df = q_dedup_fuzzy(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    assert all(set(s) <= {"doc_id", "text"} for s in I.read_schemas(df))
+
+
+def test_ts_gapfill_generated_spine(spark, sf_dir):
+    """The calendar spine is GENERATED (per-series sequence), not scanned:
+    events is read once for observations and once (aggregated) for spans —
+    both scans pruned to (event_type, ts, value); the fill window partitions
+    by series so no global single-task sort exists."""
+    from jp_qcew_spark.queries.wages_ts import q_ts_gapfill
+
+    df = q_ts_gapfill(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    for s in I.read_schemas(df):
+        assert set(s) <= {"event_type", "ts", "value"}

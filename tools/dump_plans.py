@@ -50,6 +50,18 @@ HEADLINERS = [
     ("profile_columns",
      "Column profiling: one scan, one wide agg row, constant-size stack "
      "unpivot — the multi-distinct expand happens in the partial agg."),
+    ("decontaminate",
+     "Benchmark decontamination: the bounded eval shingle set broadcasts; "
+     "training shingles semi-join map-side — zero shuffle of the corpus "
+     "side before the per-source rollup."),
+    ("dedup_fuzzy",
+     "Edit-distance linkage: equi-join on the 8-char block prefix (never "
+     "cartesian), block-frequency cap bounds fan-out, Levenshtein runs "
+     "codegen'd on candidates only."),
+    ("ts_gapfill",
+     "Gap fill: calendar spine GENERATED per series (sequence+explode), "
+     "spine⋈observations keyed join, forward-fill window partitioned by "
+     "series — no global sort, no scanned calendar table."),
 ]
 
 

@@ -405,7 +405,67 @@ FROM b ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# sample_reservoir
+# --------------------------------------------------------------------------
+
+_RES_K = 5  # docs kept per source
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group reservoir sample: keep the 5 docs per
+    source with the smallest content-hash priority — a uniform-without-
+    replacement sample that is REPRODUCIBLE (same corpus -> same sample,
+    independent of partitioning, ingest order, or cluster size), which is
+    what makes sampled eval sets and ablation subsets auditable. The md5
+    priority is the distributed analogue of assigning random() and keeping
+    the k smallest — with the RNG replaced by a content hash so every
+    engine agrees.
+
+    Scale shape: partial-then-final top-k (the q_topk_per_group rework,
+    VERDICT r1 #5): stage 1 ranks within (source, input-partition-id) so
+    every core participates regardless of how few sources exist; stage 2
+    re-ranks the <= k*n_partitions survivors. No global sort, no per-group
+    serialization."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    base = d.select(
+        "source", "doc_id", prio.alias("prio"), F.spark_partition_id().alias("pid")
+    )
+    order = [F.col("prio").asc(), F.col("doc_id").asc()]
+    w_partial = W.partitionBy("source", "pid").orderBy(*order)
+    survivors = (
+        base.withColumn("prk", F.row_number().over(w_partial))
+        .filter(F.col("prk") <= _RES_K)
+        .drop("prk", "pid")
+    )
+    w_final = W.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= _RES_K)
+        .select("source", F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_SAMPLE_RESERVOIR = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text) ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+FROM ranked WHERE rk <= {_RES_K} ORDER BY source, rk
+"""
+
+
 QUERIES = {
+    "sample_reservoir": q_sample_reservoir,
     "decontaminate": q_decontaminate,
     "scrub_denylist": q_scrub_denylist,
     "domain_mix": q_domain_mix,
@@ -414,6 +474,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_reservoir": ORACLE_SAMPLE_RESERVOIR,
     "decontaminate": ORACLE_DECONTAMINATE,
     "scrub_denylist": ORACLE_SCRUB_DENYLIST,
     "domain_mix": ORACLE_DOMAIN_MIX,

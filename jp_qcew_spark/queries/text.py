@@ -180,3 +180,67 @@ ORACLE = {
     "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
 }
+
+
+# --------------------------------------------------------------------------
+# text_chunk — context-window passage chunking
+# --------------------------------------------------------------------------
+
+_CHUNK_WORDS = 64
+_CHUNK_STRIDE = 48  # 16-word overlap between consecutive chunks
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking — every doc split into 64-word
+    chunks with 16-word overlap, the preprocessing step that fits documents
+    to a model's context window (RAG passage stores, pretraining sequence
+    prep). Entirely declarative: chunk starts come from ``F.sequence`` +
+    ``posexplode`` and the chunk itself from ``F.slice`` — array codegen,
+    no UDF, so chunking runs map-side at scan speed and the output is
+    deterministic for the oracle.
+
+    Scale: pure per-row fan-out (≤ n_words/stride chunks per doc), no
+    shuffle at all until a downstream consumer groups — the plan is a
+    single scan-project-generate stage."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    base = d.select("doc_id", ws.alias("ws"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunk = F.slice("ws", F.col("st") + 1, _CHUNK_WORDS)
+    return (
+        base.select("doc_id", "ws", F.posexplode(starts).alias("cid", "st"))
+        .select(
+            "doc_id",
+            F.col("cid").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_words"),
+            F.length(F.array_join(chunk, " ")).cast("long").alias(
+                "chunk_chars"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_TEXT_CHUNK = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - 1, 0) + 1, {_CHUNK_STRIDE})) AS st
+  FROM w
+)
+SELECT doc_id,
+       CAST(st // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(ws[st+1:st+{_CHUNK_WORDS}]) AS BIGINT) AS chunk_words,
+       CAST(length(array_to_string(ws[st+1:st+{_CHUNK_WORDS}], ' ')) AS BIGINT)
+           AS chunk_chars
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["text_chunk"] = q_text_chunk
+ORACLE["text_chunk"] = ORACLE_TEXT_CHUNK

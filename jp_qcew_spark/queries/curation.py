@@ -481,3 +481,85 @@ ORACLE = {
     "bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
 }
+
+
+# --------------------------------------------------------------------------
+# scrub_pii — regex PII redaction (emails, phone-shaped, long numbers)
+# --------------------------------------------------------------------------
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_RE_PHONE = r"[0-9]{3}-[0-9]{4}"
+_RE_LONGNUM = r"[0-9]{5,}"
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace emails, phone-shaped tokens, and long
+    digit runs with typed placeholders, reporting per-doc match counts and
+    an md5 of the scrubbed text (the strong equivalence check — one flipped
+    byte anywhere diverges the hash).
+
+    The synthetic corpus contains no PII, so the query first PLANTS
+    deterministic synthetic PII derived from doc_id (same expression in the
+    oracle) — the redaction regexes then have real matches to find.
+    Replacement order matters and is pinned: emails first (their local part
+    contains digits a later pass would half-eat), then phones, then bare
+    long numbers.
+
+    Scale: pure map-side scan→project — no shuffle, no UDF; regexes are
+    RE2/Java-common syntax (character classes + bounded repeats only) so
+    both engines see identical match sets."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        (F.col("doc_id") * 7919 + 100000).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE,
+            "<PHONE>",
+        ),
+        _RE_LONGNUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_RE_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(planted, F.lit(_RE_PHONE)).cast("long").alias("n_phone"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(F.encode(red, "UTF-8")).alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SCRUB_PII = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ref ' || CAST(doc_id * 7919 + 100000 AS VARCHAR) AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_PHONE}', '<PHONE>', 'g'),
+           '{_RE_LONGNUM}', '<NUM>', 'g') AS r
+  FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(length(r) AS BIGINT) AS red_len,
+       md5(r) AS red_md5
+FROM red ORDER BY doc_id
+"""
+
+QUERIES["scrub_pii"] = q_scrub_pii
+ORACLE["scrub_pii"] = ORACLE_SCRUB_PII

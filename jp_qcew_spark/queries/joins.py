@@ -266,3 +266,68 @@ ORACLE = {
     "join_asof": ORACLE_JOIN_ASOF,
     "join_range": ORACLE_JOIN_RANGE,
 }
+
+
+# --------------------------------------------------------------------------
+# regional_volume — TPC-H Q5-shaped 6-table star join
+# --------------------------------------------------------------------------
+
+
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (region, nation) where the supplier and customer share a
+    nation — the classic TPC-H Q5 join topology: lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region with the cross-dimension
+    ``c_nationkey = s_nationkey`` constraint.
+
+    Scale shape: nation (25 rows) and region (5) are broadcast — they never
+    shuffle.  customer/supplier/orders/lineitem are fact-scale and join on
+    their natural keys as shuffle joins; AQE reorders and picks sides at
+    runtime.  The nationkey equality is applied as a join condition (not a
+    post-filter) so Catalyst prunes non-matching pairs before the lineitem
+    fan-in.  Map-side partial aggregation collapses the result to ≤
+    |nation| rows before the final exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.select("r_name", "n_name", rev)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_REGIONAL_VOLUME = """
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+QUERIES["regional_volume"] = q_regional_volume
+ORACLE["regional_volume"] = ORACLE_REGIONAL_VOLUME

@@ -273,3 +273,52 @@ QUERIES["string_funcs"] = q_string_funcs
 QUERIES["null_semantics"] = q_null_semantics
 ORACLE["string_funcs"] = ORACLE_STRING_FUNCS
 ORACLE["null_semantics"] = ORACLE_NULL_SEMANTICS
+
+
+# --------------------------------------------------------------------------
+# regr_stats — correlation / covariance / least-squares aggregates
+# --------------------------------------------------------------------------
+
+
+def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per returnflag: corr, covar_samp/pop, and the
+    SQL:2023 linear-regression aggregates (slope, intercept, r²) of
+    extendedprice against quantity — the one-pass distributed moments path
+    (each is a sum/sum-of-products combine, map-side partial agg, no second
+    scan).  All built-in JVM aggregates; round(6) pins the float surface on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.corr(y, x), 6).alias("corr_py"),
+            F.round(F.covar_samp(y, x), 4).alias("covar_s"),
+            F.round(F.covar_pop(y, x), 4).alias("covar_p"),
+            F.round(F.expr(f"regr_slope({y}, {x})"), 6).alias("slope"),
+            F.round(F.expr(f"regr_intercept({y}, {x})"), 4).alias("icept"),
+            F.round(F.expr(f"regr_r2({y}, {x})"), 6).alias("r2"),
+            F.round(F.stddev_samp(x), 6).alias("sd_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_REGR_STATS = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_py,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+       round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_p,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(stddev_samp(l_quantity), 6) AS sd_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+QUERIES["regr_stats"] = q_regr_stats
+ORACLE["regr_stats"] = ORACLE_REGR_STATS

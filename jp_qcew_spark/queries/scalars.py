@@ -322,3 +322,105 @@ ORDER BY l_returnflag
 
 QUERIES["regr_stats"] = q_regr_stats
 ORACLE["regr_stats"] = ORACLE_REGR_STATS
+
+
+# --------------------------------------------------------------------------
+# histogram_bins — equal-width histogram with data-driven bounds
+# --------------------------------------------------------------------------
+
+_N_BINS = 10
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 10-bin histogram of l_extendedprice with bounds computed
+    from the data itself: pass 1 aggregates global min/max to one row,
+    broadcast-cross-joined back so binning is a pure map-side expression in
+    pass 2 (the scalar-subquery pattern).  The bin formula
+    ``least(10, floor(((x-lo)/(hi-lo))*10)+1)`` is written with identical
+    IEEE-double operation order on both engines, so bucket edges agree
+    bit-for-bit — no reliance on either engine's width_bucket edge
+    semantics (DuckDB has none)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    stats = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
+    bucket = F.least(
+        F.lit(_N_BINS).cast("long"),
+        F.floor(((x - F.col("lo")) / (F.col("hi") - F.col("lo"))) * _N_BINS)
+        + 1,
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), x.alias("x"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("x"), 2).alias("bin_min"),
+            F.round(F.max("x"), 2).alias("bin_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_HISTOGRAM_BINS = f"""
+WITH s AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+  FROM lineitem
+)
+SELECT least({_N_BINS},
+             CAST(floor(((l_extendedprice - lo) / (hi - lo)) * {_N_BINS})
+                  AS BIGINT) + 1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 2) AS bin_min,
+       round(max(l_extendedprice), 2) AS bin_max
+FROM lineitem, s
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# argmax_funcs — max_by / min_by with pinned tie semantics
+# --------------------------------------------------------------------------
+
+
+def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest / poorest supplier name per nation via max_by/min_by.  Both
+    engines leave arg-extremes nondeterministic on ties, so the ordering
+    value is made unique by construction: acctbal + suppkey·1e-9 — the
+    perturbation (≤1e-2 only beyond suppkey 10M) never reorders distinct
+    acctbals (0.01 granularity) but totally orders ties.  One map-side
+    partial agg per nation; no window, no shuffle beyond the 25-row final
+    group-by."""
+    s = load_table(spark, sf_dir, "supplier")
+    v = F.col("s_acctbal") + F.col("s_suppkey").cast("double") / F.lit(1.0e9)
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.max_by("s_name", v).alias("richest"),
+            F.min_by("s_name", v).alias("poorest"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.count("*").cast("long").alias("n_suppliers"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_ARGMAX_FUNCS = """
+SELECT s_nationkey,
+       arg_max(s_name, s_acctbal + CAST(s_suppkey AS DOUBLE) / 1e9)
+         AS richest,
+       arg_min(s_name, s_acctbal + CAST(s_suppkey AS DOUBLE) / 1e9)
+         AS poorest,
+       round(max(s_acctbal), 2) AS max_bal,
+       round(min(s_acctbal), 2) AS min_bal,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+QUERIES["histogram_bins"] = q_histogram_bins
+ORACLE["histogram_bins"] = ORACLE_HISTOGRAM_BINS
+QUERIES["argmax_funcs"] = q_argmax_funcs
+ORACLE["argmax_funcs"] = ORACLE_ARGMAX_FUNCS

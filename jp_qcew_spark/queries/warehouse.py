@@ -186,3 +186,105 @@ ORACLE = {
     "funnel_steps": ORACLE_FUNNEL,
     "profile_columns": ORACLE_PROFILE,
 }
+
+
+# --------------------------------------------------------------------------
+# copurchase_pairs — market-basket co-occurrence mining
+# --------------------------------------------------------------------------
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs most often ordered together — the market-basket
+    co-occurrence join that powers "frequently bought together".
+
+    Plan: project lineitem to distinct (orderkey, partkey), self-join on
+    orderkey with ``p1 < p2`` (each unordered pair counted once), count per
+    pair, global top-20 via orderBy+limit (Spark compiles that to
+    TakeOrderedAndProject — a per-partition heap then a driver merge of 20-row
+    heads, never a full sort).  Scale: the self-join is co-partitioned on
+    orderkey (one shuffle of a 2-column projection); fan-out per order is
+    C(k,2) with k = basket size, bounded by the order, not the corpus.
+    Tie-break (n desc, p1, p2) makes the cut deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+ORACLE_COPURCHASE_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY p1, p2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# cohort_retention — weekly cohort × age retention matrix
+# --------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week (cohort),
+    counted distinct in each subsequent week — the standard product-analytics
+    triangle.
+
+    Plan: per-user min(ts) is one shuffle on user_id; the events→cohort join
+    is then co-partitioned on the same key (AQE reuses the exchange);
+    the final (cohort_week, week_age) distinct-count aggregates to a tiny
+    triangle.  Weeks are ISO date_trunc('week') on both engines; the age is
+    day-diff/7, exact because both sides are Monday-start truncations."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohorts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.join(cohorts, "user_id")
+    cw = F.to_date(F.date_trunc("week", F.col("first_ts")))
+    ew = F.to_date(F.date_trunc("week", F.col("ts")))
+    return (
+        joined.select(
+            cw.alias("cohort_week"),
+            (F.datediff(ew, cw) / 7).cast("long").alias("week_age"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_age")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_age")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH cohorts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', c.first_ts) AS DATE) AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', c.first_ts),
+                      date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_age,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN cohorts c USING (user_id)
+GROUP BY cohort_week, week_age
+ORDER BY cohort_week, week_age
+"""
+
+QUERIES["copurchase_pairs"] = q_copurchase_pairs
+ORACLE["copurchase_pairs"] = ORACLE_COPURCHASE_PAIRS
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLE["cohort_retention"] = ORACLE_COHORT_RETENTION

@@ -27,6 +27,7 @@ _GROUPS = [
     "jp_qcew_spark.queries.multimodal",
     "jp_qcew_spark.queries.sketches",
     "jp_qcew_spark.queries.geo",
+    "jp_qcew_spark.queries.graph",
     "jp_qcew_spark.queries.scalars",
     "jp_qcew_spark.queries.llm_prep",
     "jp_qcew_spark.queries.wages_ts",

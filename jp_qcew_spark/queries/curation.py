@@ -563,3 +563,75 @@ FROM red ORDER BY doc_id
 
 QUERIES["scrub_pii"] = q_scrub_pii
 ORACLE["scrub_pii"] = ORACLE_SCRUB_PII
+
+
+# --------------------------------------------------------------------------
+# sample_weighted — deterministic weighted sampling (A-Res)
+# --------------------------------------------------------------------------
+
+_WS_K = 20
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis A-Res:
+    each doc draws u ∈ (0,1) and keeps key u^(1/w) (w = n_chars, longer
+    docs proportionally likelier); the global top-20 keys are the sample.
+    The draw is DERANDOMIZED — u comes from the first 8 md5 hex digits of
+    (doc_id|source), so the sample is reproducible on any engine and any
+    partitioning, the same auditability property as sample_reservoir but
+    weight-aware.
+
+    Scale: keys are a pure map-side expression; top-20 is orderBy+limit →
+    TakeOrderedAndProject (per-partition heap, no global sort).  Key gaps
+    (≥1e-6 at any plausible corpus density) dwarf libm pow's 1-ulp
+    cross-engine wiggle, so selection is stable; outputs round at 6."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.col("source")
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.col("n_chars").cast("double"))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(key, 6).alias("draw_key"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+        .drop("_k")
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH keyed AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         pow((CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8))
+              AS BIGINT) + 0.5) / 4294967296.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(k, 6) AS draw_key
+FROM keyed
+ORDER BY k DESC, doc_id ASC
+LIMIT {_WS_K}
+"""
+
+QUERIES["sample_weighted"] = q_sample_weighted
+ORACLE["sample_weighted"] = ORACLE_SAMPLE_WEIGHTED

@@ -644,3 +644,66 @@ import sys as _sys  # noqa: E402
 from pyspark import cloudpickle as _cloudpickle  # noqa: E402
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# --------------------------------------------------------------------------
+# udf_vector_norm — Arrow-vectorized scalar pandas UDF
+# --------------------------------------------------------------------------
+
+
+def q_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of the embedding column via a SCALAR pandas UDF — the third
+    leg of the UDF taxonomy (scalar pandas_udf here, grouped-map
+    applyInPandas in grouped_zscore, mapInPandas in mm_decode_features;
+    SURVEY §2.J).  The batch arrives as one Arrow chunk, np.stack turns it
+    into a (batch, dim) float64 matrix, and the norm is one vectorized BLAS
+    pass — no per-row Python.  The oracle recomputes the norm with DuckDB
+    list lambdas; agreement at round(6) pins the Arrow float32→float64
+    widening as lossless.
+
+    Scale: scalar pandas UDFs pipeline per-batch inside the stage (no
+    shuffle, no grouping requirement — unlike applyInPandas there is no
+    skew surface at all); the final per-label agg is JVM-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _l2(v):
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
+
+    # real objects, not strings: `from __future__ import annotations` would
+    # stringify inline hints and pyspark can't resolve them in local scope
+    _l2.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    l2norm = pandas_udf(_l2, "double")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", l2norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_UDF_VECTOR_NORM = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_aggregate(
+           list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(nrm), 6) AS avg_norm,
+       round(max(nrm), 6) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+QUERIES["udf_vector_norm"] = q_udf_vector_norm
+ORACLE["udf_vector_norm"] = ORACLE_UDF_VECTOR_NORM

@@ -293,3 +293,62 @@ def test_ts_gapfill_generated_spine(spark, sf_dir):
     assert not I.has_cartesian_product(df)
     for s in I.read_schemas(df):
         assert set(s) <= {"event_type", "ts", "value"}
+
+
+def test_copurchase_topk_is_heap_not_sort(spark, sf_dir):
+    """Global top-20 pairs must compile to TakeOrderedAndProject (per-
+    partition heap + driver merge), never a full global Sort of the pair
+    counts; the pair self-join must stay an equi-join on orderkey."""
+    from jp_qcew_spark.queries.warehouse import q_copurchase_pairs
+
+    df = q_copurchase_pairs(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not I.has_cartesian_product(df)
+
+
+def test_rank_global_twophase_parallel_sort(spark, sf_dir):
+    """The two-phase rank must range-partition on the sort key — the sort
+    runs across n_priorities x n_range_partitions groups, never 5
+    serialized whole-table sort tasks — and the offset join must be a
+    broadcast (the offsets table is n_priorities x n_partitions rows)."""
+    from jp_qcew_spark.queries.windows import q_rank_global_twophase
+
+    df = q_rank_global_twophase(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert re.search(r"rangepartitioning", plan, re.IGNORECASE)
+    assert I.broadcast_hash_joins(df) >= 1
+    assert I.sort_merge_joins(df) == 0
+
+
+def test_regional_volume_broadcasts_small_dims(spark, sf_dir):
+    """Q5-shaped star join: nation and region must arrive as broadcasts;
+    no cartesian products anywhere in the 6-table tree."""
+    from jp_qcew_spark.queries.joins import q_regional_volume
+
+    df = q_regional_volume(spark, sf_dir)
+    assert I.broadcast_hash_joins(df) >= 2
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+
+
+def test_sample_weighted_is_heap_selection(spark, sf_dir):
+    """A-Res weighted sampling must be a map-side key computation plus
+    TakeOrderedAndProject — zero shuffles before the take."""
+    from jp_qcew_spark.queries.curation import q_sample_weighted
+
+    df = q_sample_weighted(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert I.count_exchanges(df) == 0
+
+
+def test_pagerank_superstep_shape(spark, sf_dir):
+    """Each PageRank superstep joins ranks to edges and re-aggregates on
+    dst; the loop must stay equi-join-only (no cartesian, no nested loop
+    over the node set)."""
+    from jp_qcew_spark.queries.graph import q_graph_pagerank
+
+    df = q_graph_pagerank(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)

@@ -114,10 +114,18 @@ def main() -> None:
         result["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
-        # last resort: the full per-query map lives in the committed
-        # BENCH_LOCAL.json; a truncated stdout line is worse than a terse one
-        result["queries"] = {"full_detail": "BENCH_LOCAL.json"}
+        # keep the slowest queries inline (the ones regressions show up in);
+        # the full-precision map lives in the committed BENCH_LOCAL.json
         result["n_queries"] = len(timings)
+        result["more_in"] = "BENCH_LOCAL.json"
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        kept: dict[str, float] = {}
+        for name in by_cost:
+            trial = dict(result, queries={**kept, name: round(timings[name], 1)})
+            if len(json.dumps(trial, separators=(",", ":"))) > 1800:
+                break
+            kept[name] = round(timings[name], 1)
+        result["queries"] = kept
         line = json.dumps(result, separators=(",", ":"))
     print(line)
     spark.stop()

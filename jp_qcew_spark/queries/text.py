@@ -244,3 +244,108 @@ FROM s ORDER BY doc_id, chunk_id
 
 QUERIES["text_chunk"] = q_text_chunk
 ORACLE["text_chunk"] = ORACLE_TEXT_CHUNK
+
+
+# --------------------------------------------------------------------------
+# text_bigrams — bigram language-model counts
+# --------------------------------------------------------------------------
+
+
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 next-token continuations per head token with counts — the
+    bigram conditional-frequency table that seeds classical LM features and
+    corpus browsing.  Bigram extraction is a single array expression
+    (``transform(sequence(...))`` over the split words — index lambda, no
+    join, no UDF) exploded map-side; the rank window partitions by head
+    token, so parallelism scales with vocabulary size, not corpus size.
+    Tie-break (count desc, token asc) pins the cut."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(F.split(F.trim("text"), r"\s+").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+    w = W.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("w1", F.col("rk").cast("long").alias("rk"), "w2", "n")
+        .orderBy("w1", "rk")
+    )
+
+
+ORACLE_TEXT_BIGRAMS = r"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), b AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY w1, w2
+), ranked AS (
+  SELECT w1, w2, n,
+         row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS rk
+  FROM counts
+)
+SELECT w1, CAST(rk AS BIGINT) AS rk, w2, n
+FROM ranked WHERE rk <= 3 ORDER BY w1, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# text_inverted_index — token → posting-list construction
+# --------------------------------------------------------------------------
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: every token mapped to its document frequency and the
+    first 16 doc_ids of its sorted posting list — the search-engine build
+    step.  One explode + distinct (map-side pre-aggregated by Spark's
+    distinct), one shuffle on token; ``sort_array(collect_set(...))`` makes
+    the posting order engine-independent, and the 16-element cap bounds the
+    row width for ubiquitous tokens (a real index would chunk postings into
+    fixed-size blocks the same way)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 16).alias(
+                "postings"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+ORACLE_TEXT_INVERTED_INDEX = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id))[1:16] AS postings
+FROM tok GROUP BY token ORDER BY token
+"""
+
+QUERIES["text_bigrams"] = q_text_bigrams
+ORACLE["text_bigrams"] = ORACLE_TEXT_BIGRAMS
+QUERIES["text_inverted_index"] = q_text_inverted_index
+ORACLE["text_inverted_index"] = ORACLE_TEXT_INVERTED_INDEX

@@ -488,3 +488,78 @@ ORDER BY o_orderpriority, tile
 
 QUERIES["rank_global_twophase"] = q_rank_global_twophase
 ORACLE["rank_global_twophase"] = ORACLE_RANK_GLOBAL_TWOPHASE
+
+
+# --------------------------------------------------------------------------
+# ts_ewma — exponentially weighted moving average (bounded window)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25  # decay 1-alpha = 0.75
+_EWMA_SPAN = 30
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-row EWMA (α=0.25, adjusted weights) of daily order value per
+    priority.  Exact infinite-history EWMA is a sequential recurrence — the
+    streaming tier's job (applyInPandasWithState) — but the bounded-window
+    form is fully declarative: ``collect_list`` over a 30-row frame, then
+    one higher-order ``transform``+``aggregate`` computes
+    Σ wᵢxᵢ / Σ wᵢ with wᵢ = 0.75^(age) inside codegen.  Truncation error
+    vs infinite history is ≤0.75³⁰ ≈ 1.8e-4 relative — below the rounded
+    output resolution.  The window partitions by priority over DAILY
+    pre-aggregated rows, so frame memory is 30 doubles regardless of
+    corpus size, and the daily pre-agg is the only fact-scale shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("v")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    xs = F.collect_list("v").over(w)
+    decay = 1.0 - _EWMA_ALPHA
+    num = (
+        f"aggregate(transform(xs, (x, i) -> x * pow({decay}, size(xs)-1-i)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    den = (
+        f"aggregate(transform(xs, (x, i) -> pow({decay}, size(xs)-1-i)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    return (
+        daily.withColumn("xs", xs)
+        .select(
+            "o_orderpriority",
+            "o_orderdate",
+            "v",
+            F.round(F.expr(num) / F.expr(den), 4).alias("ewma"),
+        )
+        .orderBy("o_orderpriority", "o_orderdate")
+    )
+
+
+ORACLE_TS_EWMA = f"""
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate, round(sum(o_totalprice), 2) AS v
+  FROM orders GROUP BY o_orderpriority, o_orderdate
+), wl AS (
+  SELECT o_orderpriority, o_orderdate, v,
+         list(v) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                       ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING
+                       AND CURRENT ROW) AS xs
+  FROM daily
+)
+SELECT o_orderpriority, o_orderdate, v,
+       round(
+         list_aggregate(
+           list_transform(xs, (x, i) -> x * pow(0.75, len(xs) - i)), 'sum') /
+         list_aggregate(
+           list_transform(xs, (x, i) -> pow(0.75, len(xs) - i)), 'sum'),
+         4) AS ewma
+FROM wl ORDER BY o_orderpriority, o_orderdate
+"""
+
+QUERIES["ts_ewma"] = q_ts_ewma
+ORACLE["ts_ewma"] = ORACLE_TS_EWMA

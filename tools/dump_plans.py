@@ -62,6 +62,27 @@ HEADLINERS = [
      "Gap fill: calendar spine GENERATED per series (sequence+explode), "
      "spine⋈observations keyed join, forward-fill window partitioned by "
      "series — no global sort, no scanned calendar table."),
+    ("rank_global_twophase",
+     "Exact global ranks without a serialized sort: range-exchange on the "
+     "sort key, per-(group, range-partition) local row_number, tiny offset "
+     "table broadcast back — parallelism scales with data, not with the "
+     "5-value group key."),
+    ("copurchase_pairs",
+     "Market-basket mining: co-partitioned self-join on orderkey (pair "
+     "fan-out bounded by basket size), partial-agg pair counts, global "
+     "top-20 via TakeOrderedAndProject — a heap, never a full sort."),
+    ("regional_volume",
+     "TPC-H Q5 topology: nation/region broadcast, fact-scale joins left to "
+     "AQE, cross-dimension nationkey equality applied inside the join so "
+     "non-matching pairs prune before the lineitem fan-in."),
+    ("graph_pagerank",
+     "Iterative superstep loop: ranks persisted per iteration, each step "
+     "one equi-join (ranks⋈edges on src) + one dst aggregation — the "
+     "Pregel shape in pure DataFrames, lineage bounded by persist."),
+    ("sample_weighted",
+     "Derandomized A-Res weighted sampling: md5-seeded keys computed "
+     "map-side, global top-k via TakeOrderedAndProject — zero exchanges "
+     "before the take."),
 ]
 
 

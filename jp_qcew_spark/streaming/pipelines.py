@@ -44,8 +44,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet naive timestamps infer as TIMESTAMP_NTZ, but event-time
+        # watermarks require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # Under the pinned UTC session timezone the cast is value-preserving,
+        # so streaming results still equal their batch/oracle twins.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

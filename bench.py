@@ -24,6 +24,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 QCEW_LINES = int(os.environ.get("SPARK_GRAFT_QCEW_LINES", "100000"))
+# comma-separated subset for scaling studies (tools/bench_scaling.py);
+# empty = full registry. "qcew_etl" toggles the fixed-width ETL slice.
+ONLY = {
+    s for s in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if s
+}
+LOCAL_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
 
 
 def _qcew_fixture_dir() -> str:
@@ -55,8 +61,9 @@ def main() -> None:
     # warm-up: JIT/codegen/session init should not be billed to the first query
     queries["pricing_summary"](spark, SF_DIR).collect()
 
+    selected = sorted(n for n in queries if not ONLY or n in ONLY)
     timings: dict[str, float] = {}
-    for name in sorted(queries):
+    for name in selected:
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -65,19 +72,22 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
-    # QCEW vertical slice: fixed-width decode -> partitioned parquet -> agg
-    from jp_qcew_spark.operators.etl import run_etl
-    from jp_qcew_spark.operators.naics import naics4_aggregate
+    if not ONLY or "qcew_etl" in ONLY:
+        # QCEW vertical slice: fixed-width decode -> partitioned parquet -> agg
+        from jp_qcew_spark.operators.etl import run_etl
+        from jp_qcew_spark.operators.naics import naics4_aggregate
 
-    qcew_in = _qcew_fixture_dir()
-    runs = []
-    for _ in range(RUNS):
-        out = tempfile.mkdtemp(prefix="qcew_bench_out_")
-        t0 = time.perf_counter()
-        etl_df = run_etl(spark, qcew_in + "/*/*", out)
-        naics4_aggregate(etl_df).collect()
-        runs.append(time.perf_counter() - t0)
-    timings["qcew_etl_naics_100k"] = round(statistics.median(runs), 3)
+        qcew_in = _qcew_fixture_dir()
+        runs = []
+        for _ in range(RUNS):
+            out = tempfile.mkdtemp(prefix="qcew_bench_out_")
+            t0 = time.perf_counter()
+            etl_df = run_etl(spark, qcew_in + "/*/*", out)
+            naics4_aggregate(etl_df).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[f"qcew_etl_naics_{QCEW_LINES // 1000}k"] = round(
+            statistics.median(runs), 3
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -97,15 +107,21 @@ def main() -> None:
     # full-precision per-round history for mechanical regression diffs
     detail = dict(result, queries=timings)
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), LOCAL_OUT),
         "w",
     ) as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # The driver records only the last ~2000 chars of stdout and parses the
-    # final line as JSON; round 1's 2930-char line was truncated mid-JSON
-    # ("parsed": null in BENCH_r01.json). Progressively compact until the
-    # line fits with margin.
+    # The driver records only the last ~2000 chars of combined output and
+    # parses the final line as JSON. Two past failures shape this epilogue:
+    # r1 printed a 2930-char line (truncated mid-JSON -> "parsed": null);
+    # r2 compacted correctly but an async StateStore maintenance stack
+    # trace trailed the JSON during shutdown, pushing it out of the tail.
+    # So: (1) compact until the line fits with margin — a full 114-query
+    # dict is >2400 chars (names alone are ~2000), so the slowest queries
+    # stay inline and the full-precision map is the committed
+    # BENCH_LOCAL.json; (2) stop every active stream and the session BEFORE
+    # printing, then hard-exit so no JVM/atexit output can follow the line.
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
         result.pop("config", None)
@@ -114,8 +130,7 @@ def main() -> None:
         result["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
-        # keep the slowest queries inline (the ones regressions show up in);
-        # the full-precision map lives in the committed BENCH_LOCAL.json
+        # keep the slowest queries inline (the ones regressions show up in)
         result["n_queries"] = len(timings)
         result["more_in"] = "BENCH_LOCAL.json"
         by_cost = sorted(timings, key=timings.get, reverse=True)
@@ -127,8 +142,13 @@ def main() -> None:
             kept[name] = round(timings[name], 1)
         result["queries"] = kept
         line = json.dumps(result, separators=(",", ":"))
-    print(line)
+
+    for q in spark.streams.active:  # leftover memory-sink streams
+        q.stop()
     spark.stop()
+    time.sleep(2)  # let async JVM log writers drain before the JSON line
+    print(line, flush=True)
+    os._exit(0)  # skip atexit/py4j teardown chatter that could trail it
 
 
 if __name__ == "__main__":

@@ -64,10 +64,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Keep batch identical to read_events_stream: naive parquet
+            # timestamps infer as TIMESTAMP_NTZ, cast to TimestampType
+            # (value-preserving under the pinned UTC session timezone) so
+            # batch/stream frames union/join on ts without type mismatch.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -171,21 +171,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # verify: first narrow the exploded shingles to docs that appear in some
-    # candidate pair (broadcast semi-join — map-side, no corpus shuffle),
-    # then intersect within that small set. The LSH contract is precisely
-    # that |candidates| << |corpus|, so `exc` is broadcastable; every verify
-    # step below is a broadcast join + one partial-agg shuffle of pair rows.
+    # candidate pair (semi-join), then intersect within that small set.  No
+    # broadcast hints anywhere in the verify chain: on an honest corpus
+    # |candidates| << |corpus| and AQE converts these joins to broadcast at
+    # runtime, but on an adversarial/templated corpus (every doc sharing a
+    # band) `cand`/`exc` scale with the corpus and a forced broadcast would
+    # OOM executors — the r1/r2 rule that no dedup-family broadcast side may
+    # grow with corpus size (plan-tested in tests/test_plans.py).
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    exc = ex.join(F.broadcast(cand_docs), "doc_id", "semi").persist()
+    exc = ex.join(cand_docs, "doc_id", "semi").persist()
     inter = (
-        F.broadcast(cand)
-        .join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
+        cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
         .join(
-            F.broadcast(exc.alias("xb")),
+            exc.alias("xb"),
             (F.col("doc_b") == F.col("xb.doc_id"))
             & (F.col("xa.shingle") == F.col("xb.shingle")),
         )

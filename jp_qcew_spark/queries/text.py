@@ -314,7 +314,9 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct), one shuffle on token; ``sort_array(collect_set(...))`` makes
     the posting order engine-independent, and the 16-element cap bounds the
     row width for ubiquitous tokens (a real index would chunk postings into
-    fixed-size blocks the same way)."""
+    fixed-size blocks the same way).  The posting list is emitted as a
+    comma-joined string — final projections never carry array/map/struct
+    columns (harness canonicalizers can't hash them)."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -326,9 +328,9 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(
             F.count("*").cast("long").alias("df"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 16).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 16), ","
+            ).alias("postings"),
         )
         .orderBy("token")
     )
@@ -341,7 +343,7 @@ WITH tok AS (
   FROM documents
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df,
-       (list(doc_id ORDER BY doc_id))[1:16] AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:16], ',') AS postings
 FROM tok GROUP BY token ORDER BY token
 """
 

@@ -69,11 +69,13 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
 def test_dedup_family_no_unbounded_broadcast_hints(spark, sf_dir):
     """No broadcast side in the dedup family may grow with corpus size.
 
-    Per-doc tables (shingle-set sizes, near-dup loser lists) are one row per
-    document — multi-GB at 100 TB — so they must reach the join as plain
-    shuffle sides (AQE can still broadcast them when small). The only
-    tolerated hints are MinHash-LSH's candidate-set broadcasts, bounded by
-    the LSH contract |candidates| << |corpus|."""
+    Per-doc tables (shingle-set sizes, candidate shingle sets, near-dup
+    loser lists) are one row (or more) per document — multi-GB at 100 TB —
+    so they must reach the join as plain shuffle sides (AQE can still
+    broadcast them when small). Round 3 closed the last exception: the
+    MinHash-LSH verify chain (cand_docs/cand/exc) is candidate-proportional,
+    which an adversarial/templated corpus makes corpus-proportional, so it
+    carries no hints either."""
     from jp_qcew_spark.queries.dedup import (
         q_dedup_char_ngram,
         q_dedup_jaccard_pairs,
@@ -82,15 +84,16 @@ def test_dedup_family_no_unbounded_broadcast_hints(spark, sf_dir):
 
     from jp_qcew_spark.queries.wages_ts import q_wages_series
 
-    for q in (q_dedup_jaccard_pairs, q_dedup_char_ngram, q_llm_prep_pipeline):
+    for q in (
+        q_dedup_jaccard_pairs,
+        q_dedup_char_ngram,
+        q_dedup_minhash_lsh,
+        q_llm_prep_pipeline,
+    ):
         assert I.broadcast_hint_count(q(spark, sf_dir)) == 0, q.__name__
     # wages fact x customer must NOT hint (customer grows with the corpus);
     # only the bounded nation/region dims may (enrich_wages adds exactly 2)
     assert I.broadcast_hint_count(q_wages_series(spark, sf_dir)) <= 2
-    # candidate-bounded hints only (cand_docs semi, cand, per-candidate
-    # shingles); the analyzed plan repeats the reused `exc` subtree (and its
-    # inner hint) once per reference, so the textual count is 6, not 3
-    assert I.broadcast_hint_count(q_dedup_minhash_lsh(spark, sf_dir)) <= 6
 
 
 def test_topk_partial_then_final(spark, sf_dir):

@@ -48,6 +48,8 @@ def _qcew_fixture_dir() -> str:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from jp_qcew_spark.queries import all_queries
     from jp_qcew_spark.session import get_spark
 
@@ -61,6 +63,19 @@ def main() -> None:
     # warm-up: JIT/codegen/session init should not be billed to the first query
     queries["pricing_summary"](spark, SF_DIR).collect()
 
+    # Environment calibration: the fixed cost of one trivial job on this
+    # machine state (scheduler + py4j + JIT floor). Round-over-round the
+    # container's floor has drifted 0.1 -> ~0.4s, which multiplies small
+    # sub-second anchors by 2-4x while plans are unchanged (plan tests pin
+    # them); recording the floor per run lets anchor comparisons subtract
+    # the ambient component (BASELINE.md round-3 notes).
+    floor_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(32).groupBy((F.col("id") % 4).alias("k")).count().collect()
+        floor_runs.append(time.perf_counter() - t0)
+    overhead_floor = round(statistics.median(floor_runs), 3)
+
     selected = sorted(n for n in queries if not ONLY or n in ONLY)
     timings: dict[str, float] = {}
     for name in selected:
@@ -71,6 +86,14 @@ def main() -> None:
             df.collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # Drop caches the query persisted: pipelines .persist() hot
+        # intermediates and hand back only the result DF, so over a
+        # 114-query suite the block manager accumulates hundreds of dead
+        # cached partitions -> executor memory pressure + GC that inflated
+        # later queries ~2x (round-3 measurement notes). Clearing between
+        # queries makes each median an isolated-run cost, which is what
+        # the per-query anchors compare against.
+        spark.catalog.clearCache()
 
     if not ONLY or "qcew_etl" in ONLY:
         # QCEW vertical slice: fixed-width decode -> partitioned parquet -> agg
@@ -102,6 +125,7 @@ def main() -> None:
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             "runs_per_query": RUNS,
+            "overhead_floor_sec": overhead_floor,
         },
     }
     # full-precision per-round history for mechanical regression diffs

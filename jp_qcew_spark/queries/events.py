@@ -311,3 +311,43 @@ GROUP BY 1, 2 ORDER BY hour_start, event_type
 
 QUERIES["events_rollup_reagg"] = q_events_rollup_reagg
 ORACLE["events_rollup_reagg"] = ORACLE_EVENTS_ROLLUP_REAGG
+
+
+# --------------------------------------------------------------------------
+# events_variant — VARIANT-typed semi-structured JSON (Spark 4)
+# --------------------------------------------------------------------------
+
+
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the Spark 4 VARIANT type: ``parse_json`` once
+    into a binary variant, then typed path extraction (``variant_get``) —
+    the modern replacement for per-path ``get_json_object`` re-parsing (each
+    call re-tokenizes the JSON; variant parses once and shreds).  Pure
+    JVM-side expressions, whole-stage codegen, one aggregation shuffle on
+    the derived bucket — identical scale shape to events_json_props.
+
+    Reference has JSON only as config (SURVEY §2.H F12); this is the
+    extension-tier data-plane path on the events table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_EVENTS_VARIANT = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+QUERIES["events_variant"] = q_events_variant
+ORACLE["events_variant"] = ORACLE_EVENTS_VARIANT

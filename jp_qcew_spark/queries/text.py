@@ -351,3 +351,55 @@ QUERIES["text_bigrams"] = q_text_bigrams
 ORACLE["text_bigrams"] = ORACLE_TEXT_BIGRAMS
 QUERIES["text_inverted_index"] = q_text_inverted_index
 ORACLE["text_inverted_index"] = ORACLE_TEXT_INVERTED_INDEX
+
+
+# --------------------------------------------------------------------------
+# udtf_tokenize — Python UDTF (table function) surface, Spark 4
+# --------------------------------------------------------------------------
+
+
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization through a Python **UDTF** joined LATERAL —
+    the table-function member of the UDF tier (SURVEY §2.J lists scalar
+    pandas_udf / applyInPandas / mapInPandas; this completes the set with
+    one row IN, many rows OUT per-row expansion as a first-class relation).
+
+    Semantically ≡ ``posexplode(split(text))`` — the built-in stays the hot
+    path; the UDTF form exists for expansions whose per-row logic is real
+    Python (custom tokenizers, parsers).  Runs partition-parallel with no
+    shuffle before the final presentation sort; the doc_id predicate is
+    applied before the lateral join so the UDTF only sees matching rows.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class _Tokenize:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF contract
+            if text:
+                for i, t in enumerate(text.split()):
+                    yield i, t
+
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+ORACLE_UDTF_TOKENIZE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS token
+FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+ORDER BY doc_id, pos
+"""
+
+QUERIES["udtf_tokenize"] = q_udtf_tokenize
+ORACLE["udtf_tokenize"] = ORACLE_UDTF_TOKENIZE

@@ -27,6 +27,17 @@ def test_registry_nonempty():
     assert len(rows_only) <= max(3, len(QUERIES) // 4), rows_only
 
 
+def test_driver_window_is_the_priority_list():
+    """The driver snapshots the FIRST 50 registry entries; the rotation in
+    ``_WINDOW_PRIORITY`` is evidence policy (VERDICT r2 #1) and must be
+    exactly what the driver sees — a new query registered in an
+    early-loading module must never silently evict a window entry again."""
+    from jp_qcew_spark.queries import _WINDOW_PRIORITY
+
+    assert len(_WINDOW_PRIORITY) == 50
+    assert list(QUERIES)[:50] == _WINDOW_PRIORITY
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)

@@ -177,33 +177,47 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of hex digit k of md5(token) across tokens: 1 iff 2·ones > n_tokens.
     Every step is integer arithmetic on md5 hex digits — portable to the SQL
     oracle verbatim.
+
+    Plan shape (round 3): the 32 bit positions are COLUMNS of the per-token
+    row, not exploded rows — the earlier pos-level explode shipped 32 rows
+    per token through the shuffle (160M rows at a 50k-doc corpus; the worst
+    scaler in BENCH_SF1). As 32 ``sum`` aggregates over one row per token,
+    the partial aggregation is map-side and the exchange carries one
+    33-column row per (doc × partition) — a 32× shuffle-volume cut with
+    bit math unchanged.
     """
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    ).withColumn("h", F.md5("tok"))
-    digits = tok.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
-    ).withColumn(
-        "val", F.expr("locate(substring(h, k + 1, 1), '0123456789abcdef') - 1")
-    )
-    bits = digits.select(
-        id_col,
-        "k",
-        "val",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
-    ).withColumn(
-        "bit", (F.floor(F.col("val") / F.pow(F.lit(2), F.col("j"))) % 2).cast("long")
-    )
-    per_pos = bits.groupBy(id_col, (F.col("k") * 4 + F.col("j")).alias("pos")).agg(
-        F.sum("bit").alias("ones"), F.count("*").alias("n_tok")
-    )
-    return per_pos.groupBy(id_col).agg(
-        F.sum(
-            F.when(2 * F.col("ones") > F.col("n_tok"), F.pow(F.lit(2), F.col("pos")))
-            .otherwise(F.lit(0.0))
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
         )
+        # first 8 hex digits of md5 as ONE 32-bit integer; digit k's value
+        # is then (v >> 4*(7-k)) & 15 and its bit j is (v >> 4*(7-k)+j) & 1
+        # — same bit indexing as the oracle's locate()/floor-div form, with
+        # one conv per token instead of 8 substring probes
+        .withColumn(
+            "v", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        )
+    )
+    bit_cols = [
+        F.shiftright(F.col("v"), 4 * (7 - k) + j)
+        .bitwiseAND(F.lit(1))
         .cast("long")
-        .alias("simhash")
+        .alias(f"b{k * 4 + j}")
+        for k in range(8)
+        for j in range(4)
+    ]
+    per_tok = tok.select(id_col, *bit_cols)
+    agg = per_tok.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        *[F.sum(f"b{p}").alias(f"s{p}") for p in range(32)],
+    )
+    simhash = None
+    for p in range(32):
+        term = F.when(
+            2 * F.col(f"s{p}") > F.col("n_tok"), F.lit(float(2**p))
+        ).otherwise(F.lit(0.0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select(
+        id_col, simhash.cast("long").alias("simhash")
     )

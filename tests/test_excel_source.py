@@ -71,3 +71,62 @@ def test_naics_dim_load_feeds_wages_chain(spark, book):
     assert set(got) == {"1002", "9999"}
     assert got["1002"] == "(N1002) Vegetable <&> Melon"
     assert got["9999"] is None
+
+
+# --------------------------------------------------------------------------
+# spark.read.format("xlsx") — the Python DataSource wrapper
+# --------------------------------------------------------------------------
+
+
+def test_xlsx_datasource_matches_driver_reader(spark, book):
+    from jp_qcew_spark.sources.excel import read_xlsx
+    from jp_qcew_spark.sources.xlsx_datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    via_source = (
+        spark.read.format("xlsx").option("sheet_id", 1).load(str(book))
+    )
+    via_driver = read_xlsx(spark, str(book), sheet_id=1)
+    assert via_source.schema == via_driver.schema
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, via_driver.collect())
+    )
+
+
+def test_xlsx_datasource_glob_is_one_partition_per_file(
+    spark, tmp_path_factory
+):
+    from tests.xlsx_fixtures import write_xlsx
+
+    from jp_qcew_spark.sources.xlsx_datasource import XlsxDataSource
+
+    d = tmp_path_factory.mktemp("books")
+    for i in range(3):
+        write_xlsx(
+            str(d / f"part{i}.xlsx"),
+            {"s": [["k", "v"], [f"row{i}", i], [f"alt{i}", i * 10]]},
+        )
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(d / "*.xlsx"))
+    assert df.rdd.getNumPartitions() == 3
+    rows = {(r.k, r.v) for r in df.collect()}
+    assert rows == {
+        ("row0", 0), ("alt0", 0), ("row1", 1), ("alt1", 10),
+        ("row2", 2), ("alt2", 20),
+    }
+
+
+def test_xlsx_datasource_rejects_mismatched_headers(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from tests.xlsx_fixtures import write_xlsx
+
+    from jp_qcew_spark.sources.xlsx_datasource import XlsxDataSource
+
+    d = tmp_path_factory.mktemp("mismatch")
+    write_xlsx(str(d / "a.xlsx"), {"s": [["k", "v"], ["x", 1]]})
+    write_xlsx(str(d / "b.xlsx"), {"s": [["other", "v"], ["y", 2]]})
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").load(str(d / "*.xlsx"))
+    with _pytest.raises(Exception, match="inferred schema"):
+        df.collect()

@@ -45,6 +45,13 @@ _GROUPS = [
 # re-checks (text_inverted_index fix + the 6 round-2 first-time-greens).
 # Everything NOT listed follows in module-registration order — those all
 # carry 1-2 rounds of prior driver evidence or rotate into a later round.
+#
+# ROUND-4 ROTATION TODO — still never driver-checked after this window:
+# scalars (math_funcs, regex_extract, date_funcs, array_map_funcs,
+# string_funcs, null_semantics, regr_stats, histogram_bins, argmax_funcs),
+# geo_nearest, geo_bbox_join, cube_agg, grouping_sets, quantiles_exact,
+# agg_distinct_exact, dedup_components, dedup_fuzzy, events_variant,
+# udtf_tokenize. Lead the next window with those 19 + fresh re-checks.
 _WINDOW_PRIORITY = [
     # ANN tier (r1-green but evicted in r2, + 2 never checked)
     "knn_bruteforce",

@@ -41,6 +41,17 @@ def test_driver_window_is_the_priority_list():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
+    # r2 rule: no array/map/struct in a final projection — the driver's
+    # pandas canonicalizer can't hash them (text_inverted_index was the one
+    # red r2 row for exactly this; VERDICT r2 "What's wrong" #1)
+    from pyspark.sql import types as T
+
+    nested = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, f"nested types in final projection: {nested}"
     if name not in ORACLES:
         assert df.count() >= 0  # rows-only check, like the driver's
         return

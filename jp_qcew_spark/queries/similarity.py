@@ -707,3 +707,135 @@ FROM norms GROUP BY label ORDER BY label
 
 QUERIES["udf_vector_norm"] = q_udf_vector_norm
 ORACLE["udf_vector_norm"] = ORACLE_UDF_VECTOR_NORM
+
+
+# --------------------------------------------------------------------------
+# kmeans_cluster — distributed Lloyd iterations (the ANN training loop)
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: squared-L2 against the k-row centroid
+    table (broadcast — bounded by k, never by the corpus), argmin via a
+    lexicographic ``min(struct(dist, cid))`` so distance ties break to the
+    smaller centroid id deterministically on any engine."""
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("dist", d)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+
+
+def _km_recompute(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+    """Element-wise mean per cluster: posexplode to (cid, pos) partial
+    averages (map-side combine), re-assembled into the k centroid arrays."""
+    j = vecs.join(assign.select("vec_id", "cid"), "vec_id")
+    m = (
+        j.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    return m.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("c")
+    )
+
+
+def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, 2 Lloyd iterations, deterministic init =
+    vectors 0..3) over the embeddings — the training loop the ANN tier's
+    IVF index builds on, expressed as joins + aggregations exactly like
+    MLlib's implementation lowers to: per-iteration a bounded k-row
+    centroid broadcast, one argmin shuffle on vec_id, one (cid, pos)
+    partial-average shuffle. Centroids are persisted per superstep
+    (k×dim doubles) so iteration i+1 doesn't recompute iteration i —
+    the pagerank superstep pattern.
+
+    The oracle unrolls the same two iterations as chained CTEs, so the
+    hash-compare proves the iterative DataFrame loop reproduces the
+    closed-form SQL: per-cluster sizes and mean distance to the final
+    centroid, rounded to 6 decimals."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    cent = vecs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(_KM_ITERS):
+        assign = _km_assign(vecs, cent)
+        cent = _km_recompute(vecs, assign).persist()
+        cent.count()  # materialize the superstep, truncating re-execution
+    final = _km_assign(vecs, cent)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg(F.sqrt("dist")), 6).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _oracle_kmeans() -> str:
+    k, dim = _KM_K, _KM_DIM
+    parts = [
+        "WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id::BIGINT AS cid, v AS c FROM vecs WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(list_zip(v, c),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+  FROM vecs, {prev}
+), m{i} AS (SELECT vec_id, min(dist) AS md FROM d{i} GROUP BY 1),
+a{i} AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM d{i} d JOIN m{i} USING (vec_id) WHERE d.dist = md GROUP BY 1
+), c{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT a.cid, pos, avg(v[pos]) AS m
+    FROM a{i} a JOIN vecs USING (vec_id),
+         unnest(range(1, {dim + 1})) AS t(pos)
+    GROUP BY 1, 2
+  ) GROUP BY cid
+)"""
+        )
+        prev = f"c{i}"
+    fi = _KM_ITERS + 1
+    parts.append(
+        f""", df AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(list_zip(v, c),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+  FROM vecs, {prev}
+), mf AS (SELECT vec_id, min(dist) AS md FROM df GROUP BY 1),
+af AS (
+  SELECT d.vec_id, min(d.cid) AS cid, min(md) AS md
+  FROM df d JOIN mf USING (vec_id) WHERE d.dist = md GROUP BY 1
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(sqrt(md)), 6) AS avg_dist
+FROM af GROUP BY cid ORDER BY cid"""
+    )
+    return "\n".join(parts)
+
+
+QUERIES["kmeans_cluster"] = q_kmeans_cluster
+ORACLE["kmeans_cluster"] = _oracle_kmeans()

@@ -355,3 +355,13 @@ def test_pagerank_superstep_shape(spark, sf_dir):
     df = q_graph_pagerank(spark, sf_dir)
     assert not I.has_cartesian_product(df)
     assert I.has_partial_aggregation(df)
+
+
+def test_kmeans_bounded_broadcasts_only(spark, sf_dir):
+    """Each Lloyd iteration may broadcast ONLY the k-row centroid table —
+    bounded by k, never by the corpus. 2 iterations + final assign = 3
+    hints; the vector side must reach every join as a plain scan side."""
+    from jp_qcew_spark.queries.similarity import q_kmeans_cluster
+
+    df = q_kmeans_cluster(spark, sf_dir)
+    assert I.broadcast_hint_count(df) <= 3

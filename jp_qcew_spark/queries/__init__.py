@@ -51,8 +51,8 @@ _GROUPS = [
 # string_funcs, null_semantics, regr_stats, histogram_bins, argmax_funcs),
 # geo_nearest, geo_bbox_join, cube_agg, grouping_sets, quantiles_exact,
 # agg_distinct_exact, dedup_components, dedup_fuzzy, events_variant,
-# udtf_tokenize, kmeans_cluster, events_session_gaps. Lead the next window
-# with those 21 +
+# udtf_tokenize, kmeans_cluster, events_session_gaps, geo_grid_join. Lead the
+# next window with those 22 +
 # fresh re-checks.
 _WINDOW_PRIORITY = [
     # ANN tier (r1-green but evicted in r2, + 2 never checked)

@@ -139,3 +139,128 @@ ORACLE = {
     "geo_nearest": ORACLE_GEO_NEAREST,
     "geo_bbox_join": ORACLE_GEO_BBOX_JOIN,
 }
+
+
+# --------------------------------------------------------------------------
+# geo_grid_join — grid-bucketed distance join (the spatial LSH analog)
+# --------------------------------------------------------------------------
+
+_CELL_DEG = 5.0  # 5° of latitude ≈ 556 km > the 500 km radius
+_RADIUS_KM = 500.0
+
+
+def _supp_coords(key: Column) -> tuple[Column, Column]:
+    """Deterministic supplier pseudo-coordinates (distinct multipliers from
+    the customer grid so the two point sets don't coincide)."""
+    lat = (key * 41 % 120).cast("double") - 60.0 + (key % 89).cast("double") / 89.0
+    lon = (key * 97 % 360).cast("double") - 180.0 + (key % 83).cast("double") / 83.0
+    return lat, lon
+
+
+_SUPP_COORDS_SQL = (
+    "CAST(s_suppkey * 41 % 120 AS DOUBLE) - 60.0"
+    " + CAST(s_suppkey % 89 AS DOUBLE) / 89.0",
+    "CAST(s_suppkey * 97 % 360 AS DOUBLE) - 180.0"
+    " + CAST(s_suppkey % 83 AS DOUBLE) / 83.0",
+)
+
+
+def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join customers × suppliers within 500 km, grid-bucketed —
+    the canonical DISTRIBUTED spatial join: an all-pairs distance predicate
+    is quadratic, so each supplier is replicated into its 5°-cell
+    neighborhood (3 lat × 5 lon — lon cells shrink to ~397 km at the
+    highest reachable latitude, so ±2 covers the radius), customers stay in
+    their single home cell, and the join becomes a keyed equi-join on cell
+    id with the exact haversine predicate applied only to co-bucketed pairs
+    — the same bucket-then-verify shape as MinHash-LSH. A pair can match in
+    at most one cell (the customer's), so no post-join dedupe is needed.
+    The customer bbox keeps the domain off the antimeridian, where cell ids
+    would need wraparound.
+
+    The oracle computes the SAME result as a plain quadratic cross join +
+    distance filter, so the hash-compare proves the grid plan loses no
+    pairs. Output: distribution of suppliers-within-radius per customer.
+
+    Scale: both sides shuffle once on cell id (supplier side 15×
+    replicated — the bounded, tunable cost); no broadcast hints, no
+    cartesian (plan-tested).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    clat, clon = _coords(F.col("c_custkey"))
+    slat, slon = _supp_coords(F.col("s_suppkey"))
+
+    cust = c.select(
+        "c_custkey", clat.alias("lat"), clon.alias("lon")
+    ).filter(in_bbox(F.col("lat"), F.col("lon"), 0.0, 40.0, -100.0, -40.0))
+    cust = cust.withColumns(
+        {
+            "cell_i": F.floor(F.col("lat") / _CELL_DEG).cast("int"),
+            "cell_j": F.floor(F.col("lon") / _CELL_DEG).cast("int"),
+        }
+    )
+    supp = s.select("s_suppkey", slat.alias("slat"), slon.alias("slon"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-2, -1, 0, 1, 2)
+        ]
+    )
+    supp_cells = supp.select(
+        "s_suppkey", "slat", "slon", F.explode(offsets).alias("o")
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        (F.floor(F.col("slat") / _CELL_DEG).cast("int") + F.col("o.di")).alias(
+            "cell_i"
+        ),
+        (F.floor(F.col("slon") / _CELL_DEG).cast("int") + F.col("o.dj")).alias(
+            "cell_j"
+        ),
+    )
+    pairs = cust.join(supp_cells, ["cell_i", "cell_j"]).filter(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon"))
+        <= _RADIUS_KM
+    )
+    per_cust = pairs.groupBy("c_custkey").agg(
+        F.count("*").alias("n_nearby")
+    )
+    return (
+        per_cust.groupBy("n_nearby")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("n_nearby")
+    )
+
+
+ORACLE_GEO_GRID_JOIN = f"""
+WITH cust AS (
+  SELECT * FROM (
+    SELECT c_custkey,
+           {_COORDS_SQL[0]} AS lat,
+           {_COORDS_SQL[1]} AS lon
+    FROM customer
+  ) WHERE lat BETWEEN 0.0 AND 40.0 AND lon BETWEEN -100.0 AND -40.0
+), supp AS (
+  SELECT s_suppkey,
+         {_SUPP_COORDS_SQL[0]} AS slat,
+         {_SUPP_COORDS_SQL[1]} AS slon
+  FROM supplier
+), pairs AS (
+  SELECT c_custkey
+  FROM cust, supp
+  WHERE 2.0 * 6371.0 * asin(sqrt(
+          sin(radians(slat - lat) / 2) ^ 2
+          + cos(radians(lat)) * cos(radians(slat))
+            * sin(radians(slon - lon) / 2) ^ 2)) <= {_RADIUS_KM}
+), per_c AS (
+  SELECT c_custkey, count(*) AS n_nearby FROM pairs GROUP BY 1
+)
+SELECT n_nearby, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_c GROUP BY 1 ORDER BY n_nearby
+"""
+
+QUERIES["geo_grid_join"] = q_geo_grid_join
+ORACLE["geo_grid_join"] = ORACLE_GEO_GRID_JOIN

@@ -365,3 +365,14 @@ def test_kmeans_bounded_broadcasts_only(spark, sf_dir):
 
     df = q_kmeans_cluster(spark, sf_dir)
     assert I.broadcast_hint_count(df) <= 3
+
+
+def test_geo_grid_join_keyed_not_cartesian(spark, sf_dir):
+    """The spatial join must reach execution as a keyed equi-join on cell
+    id — never a cartesian distance filter — and neither point set may
+    carry a broadcast hint (both grow with the corpus)."""
+    from jp_qcew_spark.queries.geo import q_geo_grid_join
+
+    df = q_geo_grid_join(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0

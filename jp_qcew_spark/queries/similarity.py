@@ -322,13 +322,34 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def _lsh_bits(n: int) -> int:
+    """Bucket bits sized to the corpus: ~16 vectors per bucket, clamped to
+    [4, 16]. MUST stay formula-identical to the oracle's scalar subquery."""
+    import math
+
+    return min(16, max(4, math.ceil(math.log2(max(n, 1) / 16.0))))
+
+
 def q_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, north-star tier):
-    candidates from an 8-plane sign-LSH bucket self-join (sub-quadratic —
-    only same-bucket pairs are ever scored), verified at cosine ≥ 0.3.
-    At 100 TB the bucket join shuffles on the bucket key and AQE handles the
-    skewed buckets; no all-pairs product exists anywhere in the plan."""
-    vecs = _vecs(spark, sf_dir).withColumn("bucket", S.sign_bucket(F.col("v"), 8))
+    candidates from a sign-LSH bucket self-join (only same-bucket pairs are
+    ever scored), verified at cosine ≥ 0.3.
+
+    The bucket count GROWS with the corpus: bits = log2(n/16) clamped to
+    [4, 16], holding expected bucket occupancy (~16) constant so the
+    bucket join stays ~linear in n. Round 3's 10× scale study caught the
+    previous fixed-8-bit form at 29× wall-clock for 10× data — with 256
+    buckets forever, per-bucket pairs are quadratic in corpus; any
+    constant-bucket LSH self-join eventually is. The corpus count is one
+    scalar ``count()`` at plan time (the same documented boundary as
+    pagerank's node count); the oracle derives the identical bit width via
+    a scalar subquery. Single-band semantics: recall for a fixed cosine
+    threshold falls as bits grow — production multi-band (as in
+    dedup_minhash_lsh) trades candidate volume back for recall; this query
+    is the candidate-generation primitive, exact-verified."""
+    vecs = _vecs(spark, sf_dir)
+    bits = _lsh_bits(vecs.count())
+    vecs = vecs.withColumn("bucket", S.sign_bucket(F.col("v"), bits))
     a = vecs.alias("a")
     b = vecs.alias("b")
     return (
@@ -348,12 +369,18 @@ def q_dedup_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_embedding() -> str:
-    bucket = " || ".join(
-        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+    sig16 = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 17)
     )
     return f"""
-WITH vecs AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {sig16} AS sig FROM embeddings
+), nb AS (
+  SELECT LEAST(16, GREATEST(4,
+           CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS bits
+  FROM embeddings
+), vecs AS (
+  SELECT vec_id, v, substr(sig, 1, (SELECT bits FROM nb)) AS bucket FROM raw
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))

@@ -81,9 +81,20 @@ def generate(k: int, src: str, out: str) -> None:
             "ELSE length(regexp_replace(text, '(\\S+)', '\\1·r{r}', 'g')) END "
             "AS n_chars FROM src"
         ),
+        # Per-replica diagonal ±1 sign mask: an orthogonal transform, so every
+        # within-replica pairwise cosine is preserved EXACTLY while
+        # cross-replica cosines decorrelate (~0). Without it each vector
+        # gains k-1 identical copies and the true near-dup pair count grows
+        # quadratically — the first study run measured dedup_embedding_cos
+        # at 34x for 10x data for exactly that reason (real pairs, not a
+        # plan bug).
         "embeddings": (
             "SELECT vec_id + {r}*" + str(OFFSET) + " AS vec_id, "
-            "embedding, label FROM src"
+            "CASE WHEN {r} = 0 THEN embedding ELSE "
+            "list_transform(list_zip(embedding, range(1, len(embedding) + 1)), "
+            "x -> x[1] * CASE WHEN hash({r} * 7919 + x[2]) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END::FLOAT) END AS embedding, "
+            "label FROM src"
         ),
     }
     # dims that stay fixed at any scale factor

@@ -177,10 +177,23 @@ def main() -> None:
     # so no JVM/atexit output can follow the line.
     line = compact_result_line(result, timings)
 
-    for q in spark.streams.active:  # leftover memory-sink streams
-        q.stop()
-    spark.stop()
-    time.sleep(2)  # let async JVM log writers drain before the JSON line
+    # Teardown is best-effort: a StreamingQueryException surfacing at stop()
+    # (or any session-shutdown error) must not kill the process before the
+    # JSON line prints — that is the exact artifact failure this epilogue
+    # exists to prevent.
+    try:
+        for q in spark.streams.active:  # leftover memory-sink streams
+            q.stop()
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    try:
+        time.sleep(2)  # let async JVM log writers drain before the JSON line
+    except Exception:
+        pass
     print(line, flush=True)
     os._exit(0)  # skip atexit/py4j teardown chatter that could trail it
 

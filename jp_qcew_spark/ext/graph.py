@@ -42,9 +42,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    two_hop_init: bool = True,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node
-    id reachable from it. Returns (id, comp)."""
+    id reachable from it. Returns (id, comp).
+
+    ``two_hop_init`` seeds every node with the minimum id over its CLOSED
+    2-hop neighborhood (self ∪ neighbors ∪ neighbors-of-neighbors) before
+    the propagation loop. Dedup components are near-cliques of diameter
+    ≤ 2, so the seed already IS the fixpoint and the loop's first round
+    merely confirms convergence — one fewer join+agg+checkpoint superstep
+    than the 1-hop init. Cost: one extra edge⋈edge join at init whose
+    message volume is Σ deg(v)² — bounded for dedup graphs by the
+    pair-generation caps (stop-shingles, block caps); for heavy-hub graphs
+    pass ``two_hop_init=False`` (or use the documented star-contraction
+    path). Either init reaches the same unique fixpoint."""
     und = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -53,11 +65,20 @@ def connected_components(
     # it lazy re-executes the caller's (possibly expensive) pair-generation
     # pipeline per iteration — measured 8.2 s → 2-3 s on the dedup graph
     und = und.localCheckpoint()
-    # init fused with round 1: every node starts at min(self, neighbors) —
-    # one groupBy instead of a distinct plus a full propagation round
+    # init fused with the first propagation: min(self, neighbors) — one
+    # groupBy instead of a distinct plus a full propagation round
+    seed = und.select("a", F.least("a", "b").alias("comp"))
+    if two_hop_init:
+        seed = seed.union(
+            und.alias("x")
+            .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(
+                F.col("x.a").alias("a"),
+                F.least(F.col("x.a"), F.col("y.b")).alias("comp"),
+            )
+        )
     labels = (
-        und.select("a", F.least("a", "b").alias("comp"))
-        .groupBy(F.col("a").alias("id"))
+        seed.groupBy(F.col("a").alias("id"))
         .agg(F.min("comp").alias("comp"))
         .localCheckpoint()
     )

@@ -38,83 +38,84 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the round-3 window: the 43 highest-value
-# queries with no round-2 driver row (ANN, streaming, multimodal, pandas-UDF,
-# wages/timeseries, warehouse, curation, training, plus the re-anchored
-# sketch pair / pagerank / llm_prep flagship) and the 7 VERDICT-mandated
-# re-checks (text_inverted_index fix + the 6 round-2 first-time-greens).
-# Everything NOT listed follows in module-registration order — those all
-# carry 1-2 rounds of prior driver evidence or rotate into a later round.
+# evidence policy. This list pins the ROUND-4 window (VERDICT r3 #1):
 #
-# ROUND-4 ROTATION TODO — still never driver-checked after this window:
-# scalars (math_funcs, regex_extract, date_funcs, array_map_funcs,
-# string_funcs, null_semantics, regr_stats, histogram_bins, argmax_funcs),
-# geo_nearest, geo_bbox_join, cube_agg, grouping_sets, quantiles_exact,
-# agg_distinct_exact, dedup_components, dedup_fuzzy, events_variant,
-# udtf_tokenize, kmeans_cluster, events_session_gaps, geo_grid_join. Lead the
-# next window with those 22 +
-# fresh re-checks.
+# - the 22 queries with no driver row in any round (3-round union 96/118):
+#   the whole scalars group, the geo trio, components/fuzzy dedup,
+#   cube/grouping-sets/quantiles/distinct-agg, VARIANT, UDTF, kmeans,
+#   session-gaps — a green sweep completes a 118/118 driver-verified union;
+# - dedup_embedding_cos (r1-green but rewritten twice since: de-broadcast
+#   457bbcb, corpus-sized bucket bits 98d3fbc — stale evidence, VERDICT #2);
+# - second-consecutive-green re-checks (VERDICT #4): text_inverted_index,
+#   the wages/ts chain, the 5 real-stream queries;
+# - re-checks of the most-rewritten r3 greens: simhash (column rework),
+#   minhash (de-broadcast), the ANN six, plus queries touched THIS round
+#   (events_session_gaps exact-timestamp gap, udtf_tokenize blank guard,
+#   kmeans unpersist — all three already above) and their twins/chains
+#   (events_session shares the gaps oracle; llm_prep chains minhash).
+# Everything NOT listed follows in module-registration order — all of it
+# carries 1-2 rounds of prior driver evidence on unchanged code.
 _WINDOW_PRIORITY = [
-    # ANN tier (r1-green but evicted in r2, + 2 never checked)
+    # -- never driver-checked: scalars group (9)
+    "math_funcs",
+    "regex_extract",
+    "date_funcs",
+    "array_map_funcs",
+    "string_funcs",
+    "null_semantics",
+    "regr_stats",
+    "histogram_bins",
+    "argmax_funcs",
+    # -- never driver-checked: geo trio (grid join first — its oracle is the
+    #    quadratic cross join, so one green row proves the distributed
+    #    spatial plan loses no pairs)
+    "geo_grid_join",
+    "geo_nearest",
+    "geo_bbox_join",
+    # -- never driver-checked: agg/group-by extensions
+    "cube_agg",
+    "grouping_sets",
+    "quantiles_exact",
+    "agg_distinct_exact",
+    # -- never driver-checked: dedup + clustering + semi-structured
+    "dedup_components",
+    "dedup_fuzzy",
+    "events_variant",
+    "udtf_tokenize",
+    "kmeans_cluster",
+    "events_session_gaps",
+    # -- stale evidence on a twice-rewritten plan (VERDICT r3 #2)
+    "dedup_embedding_cos",
+    # -- second-consecutive-green re-checks (VERDICT r3 #4)
+    "text_inverted_index",
+    "wages_series",
+    "ts_resample",
+    "ts_resample_yearly",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "stream_stream_join",
+    # -- most-rewritten r3 greens: simhash/minhash + the ANN six
+    "dedup_simhash",
+    "dedup_minhash_lsh",
     "knn_bruteforce",
     "knn_signlsh",
     "knn_classify",
     "knn_ivf",
     "knn_hybrid",
     "knn_multiprobe",
-    # streaming tier (never driver-checked)
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful_user_stats",
-    "stream_static_join",
-    "stream_stream_join",
-    # multimodal tier (never driver-checked)
-    "mm_metadata",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_ppm_decode",
-    # pandas-UDF tier (never driver-checked)
-    "grouped_zscore",
-    "udf_vector_norm",
-    # QCEW wages / timeseries chain (S8/A2/A5/A6/F9/F10 driver rows — r2 #7)
-    "wages_series",
-    "wages_label_domain",
-    "ts_resample",
-    "ts_resample_yearly",
-    "ts_gapfill",
-    # warehouse tier (never driver-checked)
-    "scd2_history",
-    "funnel_steps",
-    "profile_columns",
-    "cohort_retention",
-    "copurchase_pairs",
-    # curation tier (never driver-checked)
-    "sample_reservoir",
-    "decontaminate",
-    "scrub_denylist",
-    "domain_mix",
-    "bloom_prefilter",
-    "dedup_incremental",
-    "scrub_pii",
-    "sample_weighted",
-    # training-prep tier (never driver-checked)
-    "seq_pack",
-    "stratified_sample",
-    "text_repetition",
-    "text_tfidf",
-    # re-anchored sketches + iterative/pipeline flagships
-    "sketch_approx",
-    "sketch_hll_rollup",
-    "graph_pagerank",
+    # -- twins/chains of this round's edits + remaining high-value re-checks
+    "events_session",
     "llm_prep_pipeline",
-    # VERDICT r2 #2/#8 re-checks: the fixed red row + round-2 first greens
-    "text_inverted_index",
-    "text_bigrams",
-    "text_chunk",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_char_ngram",
+    "graph_pagerank",
+    "text_token_count",
+    "ts_gapfill",
     "ts_ewma",
     "rank_global_twophase",
-    "regional_volume",
-    "events_rollup_reagg",
 ]
 
 

@@ -376,10 +376,17 @@ def q_events_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # Exact-timestamp gap test (microsecond-preserving): a long-second cast
+    # would truncate a 1800.7s gap to 1800 and miss a split the oracle's
+    # `ts - lag(ts) > INTERVAL 30 MINUTE` makes. Compare timestamps directly.
+    prev_ts = F.lag("ts").over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
     numbered = flagged.withColumn(
         "session_id",

@@ -802,10 +802,15 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = vecs.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("c")
     )
-    for _ in range(_KM_ITERS):
+    for i in range(_KM_ITERS):
         assign = _km_assign(vecs, cent)
+        prev = cent
         cent = _km_recompute(vecs, assign).persist()
         cent.count()  # materialize the superstep, truncating re-execution
+        if i > 0:
+            # release the previous superstep's cache so repeated invocation
+            # in a long-lived session doesn't accumulate persisted frames
+            prev.unpersist()
     final = _km_assign(vecs, cent)
     return (
         final.groupBy("cid")

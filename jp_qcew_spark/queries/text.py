@@ -380,7 +380,15 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield i, t
 
     spark.udtf.register("tokenize_udtf", _Tokenize)
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    # Blank docs are excluded symmetrically with the oracle: the UDTF yields
+    # zero rows for whitespace-only text while DuckDB's regexp_split_to_array
+    # would emit one ['']; the shared trim(text) <> '' guard removes the
+    # divergence on both sides.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .filter(F.trim(F.col("text")) != "")
+    )
     d.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         """
@@ -394,7 +402,7 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UDTF_TOKENIZE = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-  FROM documents WHERE doc_id < 20
+  FROM documents WHERE doc_id < 20 AND trim(text) <> ''
 )
 SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS token
 FROM w, unnest(range(1, len(ws) + 1)) AS t(i)

@@ -51,10 +51,21 @@ def _header_and_rows(
 
 
 def _coerce(v, dtype: T.DataType):
-    """Coerce one parsed cell to the inferred column type (None passes)."""
+    """Coerce one parsed cell to the inferred column type (None passes).
+
+    Fails loudly on lossy narrowing: schema inference samples only the
+    first file, so a later file may carry fractional floats in a column
+    inferred Long — silently truncating int(1.5) -> 1 would contradict the
+    module contract that heterogeneous workbooks error, not corrupt.
+    """
     if v is None:
         return None
     if isinstance(dtype, T.LongType):
+        if isinstance(v, float) and not v.is_integer():
+            raise ValueError(
+                f"non-integral value {v!r} in a column inferred LongType; "
+                "re-read with an explicit DoubleType schema"
+            )
         return int(v)
     if isinstance(dtype, T.DoubleType):
         return float(v)

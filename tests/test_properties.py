@@ -145,3 +145,30 @@ def test_stop_shingle_caps_candidate_blowup(spark):
 
     assert n_candidates(ex) == n * (n - 1) // 2  # quadratic without the cap
     assert n_candidates(stop_shingle_filter(ex)) == 0  # boilerplate filtered
+
+
+def test_lsh_bucket_space_grows_with_corpus():
+    """Scale-lesson guard (VERDICT r3 #6): round 3's 10x study caught
+    dedup_embedding_cos at 29x wall-clock because a FIXED 256-bucket sign-LSH
+    makes per-bucket pair counts quadratic in corpus size. The fix sized the
+    bucket space to the corpus (bits = log2(n/16), clamped); this test fails
+    on any regression back to a constant-bucket self-join, and pins the
+    occupancy invariant the formula encodes."""
+    from jp_qcew_spark.queries.similarity import _lsh_bits
+
+    # bucket space must GROW between two corpus sizes in the useful range
+    assert _lsh_bits(10_000) > _lsh_bits(1_000)
+    assert _lsh_bits(1_000_000) > _lsh_bits(10_000)
+    # expected occupancy n / 2^bits stays bounded (~16 target, <=32 slack)
+    for n in (300, 1_000, 10_000, 250_000, 1_000_000):
+        bits = _lsh_bits(n)
+        assert n / (1 << bits) <= 32, (n, bits)
+    # clamps: tiny corpora never under 4 bits, huge never over 16
+    assert _lsh_bits(1) == 4
+    assert _lsh_bits(10**12) == 16
+    # monotone non-decreasing across the whole range (no formula cliffs)
+    prev = 0
+    for n in (1, 10, 100, 10**3, 10**4, 10**5, 10**6, 10**7):
+        b = _lsh_bits(n)
+        assert b >= prev
+        prev = b

@@ -20,7 +20,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# the 10 most expensive / structurally riskiest queries (VERDICT r2 #6)
+# the most expensive / structurally riskiest queries (VERDICT r2 #6),
+# extended each round as VERDICT directs (r3 #5: curation/warehouse tier —
+# previously the only tiers with no scale-factor row)
 QUERIES = [
     "llm_prep_pipeline",
     "dedup_jaccard_pairs",
@@ -33,6 +35,26 @@ QUERIES = [
     "graph_pagerank",
     "stream_session",
     "qcew_etl",
+    # r3 extensions (ANN family, clustering, spatial, gaps sessionization)
+    "knn_bruteforce",
+    "knn_signlsh",
+    "knn_classify",
+    "knn_ivf",
+    "knn_hybrid",
+    "knn_multiprobe",
+    "dedup_components",
+    "dedup_embedding_cos",
+    "kmeans_cluster",
+    "geo_grid_join",
+    "events_session_gaps",
+    # curation tier (r4)
+    "decontaminate",
+    "scrub_pii",
+    "bloom_prefilter",
+    # warehouse tier (r4)
+    "scd2_history",
+    "cohort_retention",
+    "funnel_steps",
 ]
 
 

@@ -55,6 +55,11 @@ QUERIES = [
     "scd2_history",
     "cohort_retention",
     "funnel_steps",
+    # r4 additions (new queries this round)
+    "merge_upsert",
+    "semdedup_lsh",
+    "dedup_passages",
+    "quality_percentile_band",
 ]
 
 
@@ -79,6 +84,12 @@ def run(sf_dir: str, out: str, qcew_lines: int) -> dict:
 
 
 def main() -> None:
+    # optional argv[1] = comma-separated subset: re-measure only those
+    # queries (results MERGE into BENCH_SF1.json, so a targeted clean
+    # re-run refreshes suspect rows without repeating the whole study)
+    global QUERIES
+    if len(sys.argv) > 1 and sys.argv[1].strip():
+        QUERIES = [q.strip() for q in sys.argv[1].split(",") if q.strip()]
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/testdata_sf1")
     if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
         subprocess.run(
@@ -113,21 +124,24 @@ def main() -> None:
                 "sf1_sec": b,
                 "factor": round(b / s, 2),
             }
-    result = {
-        "metric": "scaleup_factor_10x_data",
-        "data_factor": 10,
-        "queries": factors,
-        "config": big.get("config", {}),
-        "note": (
-            "sf1 = 10x key-offset replication of sf0.1 "
-            "(tools/gen_scaled_sf.py; documents in disjoint token spaces "
-            "per replica so dedup candidate structure scales linearly); "
-            "factor is wall-clock sf1/sf0.1 medians-of-2 on the same "
-            "local[32] JVM. Linear*log posture => factor ~<= 15; a hidden "
-            "all-pairs/quadratic step would show ~100."
-        ),
-    }
     out = os.path.join(REPO, "BENCH_SF1.json")
+    # MERGE into the existing study file: re-runs refresh per-query factors
+    # but must not drop previously recorded evidence (e.g. the
+    # session_isolation root-cause block or note addenda).
+    result = json.load(open(out)) if os.path.exists(out) else {}
+    result.setdefault(
+        "note",
+        "sf1 = 10x key-offset replication of sf0.1 "
+        "(tools/gen_scaled_sf.py; documents in disjoint token spaces "
+        "per replica so dedup candidate structure scales linearly); "
+        "factor is wall-clock sf1/sf0.1 medians-of-2 on the same "
+        "local[32] JVM. Linear*log posture => factor ~<= 15; a hidden "
+        "all-pairs/quadratic step would show ~100.",
+    )
+    result["metric"] = "scaleup_factor_10x_data"
+    result["data_factor"] = 10
+    result["config"] = big.get("config", {})
+    result.setdefault("queries", {}).update(factors)
     json.dump(result, open(out, "w"), indent=1, sort_keys=True)
     for k, v in factors.items():
         print(f"{k}: {v['sf0.1_sec']} -> {v['sf1_sec']} s  ({v['factor']}x)")

@@ -71,6 +71,14 @@ HEADLINERS = [
      "Market-basket mining: co-partitioned self-join on orderkey (pair "
      "fan-out bounded by basket size), partial-agg pair counts, global "
      "top-20 via TakeOrderedAndProject — a heap, never a full sort."),
+    ("semdedup_lsh",
+     "SemDeDup keep-decision: the cluster representative (vector included) "
+     "rides a single min(struct) window over the LSH bucket — one bucket "
+     "exchange, no rep join, no broadcast, O(n) comparisons."),
+    ("merge_upsert",
+     "MERGE INTO as a plan: one full-outer equi-shuffle join on the "
+     "dimension key classifies update/insert/unchanged in a codegen'd "
+     "projection — no broadcast (both sides fact-scale), no second pass."),
     ("regional_volume",
      "TPC-H Q5 topology: nation/region broadcast, fact-scale joins left to "
      "AQE, cross-dimension nationkey equality applied inside the join so "

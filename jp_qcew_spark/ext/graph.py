@@ -42,7 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-    two_hop_init: bool = True,
+    two_hop_init: bool = False,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node
     id reachable from it. Returns (id, comp).
@@ -53,10 +53,13 @@ def connected_components(
     ≤ 2, so the seed already IS the fixpoint and the loop's first round
     merely confirms convergence — one fewer join+agg+checkpoint superstep
     than the 1-hop init. Cost: one extra edge⋈edge join at init whose
-    message volume is Σ deg(v)² — bounded for dedup graphs by the
-    pair-generation caps (stop-shingles, block caps); for heavy-hub graphs
-    pass ``two_hop_init=False`` (or use the documented star-contraction
-    path). Either init reaches the same unique fixpoint."""
+    message volume is Σ deg(v)². Measured on the sf1 dedup graph (round-4
+    warm A/B, identical 4850-row output): two-hop 11.0 s vs one-hop
+    10.3 s — the seed join costs slightly MORE than the superstep it
+    saves, because the near-clique Σ deg(v)² messages exceed one round's
+    |E| messages. Default is therefore False; the option stays for graphs
+    whose diameter (not degree) is the bottleneck. Either init reaches the
+    same unique fixpoint."""
     und = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )

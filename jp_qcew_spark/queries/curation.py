@@ -635,3 +635,74 @@ LIMIT {_WS_K}
 
 QUERIES["sample_weighted"] = q_sample_weighted
 ORACLE["sample_weighted"] = ORACLE_SAMPLE_WEIGHTED
+
+
+# --------------------------------------------------------------------------
+# quality_percentile_band — global-percentile quality gate
+# --------------------------------------------------------------------------
+
+
+def q_quality_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band quality filtering — the corpus-relative length gate
+    (Gopher/RefinedWeb-style "drop the tails"): keep documents whose length
+    lies inside the global [P10, P90] band, reporting per-source survival
+    and the band edges themselves.
+
+    Spark-first: the thresholds come from the EXACT ``percentile``
+    aggregate (one 1-row result), broadcast back over the fact scan as a
+    cross join — the same bounded stats-broadcast shape as
+    ``histogram_bins``. The band compare uses the ROUNDED edges on both
+    engines so the boundary decision is bit-identical.
+
+    100 TB: exact global percentiles need a full sort-free quantile
+    aggregate (Spark's ``percentile`` buffers per-partition and merges —
+    memory-bounded by value cardinality, fine for length-like columns; for
+    unbounded-cardinality metrics the scale path swaps in
+    ``percentile_approx``, same plan shape). Everything after the 1-row
+    broadcast is one map-side flag + one groupBy(source) shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    stats = d.agg(
+        F.expr("percentile(n_chars, array(0.1, 0.9))").alias("p")
+    ).select(
+        F.round(F.element_at("p", 1), 6).alias("p10"),
+        F.round(F.element_at("p", 2), 6).alias("p90"),
+    )
+    kept = (F.col("n_chars") >= F.col("p10")) & (
+        F.col("n_chars") <= F.col("p90")
+    )
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select("source", "n_chars", "p10", "p90", kept.cast("long").alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").alias("n_kept"),
+            F.round(
+                F.avg(F.when(F.col("k") == 1, F.col("n_chars"))), 4
+            ).alias("avg_kept_chars"),
+            F.first("p10").alias("p10"),
+            F.first("p90").alias("p90"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_PERCENTILE_BAND = """
+WITH s AS (
+  SELECT round(quantile_cont(n_chars, 0.1), 6) AS p10,
+         round(quantile_cont(n_chars, 0.9), 6) AS p90
+  FROM documents
+), flagged AS (
+  SELECT source, n_chars, p10, p90,
+         CASE WHEN n_chars >= p10 AND n_chars <= p90 THEN 1 ELSE 0 END AS k
+  FROM documents, s
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN k = 1 THEN n_chars END), 4) AS avg_kept_chars,
+       min(p10) AS p10, min(p90) AS p90
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+QUERIES["quality_percentile_band"] = q_quality_percentile_band
+ORACLE["quality_percentile_band"] = ORACLE_QUALITY_PERCENTILE_BAND

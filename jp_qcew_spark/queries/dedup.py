@@ -587,3 +587,88 @@ ORDER BY doc_a, doc_b
 
 QUERIES["dedup_fuzzy"] = q_dedup_fuzzy
 ORACLE["dedup_fuzzy"] = ORACLE_DEDUP_FUZZY
+
+
+# --------------------------------------------------------------------------
+# dedup_passages — passage-level (sub-document) duplication audit
+# --------------------------------------------------------------------------
+
+_PSG_WORDS = 16
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact deduplication audit — the C4/CCNet line-dedup
+    rule lifted to fixed 16-word passages: a passage that appears in more
+    than one document is corpus boilerplate and would be stripped before
+    training. Reports per-source passage counts, cross-document duplicate
+    counts, and the duplication ratio.
+
+    Spark-first: passages come from the same ``sequence``+``posexplode``+
+    ``slice`` codegen fan-out as ``text_chunk`` (no UDFs); each passage is
+    immediately collapsed to its md5 FINGERPRINT so the groupBy and the
+    audit join shuffle 32-byte keys, never passage text — at 100 TB the
+    shuffle carries ~3% of the corpus bytes. Two keyed shuffles (global
+    fingerprint counts, per-source rollup) + one fingerprint equi-join;
+    cross-document occurrence uses countDistinct(doc_id), so intra-doc
+    repetition (``text_repetition``'s axis) doesn't inflate it."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("ws") - 1, F.lit(0)), F.lit(_PSG_WORDS)
+    )
+    psg = (
+        d.select("doc_id", "source", ws.alias("ws"))
+        .select("doc_id", "source", F.explode(starts).alias("st"), "ws")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(F.slice("ws", F.col("st") + 1, _PSG_WORDS), " ")
+            ).alias("fp"),
+        )
+    )
+    counts = psg.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        psg.join(counts, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_passages"),
+            F.round(
+                F.sum((F.col("nd") > 1).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_PASSAGES = rf"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, source, ws,
+         unnest(range(0, greatest(len(ws) - 1, 0) + 1, {_PSG_WORDS})) AS st
+  FROM w
+), p AS (
+  SELECT doc_id, source,
+         md5(array_to_string(ws[st+1:st+{_PSG_WORDS}], ' ')) AS fp
+  FROM s
+), c AS (
+  SELECT fp, count(DISTINCT doc_id) AS nd FROM p GROUP BY 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_ratio
+FROM p JOIN c USING (fp)
+GROUP BY source ORDER BY source
+"""
+
+QUERIES["dedup_passages"] = q_dedup_passages
+ORACLE["dedup_passages"] = ORACLE_DEDUP_PASSAGES

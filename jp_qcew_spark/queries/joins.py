@@ -331,3 +331,67 @@ ORDER BY r_name, n_name
 
 QUERIES["regional_volume"] = q_regional_volume
 ORACLE["regional_volume"] = ORACLE_REGIONAL_VOLUME
+
+
+# --------------------------------------------------------------------------
+# bucketed_colocated_join — the write-time shuffle is the last shuffle
+# --------------------------------------------------------------------------
+
+
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact equi-join over co-bucketed tables
+    (operators/bucketing.py): both sides are first persisted bucketed+sorted
+    on the join key, then joined THROUGH THE CATALOG — with matching bucket
+    counts the join plans with zero Exchange on either side, because the
+    scan's outputPartitioning already satisfies the join's distribution
+    requirement. This registers the 100 TB co-location story as a
+    driver-checkable query (tests/test_bucketing.py pins the zero-Exchange
+    plan; the oracle pins that the layout detour loses no rows).
+
+    The bucketed write happens into /tmp per invocation (mode=overwrite →
+    idempotent); in production that cost is paid once at ingest and
+    amortized over every subsequent join/agg on the key."""
+    from jp_qcew_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    write_bucketed(
+        orders, "bco_orders", ["o_orderkey"], 8,
+        path="/tmp/jp_qcew_bucketed/orders",
+    )
+    write_bucketed(
+        li, "bco_lineitem", ["o_orderkey"], 8,
+        path="/tmp/jp_qcew_bucketed/lineitem",
+    )
+    j = bucketed_join(spark, "bco_orders", "bco_lineitem", ["o_orderkey"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BUCKETED_COLOCATED_JOIN = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["bucketed_colocated_join"] = q_bucketed_colocated_join
+ORACLE["bucketed_colocated_join"] = ORACLE_BUCKETED_COLOCATED_JOIN

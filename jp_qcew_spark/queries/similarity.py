@@ -871,3 +871,106 @@ FROM af GROUP BY cid ORDER BY cid"""
 
 QUERIES["kmeans_cluster"] = q_kmeans_cluster
 ORACLE["kmeans_cluster"] = _oracle_kmeans()
+
+
+# --------------------------------------------------------------------------
+# semdedup_lsh — semantic dedup KEEP decision (SemDeDup-style)
+# --------------------------------------------------------------------------
+
+
+def q_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication keep/drop decision (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023): partition the embedding space into micro-clusters, anchor each
+    cluster on one representative, and DROP members whose cosine to the
+    representative clears the near-duplicate threshold. Where
+    ``dedup_embedding_cos`` emits the candidate PAIRS, this emits the
+    pipeline's actual output — the canonical-keep outcome.
+
+    Spark-first shape: micro-cluster = corpus-sized sign-LSH bucket
+    (``_lsh_bits`` — same growth rule the 10× scale study forced on
+    ``dedup_embedding_cos``), representative = min vec_id per bucket. The
+    representative's VECTOR rides along in a single ``min(struct(vec_id,
+    v))`` window over the bucket — one hash shuffle total, no second join,
+    no pairwise step: each member is scored against its representative
+    only, O(n) comparisons vs SemDeDup's within-cluster O(Σc²). Final agg
+    is one row per label.
+
+    100 TB: bucket occupancy is held ~constant by the bit-growth rule, so
+    window partitions stay bounded; everything is JVM codegen (fold-based
+    cosine), zero UDFs, zero broadcasts."""
+    vecs = _vecs(spark, sf_dir)
+    bits = _lsh_bits(vecs.count())
+    vecs = vecs.withColumn("bucket", S.sign_bucket(F.col("v"), bits))
+    w = Window.partitionBy("bucket")
+    rep = F.min(F.struct(F.col("vec_id"), F.col("v"))).over(w)
+    scored = vecs.select(
+        "label",
+        "vec_id",
+        rep["vec_id"].alias("rep_id"),
+        F.when(
+            F.col("vec_id") != rep["vec_id"], S.cosine(F.col("v"), rep["v"])
+        ).alias("cos_to_rep"),
+    )
+    is_drop = (F.col("cos_to_rep") >= 0.3).cast("long")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum((F.col("vec_id") == F.col("rep_id")).cast("long")).alias(
+                "n_reps"
+            ),
+            F.coalesce(F.sum(is_drop), F.lit(0)).alias("n_dropped"),
+            (
+                F.count(F.lit(1)) - F.coalesce(F.sum(is_drop), F.lit(0))
+            ).cast("long").alias("n_kept"),
+            F.round(F.avg("cos_to_rep"), 6).alias("avg_cos_to_rep"),
+        )
+        .orderBy("label")
+    )
+
+
+def _oracle_semdedup() -> str:
+    sig16 = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 17)
+    )
+    cos = (
+        "round(list_sum(list_transform(list_zip(m.v, rv.v), x -> x[1] * x[2]))"
+        " / (sqrt(list_sum(list_transform(list_zip(m.v, m.v), x -> x[1] * x[2])))"
+        " * sqrt(list_sum(list_transform(list_zip(rv.v, rv.v), x -> x[1] * x[2])))), 6)"
+    )
+    return f"""
+WITH raw AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v, {sig16} AS sig FROM embeddings
+), nb AS (
+  SELECT LEAST(16, GREATEST(4,
+           CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS bits
+  FROM embeddings
+), vecs AS (
+  SELECT vec_id, label, v, substr(sig, 1, (SELECT bits FROM nb)) AS bucket
+  FROM raw
+), rep AS (
+  SELECT bucket, min(vec_id) AS rep_id FROM vecs GROUP BY 1
+), scored AS (
+  SELECT m.label, m.vec_id, r.rep_id,
+         CASE WHEN m.vec_id = r.rep_id THEN NULL ELSE {cos} END AS cos_to_rep
+  FROM vecs m
+  JOIN rep r USING (bucket)
+  JOIN vecs rv ON rv.vec_id = r.rep_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN vec_id = rep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reps,
+       CAST(coalesce(sum(CASE WHEN cos_to_rep >= 0.3 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_dropped,
+       CAST(count(*)
+            - coalesce(sum(CASE WHEN cos_to_rep >= 0.3 THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_kept,
+       round(avg(cos_to_rep), 6) AS avg_cos_to_rep
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+QUERIES["semdedup_lsh"] = q_semdedup_lsh
+ORACLE["semdedup_lsh"] = _oracle_semdedup()

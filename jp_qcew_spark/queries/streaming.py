@@ -138,3 +138,51 @@ from jp_qcew_spark.streaming.pipelines import tws_available  # noqa: E402
 if tws_available():
     QUERIES["stream_tws_user_extremes"] = q_stream_tws
     ORACLE["stream_tws_user_extremes"] = ORACLE_STREAM_TWS
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sliding windows — 10-minute windows sliding every 5
+    (each event lands in 2 overlapping windows), watermarked, complete-mode
+    replay. Completes the real-stream window taxonomy (tumbling ✓ session ✓
+    sliding ← here); the batch twin is ``events_sliding`` and the oracle is
+    its shifted-tumbling-bucket expansion.
+
+    Scale: overlapping windows multiply STATE, not input — each event
+    updates window_len/slide aggregation states (2 here); state is keyed by
+    window so it ages out with the watermark like any tumbling agg."""
+    from jp_qcew_spark.streaming.pipelines import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import functions as F
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return (
+        run_to_memory(stream, "complete", "sink_sliding")
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# identical semantics to the batch events_sliding oracle (events.py)
+ORACLE_STREAM_SLIDING = """
+WITH member AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+  FROM events
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM member GROUP BY 1 ORDER BY window_start
+"""
+
+QUERIES["stream_sliding"] = q_stream_sliding
+ORACLE["stream_sliding"] = ORACLE_STREAM_SLIDING

@@ -288,3 +288,87 @@ QUERIES["copurchase_pairs"] = q_copurchase_pairs
 ORACLE["copurchase_pairs"] = ORACLE_COPURCHASE_PAIRS
 QUERIES["cohort_retention"] = q_cohort_retention
 ORACLE["cohort_retention"] = ORACLE_COHORT_RETENTION
+
+
+# --------------------------------------------------------------------------
+# merge_upsert — MERGE INTO (SCD type-1) semantics as a relational plan
+# --------------------------------------------------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE/upsert (SCD type 1) expressed as one full-outer
+    join — the write path every dimension-maintenance pipeline needs and
+    plain SQL engines spell ``MERGE INTO``:
+
+    - target  = the dimension snapshot (customers with ``custkey % 10 != 0``
+      — the missing tenth models rows the warehouse has never seen),
+    - source  = the change set (per-customer 1997 order activity),
+    - matched           → UPDATE  (balance += order delta),
+    - source-not-target → INSERT  (new row seeded from the delta),
+    - target-not-source → carry forward unchanged.
+
+    Output is the merge audit: per action, row count and the post-merge
+    balance mass (summed exactly as DECIMAL so the hash is stable).
+
+    100 TB: a single equi-shuffle full-outer join on the dimension key —
+    both sides fact-scale so no broadcast; AQE coalesces the post-join
+    partitions; classification and arithmetic are codegen'd projections.
+    On a real lakehouse the same plan feeds a partition-overwrite sink
+    (operators/etl.py) — MERGE is join + classify + write, not a special
+    engine verb."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    target = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    source = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("delta"))
+    )
+    merged = target.join(source, "key", "full_outer").select(
+        "key",
+        F.when(F.col("bal").isNotNull() & F.col("delta").isNotNull(), "update")
+        .when(F.col("bal").isNull(), "insert")
+        .otherwise("unchanged")
+        .alias("action"),
+        F.round(
+            F.coalesce(F.col("bal"), F.lit(0.0))
+            + F.coalesce(F.col("delta"), F.lit(0.0)),
+            2,
+        ).alias("new_bal"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("new_bal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .orderBy("action")
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH target AS (
+  SELECT c_custkey AS key, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 10 != 0
+), source AS (
+  SELECT o_custkey AS key, round(sum(o_totalprice), 2) AS delta
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+), merged AS (
+  SELECT
+    CASE WHEN bal IS NOT NULL AND delta IS NOT NULL THEN 'update'
+         WHEN bal IS NULL THEN 'insert'
+         ELSE 'unchanged' END AS action,
+    round(coalesce(bal, 0.0) + coalesce(delta, 0.0), 2) AS new_bal
+  FROM target FULL OUTER JOIN source USING (key)
+)
+SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(new_bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM merged GROUP BY action ORDER BY action
+"""
+
+QUERIES["merge_upsert"] = q_merge_upsert
+ORACLE["merge_upsert"] = ORACLE_MERGE_UPSERT

@@ -563,3 +563,64 @@ FROM wl ORDER BY o_orderpriority, o_orderdate
 
 QUERIES["ts_ewma"] = q_ts_ewma
 ORACLE["ts_ewma"] = ORACLE_TS_EWMA
+
+
+# --------------------------------------------------------------------------
+# window_range_frame — event-time RANGE frame (value-based, not row-based)
+# --------------------------------------------------------------------------
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame — the burst-detection shape: for every
+    event, the trailing 30-minute count/sum over the SAME USER's events,
+    rolled up to each user's peak. ROWS frames (every other window in this
+    module) count physical rows; a RANGE frame bounds the frame by ORDER-KEY
+    VALUE, which is the correct semantics for time windows over irregular
+    event spacing (and handles timestamp ties as peers, deterministically).
+
+    The order key is ``unix_micros(ts)`` — exact integer microseconds, so
+    the 30-minute boundary decision is bit-identical across engines (a
+    double epoch key would round at ~2e-7 s; the long key can't — the same
+    truncation-vs-exact lesson as events_session_gaps).
+
+    100 TB: one shuffle on user_id; within each partition the range frame
+    is computed over the sorted run — Spark's window operator keeps a
+    sliding frame, never materializing per-row frames. The peak rollup
+    reuses the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    rolled = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum("value").over(w).alias("roll_v"),
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(
+            F.max("roll_n").cast("long").alias("peak_events_30m"),
+            F.round(F.max("roll_v"), 2).alias("peak_value_30m"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_WINDOW_RANGE_FRAME = """
+WITH r AS (
+  SELECT user_id,
+         count(*) OVER w AS roll_n,
+         sum(value) OVER w AS roll_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(max(roll_n) AS BIGINT) AS peak_events_30m,
+       round(max(roll_v), 2) AS peak_value_30m
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["window_range_frame"] = q_window_range_frame
+ORACLE["window_range_frame"] = ORACLE_WINDOW_RANGE_FRAME

@@ -376,3 +376,66 @@ def test_geo_grid_join_keyed_not_cartesian(spark, sf_dir):
     df = q_geo_grid_join(spark, sf_dir)
     assert not I.has_cartesian_product(df)
     assert I.broadcast_hint_count(df) == 0
+
+
+def test_semdedup_one_bucket_shuffle_no_joins(spark, sf_dir):
+    """SemDeDup's representative comparison must ride the bucket WINDOW
+    (min(struct(vec_id, v))), never a second join or a corpus-scale
+    broadcast: one bucket exchange + one label agg + the presentation
+    sort, nothing else."""
+    from jp_qcew_spark.queries.similarity import q_semdedup_lsh
+
+    df = q_semdedup_lsh(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    assert I.count_exchanges(df) <= 3
+
+
+def test_merge_upsert_single_keyed_join(spark, sf_dir):
+    """MERGE = one full-outer equi-join on the dimension key: both sides
+    are fact-scale so no broadcast hint may appear, classification is a
+    projection (no extra join), and each scan is pruned to the columns
+    the merge touches."""
+    from jp_qcew_spark.queries.warehouse import q_merge_upsert
+
+    df = q_merge_upsert(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    assert I.has_partial_aggregation(df)
+    assert all(len(s) <= 3 for s in I.read_schemas(df))
+
+
+def test_quality_band_stats_broadcast_only(spark, sf_dir):
+    """The percentile thresholds must come back over the fact scan as a
+    1-row broadcast (the histogram_bins stats shape) — exactly one
+    broadcast hint, no cartesian, and a pruned 2-column documents scan."""
+    from jp_qcew_spark.queries.curation import q_quality_percentile_band
+
+    df = q_quality_percentile_band(spark, sf_dir)
+    assert I.broadcast_hint_count(df) == 1
+    assert not I.has_cartesian_product(df)
+    assert all(set(s) <= {"source", "n_chars"} for s in I.read_schemas(df))
+
+
+def test_dedup_passages_fingerprint_keyed(spark, sf_dir):
+    """Passage dedup must shuffle md5 fingerprints, not passage text, and
+    stay equi-keyed end-to-end: no cartesian, map-side partial counts, and
+    a documents scan pruned to (doc_id, source, text)."""
+    from jp_qcew_spark.queries.dedup import q_dedup_passages
+
+    df = q_dedup_passages(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+    assert all(set(s) <= {"doc_id", "source", "text"} for s in I.read_schemas(df))
+
+
+def test_window_range_frame_reuses_user_partitioning(spark, sf_dir):
+    """The RANGE-frame window shuffles once on user_id; the peak rollup
+    groups on the SAME key, so its aggregation must reuse that
+    partitioning — one data exchange plus the presentation sort, no
+    second user_id shuffle."""
+    from jp_qcew_spark.queries.windows import q_window_range_frame
+
+    df = q_window_range_frame(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.count_exchanges(df) <= 2

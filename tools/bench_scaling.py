@@ -63,11 +63,11 @@ QUERIES = [
 ]
 
 
-def run(sf_dir: str, out: str, qcew_lines: int) -> dict:
+def run(sf_dir: str, out: str, qcew_lines: int, queries: list[str]) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
-        SPARK_GRAFT_BENCH_QUERIES=",".join(QUERIES),
+        SPARK_GRAFT_BENCH_QUERIES=",".join(queries),
         SPARK_GRAFT_BENCH_RUNS="2",
         SPARK_GRAFT_QCEW_LINES=str(qcew_lines),
         SPARK_GRAFT_BENCH_OUT=out,
@@ -81,6 +81,45 @@ def run(sf_dir: str, out: str, qcew_lines: int) -> dict:
         stderr=subprocess.DEVNULL,
     )
     return json.load(open(os.path.join(REPO, out)))
+
+
+def _norm_etl(d: dict) -> dict:
+    # the ETL slice key embeds the line count; normalize
+    for k in list(d):
+        if k.startswith("qcew_etl_naics_"):
+            d["qcew_etl"] = d.pop(k)
+    return d
+
+
+_CHUNK = 4           # queries measured per small/big window pair
+_DRIFT_GATE = 1.6    # floor ratio beyond which the chunk is re-measured
+_RETRIES = 2
+
+
+def measure_chunk(chunk: list[str], sf1_dir: str) -> tuple[dict, dict, float]:
+    """Measure one chunk at sf0.1 then IMMEDIATELY at sf1, so each factor
+    compares temporally adjacent windows (the round-4 lesson: this VM's
+    throughput drifts 2-3x over tens of minutes under host contention, so
+    a monolithic all-small-then-all-big study design corrupts factors with
+    cross-window drift). The per-invocation overhead floor — a fixed
+    scheduler+py4j workload — is the drift sentinel: if the two floors
+    disagree by >{gate}x, the windows are not comparable and the chunk is
+    re-measured (up to {r} retries).""".format(gate=_DRIFT_GATE, r=_RETRIES)
+    for attempt in range(_RETRIES + 1):
+        s = run("/root/testdata/sf0.1", "BENCH_SCALE_SMALL.json", 100_000, chunk)
+        b = run(sf1_dir, "BENCH_SCALE_BIG.json", 1_000_000, chunk)
+        fs = s["config"].get("overhead_floor_sec") or 0.0
+        fb = b["config"].get("overhead_floor_sec") or 0.0
+        ratio = max(fs, fb) / max(min(fs, fb), 1e-9)
+        if ratio <= _DRIFT_GATE:
+            return _norm_etl(s["queries"]), _norm_etl(b["queries"]), ratio
+        print(
+            f"  drift sentinel tripped (floors {fs:.3f}/{fb:.3f} s, "
+            f"{ratio:.2f}x) — re-measuring chunk {chunk}",
+            flush=True,
+        )
+    print(f"  WARNING: drift persisted for chunk {chunk}; keeping last pair", flush=True)
+    return _norm_etl(s["queries"]), _norm_etl(b["queries"]), ratio
 
 
 def main() -> None:
@@ -103,17 +142,16 @@ def main() -> None:
             check=True,
         )
 
-    print("sf0.1 pass...", flush=True)
-    small = run("/root/testdata/sf0.1", "BENCH_SCALE_SMALL.json", 100_000)
-    print("sf1 pass...", flush=True)
-    big = run(sf1_dir, "BENCH_SCALE_BIG.json", 1_000_000)
-
-    qs_small, qs_big = small["queries"], big["queries"]
-    # the ETL slice key embeds the line count; normalize
-    for d in (qs_small, qs_big):
-        for k in list(d):
-            if k.startswith("qcew_etl_naics_"):
-                d["qcew_etl"] = d.pop(k)
+    qs_small: dict = {}
+    qs_big: dict = {}
+    drifts = []
+    chunks = [QUERIES[i : i + _CHUNK] for i in range(0, len(QUERIES), _CHUNK)]
+    for i, chunk in enumerate(chunks):
+        print(f"chunk {i + 1}/{len(chunks)}: {chunk}", flush=True)
+        s, b, ratio = measure_chunk(chunk, sf1_dir)
+        qs_small.update(s)
+        qs_big.update(b)
+        drifts.append(round(ratio, 3))
 
     factors = {}
     for name in sorted(qs_big):
@@ -138,9 +176,18 @@ def main() -> None:
         "local[32] JVM. Linear*log posture => factor ~<= 15; a hidden "
         "all-pairs/quadratic step would show ~100.",
     )
+    if "chunk-interleaved" not in result["note"]:
+        result["note"] += (
+            " Round-4 methodology change: chunk-interleaved measurement "
+            "(4 queries per adjacent small/big window pair, overhead-floor "
+            "drift sentinel with chunk re-measure) replaces the monolithic "
+            "two-pass design — this VM's throughput drifts 2-3x over tens "
+            "of minutes under host contention, which corrupted cross-window "
+            "factors in the monolithic design."
+        )
     result["metric"] = "scaleup_factor_10x_data"
     result["data_factor"] = 10
-    result["config"] = big.get("config", {})
+    result["chunk_floor_drift_ratios"] = drifts
     result.setdefault("queries", {}).update(factors)
     json.dump(result, open(out, "w"), indent=1, sort_keys=True)
     for k, v in factors.items():

@@ -186,3 +186,96 @@ FROM member GROUP BY 1 ORDER BY window_start
 
 QUERIES["stream_sliding"] = q_stream_sliding
 ORACLE["stream_sliding"] = ORACLE_STREAM_SLIDING
+
+
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM a custom Python DataSource
+    (sources/stream_replay.py): the events feed replayed through the
+    Spark 4 ``SimpleDataSourceStreamReader`` offset contract in ~8
+    feed-sized micro-batches, aggregated per event_type. Equality with the plain
+    batch oracle proves the replay is exactly-once END TO END — a
+    dropped or double-read micro-batch anywhere in the offset protocol
+    diverges the counts. (It already caught one real bug: an availableNow
+    drain silently truncates this source to its first prefetched batch —
+    hash-red at sf0.01 in the bare-session driver simulation.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.sources.stream_replay import EventReplayDataSource
+    from jp_qcew_spark.streaming.pipelines import run_to_quiescence
+
+    spark.dataSource.register(EventReplayDataSource)
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "auto")  # ~8 micro-batches at any feed size
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    # run_to_quiescence, NOT run_to_memory: the simple reader's prefetcher
+    # exposes one batch per latestOffset, so an availableNow drain would
+    # stop after the FIRST micro-batch (see run_to_quiescence docstring)
+    return run_to_quiescence(agg, "complete", "sink_pyds_replay").orderBy(
+        "event_type"
+    )
+
+
+ORACLE_STREAM_PYTHON_SOURCE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_python_source"] = q_stream_python_source
+ORACLE["stream_python_source"] = ORACLE_STREAM_PYTHON_SOURCE
+
+
+def q_stream_python_source_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-PLANNED Python streaming source
+    (sources/stream_replay.py ``DataSourceStreamReader``): the feed is
+    hash-sharded by user_id, the offset is a per-shard cursor vector, and
+    each micro-batch's shards are read BY EXECUTORS in parallel — the
+    driver only plans (shard, lo, hi) ranges. Same exactly-once proof as
+    the simple variant (equality with the batch oracle), now with the
+    read path distributed; per-shard user counts make the output
+    additionally sensitive to shard-assignment mistakes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.sources.stream_replay import (
+        EventReplayShardedDataSource,
+    )
+    from jp_qcew_spark.streaming.pipelines import run_to_memory
+
+    spark.dataSource.register(EventReplayShardedDataSource)
+    stream = (
+        spark.readStream.format("eventreplay_sharded")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("n_shards", 4)
+        .load()
+    )
+    agg = stream.groupBy((F.col("user_id") % 4).alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # exact integer mass of the shard's user ids: any row landing in
+        # the wrong shard (or read twice / dropped) shifts it — streaming
+        # aggs forbid countDistinct, and this is a stronger check anyway
+        F.sum("user_id").cast("long").alias("uid_mass"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete", "sink_pyds_sharded").orderBy("shard")
+
+
+ORACLE_STREAM_PYTHON_SOURCE_SHARDED = """
+SELECT user_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS uid_mass,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY shard
+"""
+
+QUERIES["stream_python_source_sharded"] = q_stream_python_source_sharded
+ORACLE["stream_python_source_sharded"] = ORACLE_STREAM_PYTHON_SOURCE_SHARDED

@@ -99,6 +99,68 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_quiescence(
+    stream_df: DataFrame,
+    output_mode: str,
+    name: str,
+    state_partitions: int = 8,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drain a stream through a PROCESSING-TIME trigger until the source
+    reports no more available data, then stop — the drain for sources whose
+    ``availableNow`` end-offset cannot capture the whole feed up front.
+
+    Why not ``run_to_memory``: availableNow snapshots ``latestOffset()``
+    ONCE at trigger start. A ``SimpleDataSourceStreamReader`` is wrapped in
+    a driver-side prefetcher whose latestOffset only ever exposes the next
+    prefetched micro-batch, so an availableNow replay would process exactly
+    one batch and declare the feed done — silent data loss (caught by the
+    bare-session driver simulation at sf0.01, where the feed outgrew one
+    batch; at sf0.001 one batch covered it and the bug hid). Polling
+    ``query.status["isDataAvailable"]`` after each completed batch is the
+    engine's own "caught up" signal, so the drain ends exactly when the
+    offset log reaches the end of the feed — however many micro-batches
+    that takes. Production equivalent: a continuously-running query with
+    the same trigger; the quiescence stop is the test-harness affordance.
+    """
+    import time
+
+    spark = stream_df.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        settled = 0
+        while time.time() < deadline:
+            status = query.status
+            if (
+                query.lastProgress is not None
+                and not status["isDataAvailable"]
+                and not status["isTriggerActive"]
+            ):
+                settled += 1
+                if settled >= 2:  # two consecutive idle checks = caught up
+                    break
+            else:
+                settled = 0
+            time.sleep(0.1)
+        else:
+            query.stop()
+            raise TimeoutError(f"stream {name!r} did not quiesce in {timeout_s}s")
+        query.stop()
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.table(name)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: 30-minute-gap session windows per user over
     the event stream (watermark bounds session state). Complete-mode replay

@@ -139,6 +139,13 @@ def run_to_quiescence(
         deadline = time.time() + timeout_s
         settled = 0
         while time.time() < deadline:
+            if not query.isActive:
+                # the query died before quiescing — surface ITS error, not
+                # a misleading timeout (awaitTermination re-raises it)
+                query.awaitTermination()
+                raise RuntimeError(
+                    f"stream {name!r} terminated before quiescing"
+                )
             status = query.status
             if (
                 query.lastProgress is not None

@@ -4,9 +4,12 @@ re-serve on recovery, clean end-of-feed behavior."""
 
 from __future__ import annotations
 
-from jp_qcew_spark.sources.stream_replay import _ReplayReader
+import os
 
-SF = "/root/testdata/sf0.001/events.parquet"
+from jp_qcew_spark.sources.stream_replay import _ReplayReader
+from tests.conftest import SF_SMOKE
+
+SF = os.path.join(SF_SMOKE, "events.parquet")
 
 
 def _reader(batch=100):
@@ -45,3 +48,20 @@ def test_read_between_offsets_reserves_exactly():
     planned = list(it)
     replayed = list(_reader(64).readBetweenOffsets({"idx": 64}, nxt))
     assert replayed == planned
+
+
+def test_quiescence_drain_surfaces_source_errors(spark):
+    """A query that dies before quiescing must surface ITS error promptly,
+    not a 120 s TimeoutError (review finding: the poll loop previously
+    never checked query liveness)."""
+    import time
+
+    import pytest
+
+    from jp_qcew_spark.queries.streaming import q_stream_python_source
+
+    t0 = time.time()
+    with pytest.raises(Exception) as ei:
+        q_stream_python_source(spark, "/nonexistent/dir")
+    assert time.time() - t0 < 60, "error took too long to surface"
+    assert not isinstance(ei.value, TimeoutError)

@@ -96,15 +96,20 @@ _DRIFT_GATE = 1.6    # floor ratio beyond which the chunk is re-measured
 _RETRIES = 2
 
 
-def measure_chunk(chunk: list[str], sf1_dir: str) -> tuple[dict, dict, float]:
+def measure_chunk(
+    chunk: list[str], sf1_dir: str
+) -> tuple[dict, dict, float, bool]:
     """Measure one chunk at sf0.1 then IMMEDIATELY at sf1, so each factor
     compares temporally adjacent windows (the round-4 lesson: this VM's
     throughput drifts 2-3x over tens of minutes under host contention, so
     a monolithic all-small-then-all-big study design corrupts factors with
     cross-window drift). The per-invocation overhead floor — a fixed
     scheduler+py4j workload — is the drift sentinel: if the two floors
-    disagree by >{gate}x, the windows are not comparable and the chunk is
-    re-measured (up to {r} retries).""".format(gate=_DRIFT_GATE, r=_RETRIES)
+    disagree by more than _DRIFT_GATE (1.6x), the windows are not
+    comparable and the chunk is re-measured (up to _RETRIES times).
+    Returns (small, big, floor_ratio, suspect) — suspect=True when drift
+    persisted through every retry, so callers can MARK the factors rather
+    than record corrupted evidence as clean."""
     for attempt in range(_RETRIES + 1):
         s = run("/root/testdata/sf0.1", "BENCH_SCALE_SMALL.json", 100_000, chunk)
         b = run(sf1_dir, "BENCH_SCALE_BIG.json", 1_000_000, chunk)
@@ -112,14 +117,14 @@ def measure_chunk(chunk: list[str], sf1_dir: str) -> tuple[dict, dict, float]:
         fb = b["config"].get("overhead_floor_sec") or 0.0
         ratio = max(fs, fb) / max(min(fs, fb), 1e-9)
         if ratio <= _DRIFT_GATE:
-            return _norm_etl(s["queries"]), _norm_etl(b["queries"]), ratio
+            return _norm_etl(s["queries"]), _norm_etl(b["queries"]), ratio, False
         print(
             f"  drift sentinel tripped (floors {fs:.3f}/{fb:.3f} s, "
             f"{ratio:.2f}x) — re-measuring chunk {chunk}",
             flush=True,
         )
-    print(f"  WARNING: drift persisted for chunk {chunk}; keeping last pair", flush=True)
-    return _norm_etl(s["queries"]), _norm_etl(b["queries"]), ratio
+    print(f"  WARNING: drift persisted for chunk {chunk}; marking suspect", flush=True)
+    return _norm_etl(s["queries"]), _norm_etl(b["queries"]), ratio, True
 
 
 def main() -> None:
@@ -144,14 +149,17 @@ def main() -> None:
 
     qs_small: dict = {}
     qs_big: dict = {}
-    drifts = []
+    drifts: dict = {}
+    suspects: set = set()
     chunks = [QUERIES[i : i + _CHUNK] for i in range(0, len(QUERIES), _CHUNK)]
     for i, chunk in enumerate(chunks):
         print(f"chunk {i + 1}/{len(chunks)}: {chunk}", flush=True)
-        s, b, ratio = measure_chunk(chunk, sf1_dir)
+        s, b, ratio, suspect = measure_chunk(chunk, sf1_dir)
         qs_small.update(s)
         qs_big.update(b)
-        drifts.append(round(ratio, 3))
+        drifts[",".join(chunk)] = round(ratio, 3)
+        if suspect:
+            suspects.update(b)
 
     factors = {}
     for name in sorted(qs_big):
@@ -162,6 +170,12 @@ def main() -> None:
                 "sf1_sec": b,
                 "factor": round(b / s, 2),
             }
+            if name in suspects or (
+                name == "qcew_etl" and "qcew_etl" in suspects
+            ):
+                # sentinel failed every retry: cross-window drift may
+                # corrupt this factor — recorded, but NOT clean evidence
+                factors[name]["drift_suspect"] = True
     out = os.path.join(REPO, "BENCH_SF1.json")
     # MERGE into the existing study file: re-runs refresh per-query factors
     # but must not drop previously recorded evidence (e.g. the
@@ -187,7 +201,18 @@ def main() -> None:
         )
     result["metric"] = "scaleup_factor_10x_data"
     result["data_factor"] = 10
-    result["chunk_floor_drift_ratios"] = drifts
+    # drift provenance MERGES like the factors do: keyed by chunk query
+    # list, so targeted subset re-runs refresh their own chunks without
+    # erasing the full study's sentinel evidence
+    result.setdefault("chunk_floor_drift_ratios", {})
+    if not isinstance(result["chunk_floor_drift_ratios"], dict):
+        result["chunk_floor_drift_ratios"] = {}
+    result["chunk_floor_drift_ratios"].update(drifts)
+    # config of the most recent measurement pass (floors are per-chunk —
+    # see chunk_floor_drift_ratios for the sentinel evidence)
+    big_out = os.path.join(REPO, "BENCH_SCALE_BIG.json")
+    if os.path.exists(big_out):
+        result["config"] = json.load(open(big_out)).get("config", {})
     result.setdefault("queries", {}).update(factors)
     json.dump(result, open(out, "w"), indent=1, sort_keys=True)
     for k, v in factors.items():

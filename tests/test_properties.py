@@ -172,3 +172,50 @@ def test_lsh_bucket_space_grows_with_corpus():
         b = _lsh_bits(n)
         assert b >= prev
         prev = b
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=5000),
+    batch=st.integers(min_value=1, max_value=700),
+)
+@settings(max_examples=60, deadline=None)
+def test_replay_offsets_partition_any_feed(n_rows, batch):
+    """The replay source's offset arithmetic must partition ANY feed length
+    into loss-free, overlap-free, ordered batches — the pure invariant
+    behind the exactly-once proof in test_stream_replay.py (which pins it
+    on the real parquet; this drives it over arbitrary sizes)."""
+    from jp_qcew_spark.sources.stream_replay import _ReplayReader
+
+    r = _ReplayReader.__new__(_ReplayReader)
+    r._batch_opt = str(batch)
+    r._batch = None
+    r._rows = [(i, i, i, "t", 0.0) for i in range(n_rows)]
+    off, out, rounds = r.initialOffset(), [], 0
+    while True:
+        it, nxt = r.read(off)
+        got = list(it)
+        if not got:
+            assert nxt == off
+            break
+        out += got
+        # the recovery path must re-serve the planned batch exactly
+        assert list(r.readBetweenOffsets(off, nxt)) == got
+        off = nxt
+        rounds += 1
+        assert rounds <= n_rows + 1  # termination guard
+    assert [row[0] for row in out] == list(range(n_rows))
+
+
+@given(n=st.integers(min_value=1, max_value=10**9))
+@settings(max_examples=100, deadline=None)
+def test_replay_auto_batch_bounds(n):
+    """Auto batch sizing must always produce 1..9 planned batches (≈8 by
+    contract) and never a zero/negative batch for any feed size."""
+    from jp_qcew_spark.sources.stream_replay import _ReplayReader
+
+    r = _ReplayReader.__new__(_ReplayReader)
+    r._batch_opt = "auto"
+    r._batch = max(1, -(-n // 8))  # what _batch_rows computes from metadata
+    batches = -(-n // r._batch)
+    assert 1 <= batches <= 9
+    assert r._batch >= 1

@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 from jp_qcew_spark.functions.geo import haversine_km, in_bbox
 from jp_qcew_spark.io import load_table
 
+# Presentation sorts pin NULLS LAST explicitly: Spark's ASC default is
+# NULLS FIRST while DuckDB's is NULLS LAST, so any nullable sort key
+# would silently reorder the driver's hash-compared output the first
+# time a NULL appears (the local harness re-sorts rows and can't see it).
+
 # San Juan, PR — the reference's home geography (UPR Mayagüez / PR Planning
 # Board, reference README.md:3)
 _SJ_LAT, _SJ_LON = 18.4655, -66.1057
@@ -106,7 +111,7 @@ def q_geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 3,
             ).alias("avg_dist_km"),
         )
-        .orderBy("n_name")
+        .orderBy(F.col("n_name").asc_nulls_last())
     )
 
 
@@ -221,8 +226,18 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_j"
         ),
     )
+    # the radius test compares the 3-decimal-ROUNDED distance (both
+    # engines): the raw doubles differ at the ulp level (radians() alone
+    # differs between Java's x/180*pi and DuckDB's x*(pi/180) on ~35% of
+    # inputs), and a raw <= compare near the boundary would be engine
+    # luck — the same display-pin convention as geo_nearest/geo_bbox_join
     pairs = cust.join(supp_cells, ["cell_i", "cell_j"]).filter(
-        haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon"))
+        F.round(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+            ),
+            3,
+        )
         <= _RADIUS_KM
     )
     per_cust = pairs.groupBy("c_custkey").agg(
@@ -231,7 +246,7 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("n_nearby")
         .agg(F.count("*").cast("long").alias("n_customers"))
-        .orderBy("n_nearby")
+        .orderBy(F.col("n_nearby").asc_nulls_last())
     )
 
 
@@ -251,10 +266,10 @@ WITH cust AS (
 ), pairs AS (
   SELECT c_custkey
   FROM cust, supp
-  WHERE 2.0 * 6371.0 * asin(sqrt(
+  WHERE round(2.0 * 6371.0 * asin(sqrt(
           sin(radians(slat - lat) / 2) ^ 2
           + cos(radians(lat)) * cos(radians(slat))
-            * sin(radians(slon - lon) / 2) ^ 2)) <= {_RADIUS_KM}
+            * sin(radians(slon - lon) / 2) ^ 2)), 3) <= {_RADIUS_KM}
 ), per_c AS (
   SELECT c_custkey, count(*) AS n_nearby FROM pairs GROUP BY 1
 )

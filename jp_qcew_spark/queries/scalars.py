@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from jp_qcew_spark.io import load_table
 
+# Presentation sorts pin NULLS LAST explicitly: Spark's ASC default is
+# NULLS FIRST while DuckDB's is NULLS LAST, so any nullable sort key
+# would silently reorder the driver's hash-compared output the first
+# time a NULL appears (the local harness re-sorts rows and can't see it).
+
 
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sqrt/ln/pow/abs/ceil/floor over part prices (null-safe: ln guarded)."""
@@ -21,7 +26,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("p_retailprice")
     return p.select(
         "p_partkey",
-        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        # sqrt guarded symmetrically: DuckDB sqrt(negative) hard-errors
+        # while ANSI-off Spark yields NaN — pin both to NULL
+        F.round(F.sqrt(F.when(price >= 0, price)), 6).alias("sqrt_price"),
         F.round(
             F.when(price > 0, F.log(price)).otherwise(F.lit(None)), 6
         ).alias("ln_price"),
@@ -34,7 +41,8 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MATH = """
 SELECT p_partkey,
-       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(sqrt(CASE WHEN p_retailprice >= 0 THEN p_retailprice END), 6)
+         AS sqrt_price,
        round(CASE WHEN p_retailprice > 0 THEN ln(p_retailprice) END, 6) AS ln_price,
        round(pow(p_retailprice, 0.25), 6) AS price_4throot,
        CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
@@ -61,7 +69,7 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("has_digit").alias("n_with_digit"),
             F.max(F.length("devoweled")).alias("max_devoweled_len"),
         )
-        .orderBy("p_brand")
+        .orderBy(F.col("p_brand").asc_nulls_last())
     )
 
 
@@ -100,7 +108,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("days_to_month_end"), 4).alias("avg_days_to_eom"),
             F.countDistinct("dow").alias("n_dows"),
         )
-        .orderBy("order_month")
+        .orderBy(F.col("order_month").asc_nulls_last())
     )
 
 
@@ -120,13 +128,21 @@ FROM x GROUP BY order_month ORDER BY order_month
 
 
 def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array + map surface over embeddings: size/min/max/slice-sum, plus a
-    map built from parsed JSON-ish stats — per-label aggregation."""
+    """Array-function surface over embeddings: size/min/max/slice/filter/
+    aggregate, per-label rollup. (Map-type data-plane semantics are pinned
+    separately by ``events_props_map``/``events_json_props``.)
+
+    head8_sum pins DuckDB ``list_sum`` semantics exactly on both engines
+    via an explicit not-null filter + empty->NULL guard: a bare
+    ``aggregate(slice, 0.0, +)`` returns 0.0 for an EMPTY array (DuckDB:
+    NULL) and NULL when any ELEMENT is null (DuckDB: skipped) — two
+    divergences current fixed-dim fixtures never exercise."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     vd = F.transform(v, lambda x: x.cast("double"))
-    head_sum = F.aggregate(
-        F.slice(vd, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+    head = F.filter(F.slice(vd, 1, 8), lambda x: x.isNotNull())
+    head_sum = F.when(F.size(head) <= 0, F.lit(None)).otherwise(
+        F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x)
     )
     return (
         e.select(
@@ -144,7 +160,7 @@ def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("vmax"), 6).alias("max_component"),
             F.round(F.avg("head8_sum"), 6).alias("avg_head8_sum"),
         )
-        .orderBy("label")
+        .orderBy(F.col("label").asc_nulls_last())
     )
 
 
@@ -154,7 +170,10 @@ WITH x AS (
          CAST(len(embedding) AS BIGINT) AS dim,
          round(list_min(embedding::DOUBLE[]), 6) AS vmin,
          round(list_max(embedding::DOUBLE[]), 6) AS vmax,
-         round(list_sum(list_transform((embedding::DOUBLE[])[1:8], y -> y)), 6)
+         round(CASE WHEN len(list_filter((embedding::DOUBLE[])[1:8],
+                                         y -> y IS NOT NULL)) = 0 THEN NULL
+               ELSE list_sum(list_filter((embedding::DOUBLE[])[1:8],
+                                         y -> y IS NOT NULL)) END, 6)
            AS head8_sum
   FROM embeddings
 )
@@ -250,7 +269,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("g"), 2).alias("sum_greatest"),
             F.round(F.sum("l"), 2).alias("sum_least"),
         )
-        .orderBy("prio")
+        .orderBy(F.col("prio").asc_nulls_last())
     )
 
 
@@ -294,14 +313,19 @@ def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.round(F.corr(y, x), 6).alias("corr_py"),
-            F.round(F.covar_samp(y, x), 4).alias("covar_s"),
-            F.round(F.covar_pop(y, x), 4).alias("covar_p"),
+            # magnitude-aware rounding: covariance-scale stats (~1e5 on
+            # this data) carry ~1e-10 cross-engine noise from different
+            # partial-agg merge orders; a 2-decimal grid makes a boundary
+            # flip ~100x less likely than the 4-decimal pin the
+            # dimensionless stats (corr/slope/r2, ~1e0, round 6) can afford
+            F.round(F.covar_samp(y, x), 2).alias("covar_s"),
+            F.round(F.covar_pop(y, x), 2).alias("covar_p"),
             F.round(F.expr(f"regr_slope({y}, {x})"), 6).alias("slope"),
-            F.round(F.expr(f"regr_intercept({y}, {x})"), 4).alias("icept"),
+            F.round(F.expr(f"regr_intercept({y}, {x})"), 2).alias("icept"),
             F.round(F.expr(f"regr_r2({y}, {x})"), 6).alias("r2"),
             F.round(F.stddev_samp(x), 6).alias("sd_qty"),
         )
-        .orderBy("l_returnflag")
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
     )
 
 
@@ -309,10 +333,10 @@ ORACLE_REGR_STATS = """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
        round(corr(l_extendedprice, l_quantity), 6) AS corr_py,
-       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
-       round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_p,
+       round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_s,
+       round(covar_pop(l_extendedprice, l_quantity), 2) AS covar_p,
        round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
        round(stddev_samp(l_quantity), 6) AS sd_qty
 FROM lineitem
@@ -357,7 +381,7 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("x"), 2).alias("bin_min"),
             F.round(F.max("x"), 2).alias("bin_max"),
         )
-        .orderBy("bucket")
+        .orderBy(F.col("bucket").asc_nulls_last())
     )
 
 
@@ -402,7 +426,7 @@ def q_argmax_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("s_acctbal"), 2).alias("min_bal"),
             F.count("*").cast("long").alias("n_suppliers"),
         )
-        .orderBy("s_nationkey")
+        .orderBy(F.col("s_nationkey").asc_nulls_last())
     )
 
 

@@ -28,16 +28,31 @@ from pyspark.sql import functions as F
 
 from jp_qcew_spark.io import load_table
 
+# Presentation sorts pin NULLS LAST explicitly: Spark's ASC default is
+# NULLS FIRST while DuckDB's is NULLS LAST, so any nullable sort key
+# would silently reorder the driver's hash-compared output the first
+# time a NULL appears (the local harness re-sorts rows and can't see it).
+
 PACK_BUDGET = 256  # tokens per packed training sequence
 
 _WORDS = r"\s+"
 
 
 def _n_words(text):
+    """Word count with the ORACLE's null semantics pinned: NULL text ->
+    NULL (sum-skipped on both engines), blank -> 0. Without the isNull
+    guard, ANSI-off Spark evaluates size(split(NULL)) as -1 — a poison
+    value that a window SUM would silently fold into every later
+    cumulative total (DuckDB's len(regexp_split(NULL)) is NULL, which
+    sum() skips) — corrupting seq_pack's pack assignment for the whole
+    shard the moment a corpus carries one NULL document."""
     t = F.trim(text)
-    return F.when(t == "", F.lit(0)).otherwise(
-        F.size(F.split(t, _WORDS))
-    ).cast("long")
+    return (
+        F.when(t.isNull(), F.lit(None))
+        .when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, _WORDS)))
+        .cast("long")
+    )
 
 
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +86,7 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill",
             F.round(F.col("pack_tokens") / F.lit(PACK_BUDGET), 4),
         )
-        .orderBy("source", "pack_id")
+        .orderBy(F.col("source").asc_nulls_last(), F.col("pack_id").asc_nulls_last())
     )
 
 
@@ -124,7 +139,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
             F.sum("kept").alias("n_kept"),
         )
-        .orderBy("lang")
+        .orderBy(F.col("lang").asc_nulls_last())
     )
 
 

@@ -56,12 +56,13 @@ _GROUPS = [
 # Everything NOT listed follows in module-registration order — all of it
 # carries 1-2 rounds of prior driver evidence on unchanged code.
 #
-# ROUND-5 rotation TODO: the nine round-4 additions (semdedup_lsh,
+# ROUND-5 rotation TODO: the twelve round-4 additions (semdedup_lsh,
 # merge_upsert, quality_percentile_band, dedup_passages, stream_sliding,
 # window_range_frame, bucketed_colocated_join, stream_python_source,
-# stream_python_source_sharded) have local parity evidence only
-# (sf0.001/sf0.01/sf0.1) and belong at the head of the next window,
-# together with re-checks of whatever r4 edits.
+# stream_python_source_sharded, text_lm_score, text_entropy, outlier_mad)
+# have local parity evidence only (bare-session sf0.001/sf0.01/sf0.1)
+# and belong at the head of the next window, together with re-checks of
+# whatever r4 edits.
 _WINDOW_PRIORITY = [
     # -- never driver-checked: scalars group (9)
     "math_funcs",

@@ -411,3 +411,166 @@ ORDER BY doc_id, pos
 
 QUERIES["udtf_tokenize"] = q_udtf_tokenize
 ORACLE["udtf_tokenize"] = ORACLE_UDTF_TOKENIZE
+
+
+# --------------------------------------------------------------------------
+# text_lm_score — corpus-trained unigram-LM quality score (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token log-probability under a unigram LM
+    trained on the corpus itself — the classic LM-perplexity quality
+    filter (CCNet / GPT-3-style curation): gibberish and boilerplate score
+    far from the corpus mode and can be thresholded out.
+
+    Two distributed passes, both keyed:
+    1. MODEL: token counts over the corpus (one shuffle on token); the
+       corpus total is a 1-row aggregate cross-joined back onto the
+       vocab-sized model — the bounded-broadcast scalar pattern, so
+       ``log p(w) = ln(c/N)`` is attached map-side to the model rows.
+    2. SCORE: tokens ⋈ model on token (same join shape as ``text_tfidf``),
+       then a per-doc average.  Head tokens ("the") skew the join key —
+       at cluster scale AQE's skew-join split handles it, and the model
+       side is 1 row per token so fan-out is stream-friendly.  The 100 TB
+       variant caps the model to a top-K vocabulary broadcast with an OOV
+       floor probability; full-vocab join is kept here because the oracle
+       must see identical mass.
+
+    Blank/NULL docs are excluded symmetrically (``trim(text) <> ''`` is
+    NULL-safe false on both engines)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    model = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = model.agg(F.sum("c").alias("n_total"))
+    model = model.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("c") / F.col("n_total")).alias("logp")
+    )
+    return (
+        toks.join(model, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), model AS (
+  SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w
+), tot AS (SELECT sum(c) AS n_total FROM model)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(c / n_total)), 4) AS avg_logp
+FROM toks JOIN model USING (w) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["text_lm_score"] = q_text_lm_score
+ORACLE["text_lm_score"] = ORACLE_TEXT_LM_SCORE
+
+
+# --------------------------------------------------------------------------
+# text_entropy — char-distribution Shannon entropy (gibberish detector)
+# --------------------------------------------------------------------------
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's lowercase-letter distribution —
+    the cheap gibberish/repetition detector (natural prose sits near the
+    language's ~4.1-bit letter entropy; keyboard mash and repeated spam
+    collapse toward 0).
+
+    Entirely MAP-SIDE and fully whole-stage-codegen: the 26-letter
+    histogram is 26 ``length(text) − length(replace(text, letter))``
+    expressions — tight JVM string scans that CSE the shared ``lower()``
+    — summed into ``-Σ p·log2 p`` in one fixed a-z fold. The first cut
+    used nested higher-order lambdas (``transform``/``filter`` over the
+    char array); those run INTERPRETED and re-evaluate the array per
+    distinct letter — measured 25 s vs <1 s for this form at sf0.1, a
+    25× cliff entirely inside one projection. Lesson pinned here: a
+    fixed, small alphabet belongs in unrolled codegen'd expressions, not
+    data-dependent lambdas.  No explode, no shuffle, no UDF —
+    parallelism is embarrassingly per-document at any corpus size.
+
+    NULL docs pin entropy 0.0 on both engines (``length(NULL)`` is NULL,
+    so the ``n > 0`` guard is false), as do letterless docs.
+
+    Parallelism floor: 26 scans/row make this projection COMPUTE-dense,
+    and a compressed small-file corpus can scan as fewer splits than
+    cores (sf1 documents = one 6 MB file → 2 splits → the whole stage ran
+    on 2 of 32 cores: 15.5 s vs 1.9 s repartitioned). When the file index
+    yields fewer partitions than ``defaultParallelism`` — a driver-side
+    metadata check, no job — one round-robin exchange unlocks the cores;
+    on a many-file 100 TB corpus the condition is false and no shuffle is
+    added (there, a blanket ``repartition`` would BE the bottleneck)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
+    low = F.lower(F.col("text"))
+    # Layered projections keep each codegen'd stage small: inlining n
+    # (itself a 26-term sum of string scans) into all 52 of its uses in the
+    # entropy fold overflowed the generated method and fell back to the
+    # interpreter; as named columns the counts stay attributes and each
+    # select compiles. Catalyst leaves the layering alone (CollapseProject
+    # skips aliases that a merge would duplicate non-cheaply).
+    counted = d.select(
+        "doc_id",
+        *[
+            (F.length(low) - F.length(F.replace(low, F.lit(ch))))
+            .cast("double")
+            .alias(f"c_{ch}")
+            for ch in _LETTERS
+        ],
+    )
+    n = counted[f"c_{_LETTERS[0]}"]
+    for ch in _LETTERS[1:]:
+        n = n + counted[f"c_{ch}"]
+    with_n = counted.withColumn("n", n)
+    terms = F.lit(0.0)
+    for ch in _LETTERS:
+        c = F.col(f"c_{ch}")
+        p = c / F.col("n")
+        terms = terms + F.when(c > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+    ent = F.when(F.col("n") > 0, F.round(-terms, 4)).otherwise(F.lit(0.0))
+    return with_n.select("doc_id", ent.alias("entropy")).orderBy("doc_id")
+
+
+def _entropy_oracle() -> str:
+    cnt = {
+        ch: f"(length(lower(text)) - length(replace(lower(text), '{ch}', '')))::DOUBLE"
+        for ch in _LETTERS
+    }
+    n = " + ".join(f"c_{ch}" for ch in _LETTERS)
+    cols = ",\n         ".join(f"{cnt[ch]} AS c_{ch}" for ch in _LETTERS)
+    terms = " + ".join(
+        f"CASE WHEN c_{ch} > 0 THEN (c_{ch}/n)*log2(c_{ch}/n) ELSE 0.0 END"
+        for ch in _LETTERS
+    )
+    return f"""
+WITH counts AS (
+  SELECT doc_id,
+         {cols}
+  FROM documents
+), tot AS (
+  SELECT doc_id, {n} AS n, * FROM counts
+)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN round(-({terms}), 4) ELSE 0.0 END AS entropy
+FROM tot ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_ENTROPY = _entropy_oracle()
+
+QUERIES["text_entropy"] = q_text_entropy
+ORACLE["text_entropy"] = ORACLE_TEXT_ENTROPY

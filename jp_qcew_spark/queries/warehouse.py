@@ -372,3 +372,91 @@ FROM merged GROUP BY action ORDER BY action
 
 QUERIES["merge_upsert"] = q_merge_upsert
 ORACLE["merge_upsert"] = ORACLE_MERGE_UPSERT
+
+
+# --------------------------------------------------------------------------
+# outlier_mad — robust (median/MAD) anomaly detection per event type
+# --------------------------------------------------------------------------
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection on ``events.value``: modified
+    z-score ``0.6745·(x − median)/MAD`` with the standard 3.5 cutoff
+    (Iglewicz–Hoaglin) — the data-quality gate that survives the heavy
+    tails that break mean/stddev z-scores.
+
+    Three keyed passes over events, all on ``event_type`` — a low-card
+    group key, so the median/MAD tables are k-row and every join back is
+    broadcast-sized by construction (AQE picks broadcast; no hint needed):
+    1. per-type exact interpolated median (``percentile(value, 0.5)``);
+    2. per-type MAD = median of absolute deviations (needs pass 1's result
+       joined back row-wise — inherently two-pass, like any exact-median
+       chain);
+    3. flag + aggregate.  Exact medians shuffle the full column per type;
+       the 100 TB variant swaps ``percentile_approx`` in passes 1-2 and
+       keeps the same shape.
+
+    Cross-engine pinning: the robust z is ROUNDED to 6 dp on both engines
+    BEFORE the 3.5 comparison (raw float pipelines differ at the ulp level
+    — same lesson as the geo radius test), and a ``mad > 0`` guard is
+    symmetric so a degenerate constant group yields NULL z on both sides
+    rather than engine-specific div-by-zero behavior."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(med, "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.expr("percentile(adev, 0.5)").alias("mad"),
+        )
+    )
+    arz = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad")), 6
+        ),
+    )
+    return (
+        e.join(mad, "event_type")
+        .withColumn("arz", arz)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("arz") > 3.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("arz"), 4).alias("max_abs_rz"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_OUTLIER_MAD = r"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, min(m.med) AS med,
+         median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+), rz AS (
+  SELECT e.event_type, m.med, m.mad,
+         CASE WHEN m.mad > 0
+              THEN round(abs(0.6745 * (e.value - m.med) / m.mad), 6) END AS arz
+  FROM events e JOIN mad m USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(min(med), 6) AS med, round(min(mad), 6) AS mad,
+       CAST(sum(CASE WHEN arz > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(max(arz), 4) AS max_abs_rz
+FROM rz GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["outlier_mad"] = q_outlier_mad
+ORACLE["outlier_mad"] = ORACLE_OUTLIER_MAD

@@ -439,3 +439,53 @@ def test_window_range_frame_reuses_user_partitioning(spark, sf_dir):
     df = q_window_range_frame(spark, sf_dir)
     assert not I.has_cartesian_product(df)
     assert I.count_exchanges(df) <= 2
+
+
+def test_text_entropy_single_stage_codegen(spark, sf_dir):
+    """Entropy is one map-side projection: no shuffle before the
+    presentation sort, no join, and the 26-letter histogram must COMPILE —
+    the original higher-order-lambda form ran interpreted (25 s vs 1.6 s
+    at sf0.1) and an oversized inlined expression falls out of codegen the
+    same way. Executing and counting codegen spans pins both cliffs."""
+    from jp_qcew_spark.queries.text import q_text_entropy
+
+    df = q_text_entropy(spark, sf_dir)
+    # at most two exchanges: the final global orderBy, plus the
+    # conditional round-robin repartition that fires only when the file
+    # index yields fewer splits than cores (always true at test scale)
+    assert I.count_exchanges(df) <= 2
+    assert I.sort_merge_joins(df) == 0
+    assert not I.has_cartesian_product(df)
+    (schema,) = I.read_schemas(df)
+    assert set(schema) <= {"doc_id", "text"}
+    df.collect()
+    assert I.wholestage_codegen_spans(df) >= 1
+
+
+def test_text_lm_score_bounded_broadcast_only(spark, sf_dir):
+    """The LM model join carries exactly one broadcast — the 1-ROW corpus
+    total onto the vocab (the bounded scalar pattern); the vocab model
+    itself must NOT be hinted (corpus-proportional — the r2 minhash
+    lesson), and the token⋈model join stays equi-keyed (no cartesian)."""
+    from jp_qcew_spark.queries.text import q_text_lm_score
+
+    df = q_text_lm_score(spark, sf_dir)
+    assert I.broadcast_hint_count(df) == 1
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+    assert all(set(s) <= {"doc_id", "text"} for s in I.read_schemas(df))
+
+
+def test_outlier_mad_broadcasts_ktables(spark, sf_dir):
+    """Median/MAD tables are k-row (one per event_type): both joins back
+    onto events must come in as broadcast-hash picked by the OPTIMIZER
+    (no hints — the stats tables are small by construction), with no
+    cartesian and pruned (event_type, value) scans."""
+    from jp_qcew_spark.queries.warehouse import q_outlier_mad
+
+    df = q_outlier_mad(spark, sf_dir)
+    df.collect()  # AQE finalizes join strategies
+    assert I.broadcast_hint_count(df) == 0
+    assert I.broadcast_hash_joins(df) >= 2
+    assert not I.has_cartesian_product(df)
+    assert all(set(s) <= {"event_type", "value"} for s in I.read_schemas(df))

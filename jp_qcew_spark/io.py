@@ -79,6 +79,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Guarantee a compute-dense scan at least core-count parallelism.
+
+    Spark sizes file splits by BYTES (``spark.sql.files.maxPartitionBytes``,
+    128 MB): a compressed single-file corpus scans as 1-2 splits, so a
+    projection doing real per-row work (regex scrubbing, tokenization,
+    26-pass histograms) runs on 1-2 of 32 cores no matter how many are
+    idle. Measured at sf1 (one 6 MB documents file → 2 splits):
+    scrub_pii 10.8 → 1.6 s, text_stats 6.4 → 1.5 s, text_entropy
+    15.5 → 1.9 s once widened — the tier's ~10× scale factors were this
+    parallelism floor, not the collect-bound linearity first assumed.
+
+    The repartition fires ONLY when the file index yields fewer splits
+    than ``defaultParallelism`` — a driver-side metadata check, no job.
+    On a many-file 100 TB corpus the condition is false and no shuffle is
+    added (there, a blanket repartition of raw text would itself be the
+    bottleneck; parallelism already comes from the file splits).
+
+    Apply to compute-dense map work only: joins/aggs already get their
+    parallelism back at the first shuffle, and cheap projections
+    (pure column select, tick sampling) don't amortize the exchange."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def cache_parallel(df: DataFrame) -> DataFrame:
     """Persist ``df`` spread over ``defaultParallelism`` partitions.
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import dedup as D
-from jp_qcew_spark.io import load_table
+from jp_qcew_spark.io import load_table, widen_scan
 
 # --------------------------------------------------------------------------
 # decontaminate
@@ -122,8 +122,10 @@ def q_scrub_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc/hit counts and the total scrubbed-text length (which pins that the
     replacement itself — not just the count — is identical). This is the
     exact shape of PII redaction at scale: one map-side regexp pass fused
-    into the scan, no shuffle until the final small rollup."""
-    d = load_table(spark, sf_dir, "documents")
+    into the scan, no shuffle until the final small rollup (plus the
+    conditional scan-widening exchange, io.widen_scan — the regexp pass
+    is compute-dense and must not run on 1-2 splits)."""
+    d = widen_scan(load_table(spark, sf_dir, "documents").select("lang", "text"))
     hits = F.regexp_count(F.col("text"), F.lit(_DENY_PAT))
     scrubbed = F.regexp_replace(F.col("text"), _DENY_PAT, _MASK)
     return (
@@ -505,10 +507,15 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains digits a later pass would half-eat), then phones, then bare
     long numbers.
 
-    Scale: pure map-side scan→project — no shuffle, no UDF; regexes are
-    RE2/Java-common syntax (character classes + bounded repeats only) so
-    both engines see identical match sets."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale: map-side scan→project — no UDF; regexes are RE2/Java-common
+    syntax (character classes + bounded repeats only) so both engines see
+    identical match sets. Regex redaction is the most compute-dense
+    projection in the suite, so the scan is WIDENED when the file index
+    under-splits (io.widen_scan: sf1's 2-split corpus ran it on 2 of 32
+    cores — 10.8 s vs 1.6 s widened; no-op on many-file corpora)."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"),

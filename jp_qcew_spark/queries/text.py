@@ -11,7 +11,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.functions import text as X
-from jp_qcew_spark.io import load_table
+from jp_qcew_spark.io import load_table, widen_scan
+
+
+def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """Project `documents` to the referenced columns and widen the scan:
+    every query in this module does real per-row text compute (regex,
+    tokenization, hashing), so a few-split compressed corpus must not pin
+    the map stage to 1-2 cores (io.widen_scan — no-op on many-file
+    corpora). The explicit select keeps pruning visible in the plan
+    through the conditional exchange."""
+    return widen_scan(load_table(spark, sf_dir, "documents").select(*cols))
 
 _EN = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
 _ES = ", ".join(f"'{w}'" for w in X.ES_STOPWORDS)
@@ -19,7 +29,7 @@ _ES = ", ".join(f"'{w}'" for w in X.ES_STOPWORDS)
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: words, non-space chars, avg word length, punct."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "doc_id", "text")
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -46,7 +56,7 @@ FROM documents ORDER BY doc_id
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score + decile bucketing (suppression-style HAVING
     on the bucket counts)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "doc_id", "text")
     t = F.col("text")
     scored = d.select("doc_id", X.quality_score(t).alias("quality"))
     return (
@@ -91,7 +101,7 @@ FROM scored GROUP BY 1 ORDER BY bucket
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic vs the labeled ``lang`` column —
     confusion-matrix style counts."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "lang", "text")
     t = F.col("text")
     return (
         d.select("lang", X.lang_guess(t).alias("lang_guess"))
@@ -122,7 +132,7 @@ FROM guessed GROUP BY 1, 2 ORDER BY lang, lang_guess
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting per source (alpha/digit runs + punct)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "source", "text")
     t = F.col("text")
     return (
         d.select("source", X.bpe_token_count(t).alias("n_tokens"))
@@ -152,7 +162,7 @@ FROM t GROUP BY source ORDER BY source
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized md5 fingerprint per document (the exact-dedup key)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "doc_id", "text")
     return d.select(
         "doc_id", X.fingerprint(F.col("text")).alias("fp")
     ).orderBy("doc_id")
@@ -202,7 +212,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row fan-out (≤ n_words/stride chunks per doc), no
     shuffle at all until a downstream consumer groups — the plan is a
     single scan-project-generate stage."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "doc_id", "text")
     ws = F.split(F.trim("text"), r"\s+")
     base = d.select("doc_id", ws.alias("ws"))
     starts = F.sequence(
@@ -261,7 +271,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-break (count desc, token asc) pins the cut."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "text")
     base = d.select(F.split(F.trim("text"), r"\s+").alias("ws")).filter(
         F.size("ws") >= 2
     )
@@ -317,7 +327,7 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size blocks the same way).  The posting list is emitted as a
     comma-joined string — final projections never carry array/map/struct
     columns (harness canonicalizers can't hash them)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir, "doc_id", "text")
     tok = (
         d.select(
             "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
@@ -439,7 +449,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Blank/NULL docs are excluded symmetrically (``trim(text) <> ''`` is
     NULL-safe false on both engines)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    d = _docs(spark, sf_dir, "doc_id", "text").filter(F.trim("text") != "")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
     )
@@ -505,17 +515,11 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL docs pin entropy 0.0 on both engines (``length(NULL)`` is NULL,
     so the ``n > 0`` guard is false), as do letterless docs.
 
-    Parallelism floor: 26 scans/row make this projection COMPUTE-dense,
-    and a compressed small-file corpus can scan as fewer splits than
-    cores (sf1 documents = one 6 MB file → 2 splits → the whole stage ran
-    on 2 of 32 cores: 15.5 s vs 1.9 s repartitioned). When the file index
-    yields fewer partitions than ``defaultParallelism`` — a driver-side
-    metadata check, no job — one round-robin exchange unlocks the cores;
-    on a many-file 100 TB corpus the condition is false and no shuffle is
-    added (there, a blanket ``repartition`` would BE the bottleneck)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
+    Parallelism floor: 26 scans/row make this projection COMPUTE-dense —
+    the query that exposed the split-starvation cliff now documented on
+    ``io.widen_scan`` (sf1's one-file corpus scanned as 2 splits; 15.5 s
+    on 2 of 32 cores vs 1.9 s widened)."""
+    d = widen_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     low = F.lower(F.col("text"))
     # Layered projections keep each codegen'd stage small: inlining n
     # (itself a 26-term sum of string scans) into all 52 of its uses in the

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jp_qcew_spark.io import load_table
+from jp_qcew_spark.io import load_table, widen_scan
 
 # Presentation sorts pin NULLS LAST explicitly: Spark's ASC default is
 # NULLS FIRST while DuckDB's is NULLS LAST, so any nullable sort key
@@ -124,8 +124,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     class cutoff — same hash family as ``data_split``, so sample ∘ split is
     stable under re-ingestion, re-partitioning, and dedup. Pure map-side
     filter + one rollup shuffle; no RNG, no sampleBy (whose seed semantics
-    are engine-private and unreproducible across engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    are engine-private and unreproducible across engines). The scan is
+    widened (io.widen_scan): the md5-normalize pass is compute-dense."""
+    d = widen_scan(load_table(spark, sf_dir, "documents").select("lang", "text"))
     h = F.substring(
         F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")), 1, 2
     )
@@ -160,9 +161,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-word ratio per document: 1 - distinct/total words. High
     ratio = boilerplate / keyword-stuffed / degenerate text — the standard
     repetition gate next to ``text_quality``'s length/alpha/stopword gates.
-    Map-side only (array ops inside codegen), zero shuffles before the
-    final sort."""
-    d = load_table(spark, sf_dir, "documents")
+    Map-side only (array ops inside codegen); the scan is widened when
+    the file index under-splits (io.widen_scan) so the tokenize/distinct
+    compute isn't pinned to 1-2 cores on a compressed one-file corpus."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     words = F.split(F.lower(F.trim(F.col("text"))), _WORDS)
     n = F.size(words).cast("long")
     nd = F.size(F.array_distinct(words)).cast("long")
@@ -208,10 +212,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N joins in as a 1-row broadcast scalar, NOT a driver collect, so the
     plan is fully lazy and cluster-sized."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), _WORDS)).alias("word"),
-    ).filter(F.col("word") != "")
+    # widen only the explode path (io.widen_scan — tokenization is the
+    # dense stage); the n_corpus count below keeps the raw 2-split scan
+    words = (
+        widen_scan(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), _WORDS)
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = words.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df")

@@ -194,7 +194,9 @@ def test_curation_plan_shapes(spark, sf_dir):
     df = q_scrub_denylist(spark, sf_dir)
     (schema,) = I.read_schemas(df)
     assert set(schema) <= {"lang", "text"}
-    assert I.count_exchanges(df) <= 2  # one agg shuffle + final sort
+    # one agg shuffle + final sort + the conditional scan-widening
+    # exchange (io.widen_scan) that fires at test scale
+    assert I.count_exchanges(df) <= 3
 
 
 def test_geo_join_broadcasts_nation(spark, sf_dir):
@@ -382,13 +384,14 @@ def test_semdedup_one_bucket_shuffle_no_joins(spark, sf_dir):
     """SemDeDup's representative comparison must ride the bucket WINDOW
     (min(struct(vec_id, v))), never a second join or a corpus-scale
     broadcast: one bucket exchange + one label agg + the presentation
-    sort, nothing else."""
+    sort — plus the conditional scan-widening exchange (io.widen_scan via
+    _vecs) that fires at test scale, nothing else."""
     from jp_qcew_spark.queries.similarity import q_semdedup_lsh
 
     df = q_semdedup_lsh(spark, sf_dir)
     assert not I.has_cartesian_product(df)
     assert I.broadcast_hint_count(df) == 0
-    assert I.count_exchanges(df) <= 3
+    assert I.count_exchanges(df) <= 4
 
 
 def test_merge_upsert_single_keyed_join(spark, sf_dir):

@@ -79,6 +79,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# below this much scan input, a single core finishes in well under a
+# second and the widening exchange + extra stage cost more than they save
+_WIDEN_MIN_BYTES = 4 << 20
+
+
 def widen_scan(df: DataFrame) -> DataFrame:
     """Guarantee a compute-dense scan at least core-count parallelism.
 
@@ -91,18 +96,50 @@ def widen_scan(df: DataFrame) -> DataFrame:
     15.5 → 1.9 s once widened — the tier's ~10× scale factors were this
     parallelism floor, not the collect-bound linearity first assumed.
 
-    The repartition fires ONLY when the file index yields fewer splits
-    than ``defaultParallelism`` — a driver-side metadata check, no job.
-    On a many-file 100 TB corpus the condition is false and no shuffle is
-    added (there, a blanket repartition of raw text would itself be the
-    bottleneck; parallelism already comes from the file splits).
+    The decision is made from the FILE INDEX (``df.inputFiles()`` +
+    local file sizes — already materialized on the driver, no job, no
+    ``.rdd`` conversion whose re-analysis alone costs ~0.3 s/query):
+    repartition only when the estimated split count is below
+    ``defaultParallelism`` AND the input is big enough to amortize the
+    exchange (``_WIDEN_MIN_BYTES``; sub-MB local fixtures keep their
+    original single-stage plans and sub-second anchors). On a many-file
+    100 TB corpus the split count exceeds the core count and no shuffle
+    is added (there, a blanket repartition of raw text would itself be
+    the bottleneck; parallelism already comes from the file splits).
+    Non-local storage (no stat-able paths) conservatively skips widening
+    — at cluster scale split-based parallelism is the norm.
 
     Apply to compute-dense map work only: joins/aggs already get their
     parallelism back at the first shuffle, and cheap projections
     (pure column select, tick sampling) don't amortize the exchange."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f.removeprefix("file:")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    if total < _WIDEN_MIN_BYTES:
+        return df
+    max_split = int(
+        "".join(
+            c
+            for c in str(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            if c.isdigit()
+        )
+        or 134217728
+    )
+    est_splits = max(len(files), -(-total // max_split))
+    dp = spark.sparkContext.defaultParallelism
+    if est_splits < dp:
+        return df.repartition(dp)
     return df
 
 

@@ -62,7 +62,14 @@ _GROUPS = [
 # stream_python_source_sharded, text_lm_score, text_entropy, outlier_mad)
 # have local parity evidence only (bare-session sf0.001/sf0.01/sf0.1)
 # and belong at the head of the next window, together with re-checks of
-# whatever r4 edits.
+# whatever r4 edits — notably the scan-widening sweep (io.widen_scan,
+# commits 5e9fd3a/c8e4d72) touched the plans of these queries OUTSIDE
+# the r4 window, staling their r1-r3 driver evidence: text_stats,
+# text_quality, text_langid, text_token_count, text_fingerprint,
+# text_chunk, text_bigrams, text_repetition, text_tfidf, scrub_pii,
+# scrub_denylist, stratified_sample (values unchanged — 130/130
+# bare-session parity re-verified at sf0.01 post-change; the widened
+# queries INSIDE the r4 window get fresh driver rows this round).
 _WINDOW_PRIORITY = [
     # -- never driver-checked: scalars group (9)
     "math_funcs",

@@ -8,7 +8,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import dedup as D
@@ -682,3 +682,116 @@ GROUP BY source ORDER BY source
 
 QUERIES["dedup_passages"] = q_dedup_passages
 ORACLE["dedup_passages"] = ORACLE_DEDUP_PASSAGES
+
+
+# --------------------------------------------------------------------------
+# dedup_sorted_neighborhood — sorted-neighborhood method (SNM) blocking
+# --------------------------------------------------------------------------
+
+_SNM_WINDOW = 3   # compare each doc to its next 3 neighbors in sort order
+_SNM_NEAR = 20    # edit-distance threshold on the 64-char signature
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidate generation (Hernández &
+    Stolfo's record-linkage SNM): sort the corpus by a normalized key and
+    compare each record only to its next ``_SNM_WINDOW`` neighbors —
+    O(n·w) comparisons instead of O(n²), the complementary blocking
+    strategy to hash blocking (``dedup_fuzzy``) and LSH (minhash): it
+    catches prefix-similar near-dups that land in different hash blocks.
+
+    Spark-first shape, built from two pieces this repo already proves:
+    1. the EXACT GLOBAL POSITION comes from the two-phase range-partition
+       + offset plan (``rank_global_twophase``) — never a single-partition
+       global window (the canonical SNM-on-Spark mistake);
+    2. the neighborhood join is a KEYED equi-join: each row fans out to
+       ``_SNM_WINDOW`` (pos, delta) probes and joins on
+       ``a.pos + delta = b.pos`` — dense integer positions make the range
+       window an equi-key, so no range-join or cartesian appears.
+    The Levenshtein verify runs on bounded 64-char signatures (cost is
+    O(64²) per pair, not doc-length-squared), on candidate pairs only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.coalesce(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+        F.lit(""),
+    )
+    base = d.select(
+        "doc_id",
+        F.substring(norm, 1, 32).alias("key"),
+        F.substring(norm, 1, 64).alias("sig"),
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = base.repartitionByRange(
+        n_parts, F.col("key").asc(), F.col("doc_id").asc()
+    )
+    # MATERIALIZE the partition ids: the (ranged, pid) subtree is consumed
+    # by BOTH the local-rank window and the per-partition counts, and each
+    # physical instance of a range exchange samples its boundaries with an
+    # RDD-id-seeded RNG — unmaterialized, the two branches can assign the
+    # SAME row different pids (observed at sf0.1 under a bare session:
+    # nondeterministic duplicate/missing positions, 15288-15882 pairs vs
+    # the true 14994). One localCheckpoint pins boundaries once; every
+    # consumer — including both sides of the later neighborhood self-join
+    # — then derives deterministically from the same data.
+    pid = ranged.withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint()
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    )
+    local = pid.withColumn("lrk", F.row_number().over(w_local))
+    counts = pid.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    pos = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", "sig", (F.col("off") + F.col("lrk")).cast("long").alias("pos")
+    )
+    deltas = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _SNM_WINDOW + 1)])
+    ).alias("delta")
+    a = pos.select("doc_id", "sig", "pos", deltas).alias("a")
+    b = pos.alias("b")
+    pairs = a.join(
+        b, F.col("a.pos") + F.col("a.delta") == F.col("b.pos")
+    ).select(
+        F.col("a.pos").alias("pos_a"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.delta").cast("long").alias("delta"),
+        F.levenshtein(F.col("a.sig"), F.col("b.sig")).cast("long").alias("lev"),
+    )
+    return (
+        pairs.withColumn(
+            "is_near", (F.col("lev") <= _SNM_NEAR).cast("long")
+        )
+        .orderBy("pos_a", "delta")
+    )
+
+
+ORACLE_DEDUP_SNM = rf"""
+WITH k AS (
+  SELECT doc_id,
+         substr(coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ''), 1, 32) AS key,
+         substr(coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ''), 1, 64) AS sig
+  FROM documents
+), p AS (
+  SELECT doc_id, sig,
+         CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS pos
+  FROM k
+)
+SELECT a.pos AS pos_a, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.pos - a.pos AS BIGINT) AS delta,
+       CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS lev,
+       CAST(CASE WHEN levenshtein(a.sig, b.sig) <= {_SNM_NEAR}
+            THEN 1 ELSE 0 END AS BIGINT) AS is_near
+FROM p a JOIN p b ON b.pos - a.pos BETWEEN 1 AND {_SNM_WINDOW}
+ORDER BY pos_a, delta
+"""
+
+QUERIES["dedup_sorted_neighborhood"] = q_dedup_sorted_neighborhood
+ORACLE["dedup_sorted_neighborhood"] = ORACLE_DEDUP_SNM

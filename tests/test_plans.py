@@ -492,3 +492,39 @@ def test_outlier_mad_broadcasts_ktables(spark, sf_dir):
     assert I.broadcast_hash_joins(df) >= 2
     assert not I.has_cartesian_product(df)
     assert all(set(s) <= {"event_type", "value"} for s in I.read_schemas(df))
+
+
+def test_widen_scan_threshold(spark, tmp_path):
+    """widen_scan must fire only when BOTH conditions hold: the scan is
+    under-split AND big enough to amortize the exchange. A small file
+    keeps its original plan (no exchange — the sub-second-anchor
+    regression this threshold fixed); a >4 MB single file gains exactly
+    one round-robin exchange."""
+    import pyspark.sql.functions as F
+
+    from jp_qcew_spark.io import widen_scan
+
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).write.parquet(small)
+    df_small = widen_scan(spark.read.parquet(small))
+    assert I.count_exchanges(df_small) == 0
+
+    big = str(tmp_path / "big.parquet")
+    # incompressible payload so the single file clears _WIDEN_MIN_BYTES
+    spark.range(40_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("a"),
+        F.sha2(F.col("id").cast("string"), 256).alias("b"),
+        F.sha2(F.col("id").cast("string"), 512).alias("c"),
+    ).coalesce(1).write.parquet(big)
+    import os as _os
+
+    nbytes = sum(
+        _os.path.getsize(_os.path.join(big, f))
+        for f in _os.listdir(big)
+        if f.endswith(".parquet")
+    )
+    df_big = widen_scan(spark.read.parquet(big))
+    if nbytes >= 4 << 20:
+        assert I.count_exchanges(df_big) == 1
+    else:  # payload compressed below the gate — then it must NOT widen
+        assert I.count_exchanges(df_big) == 0

@@ -219,3 +219,23 @@ def test_replay_auto_batch_bounds(n):
     batches = -(-n // r._batch)
     assert 1 <= batches <= 9
     assert r._batch >= 1
+
+
+def test_snm_pair_count_identity(spark, sf_dir):
+    """Sorted-neighborhood must emit EXACTLY 3n-6 pairs (window w=3 over a
+    strict total order): every position but the last three fans out to 3
+    neighbors. Gross duplication — the RDD-id-seeded range-boundary
+    inconsistency the pid localCheckpoint fixes — breaks this identity
+    immediately (observed 15288-15882 vs the true 14994 at sf0.1 before
+    the fix); the sf0.1 bare-session sweep remains the full-scale guard."""
+    from jp_qcew_spark.queries.dedup import q_dedup_sorted_neighborhood
+    from jp_qcew_spark.io import load_table
+
+    n = load_table(spark, sf_dir, "documents").count()
+    pairs = q_dedup_sorted_neighborhood(spark, sf_dir)
+    assert pairs.count() == 3 * n - 6
+    # positions are globally unique -> (pos_a, delta) is a primary key
+    assert (
+        pairs.groupBy("pos_a", "delta").count().filter("count > 1").count()
+        == 0
+    )

@@ -710,16 +710,23 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
        window an equi-key, so no range-join or cartesian appears.
     The Levenshtein verify runs on bounded 64-char signatures (cost is
     O(64²) per pair, not doc-length-squared), on candidate pairs only.
+    The signature is projected to PRINTABLE ASCII on both engines before
+    the distance: DuckDB's ``levenshtein`` counts BYTES while Spark's
+    counts CHARACTERS (lev('é','e') = 2 vs 1), so any non-ASCII byte in
+    the comparison window would silently diverge the engines — the
+    corpus is ASCII today, which is data luck, not matching semantics
+    (same hazard class as the r4 exact-timestamp session-gap fix).
     """
     d = load_table(spark, sf_dir, "documents")
     norm = F.coalesce(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
         F.lit(""),
     )
+    ascii_norm = F.regexp_replace(norm, "[^ -~]", "")
     base = d.select(
         "doc_id",
         F.substring(norm, 1, 32).alias("key"),
-        F.substring(norm, 1, 64).alias("sig"),
+        F.substring(ascii_norm, 1, 64).alias("sig"),
     )
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     ranged = base.repartitionByRange(
@@ -776,8 +783,9 @@ WITH k AS (
   SELECT doc_id,
          substr(coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
                          ''), 1, 32) AS key,
-         substr(coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                         ''), 1, 64) AS sig
+         substr(regexp_replace(
+                  coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                           ''), '[^ -~]', '', 'g'), 1, 64) AS sig
   FROM documents
 ), p AS (
   SELECT doc_id, sig,

@@ -58,11 +58,23 @@ def test_decode_round_trip(spark, vals):
         assert row[name] == val[: widths[name]].strip(), name
 
 
+# every char Spark's UTF8String numeric casts trim from the ends: all
+# codepoints <= 0x20 (Java String.trim semantics), NOT just Python/Unicode
+# whitespace — hypothesis found '0\x1b' (trailing ESC), which Python's
+# .strip() keeps but Spark trims, casting to 0 where the old predicate
+# demanded NULL
+_CAST_TRIM = "".join(chr(i) for i in range(0x21))
+
+
 @given(junk=st.text(min_size=0, max_size=6))
 @_settings
 def test_casts_null_not_throw(spark, junk):
     """Non-numeric year/qtr content decodes to NULL, never an exception —
-    the reference's cast(strict=False) semantics (data_process.py:66-82)."""
+    the reference's cast(strict=False) semantics (data_process.py:66-82).
+    The predicate models Spark's actual string→int acceptance: trim chars
+    ≤ 0x20 from both ends, then optional sign + ASCII digits."""
+    import re as _re
+
     line = make_line({"year": junk, "qtr": junk, "total_wages": junk})
     df = decode_qcew(
         spark.createDataFrame([(line,)], "value string").withColumn(
@@ -70,8 +82,8 @@ def test_casts_null_not_throw(spark, junk):
         )
     )
     row = typed_qcew(df).select("year", "qtr", "total_wages").first()
-    stripped = junk.strip()
-    if not (stripped.isdigit() or (stripped.lstrip("-").isdigit() and stripped)):
+    stripped = junk.strip(_CAST_TRIM)
+    if not _re.fullmatch(r"[+-]?[0-9]+", stripped):
         assert row["year"] is None
 
 

@@ -56,11 +56,11 @@ _GROUPS = [
 # Everything NOT listed follows in module-registration order — all of it
 # carries 1-2 rounds of prior driver evidence on unchanged code.
 #
-# ROUND-5 rotation TODO: the fourteen round-4 additions (semdedup_lsh,
+# ROUND-5 rotation TODO: the fifteen round-4 additions (semdedup_lsh,
 # merge_upsert, quality_percentile_band, dedup_passages, stream_sliding,
 # window_range_frame, bucketed_colocated_join, stream_python_source,
 # stream_python_source_sharded, text_lm_score, text_entropy, outlier_mad,
-# dedup_sorted_neighborhood, graph_triangles)
+# dedup_sorted_neighborhood, graph_triangles, join_asof_nearest)
 # have local parity evidence only (bare-session sf0.001/sf0.01/sf0.1)
 # and belong at the head of the next window, together with re-checks of
 # whatever r4 edits — notably the scan-widening sweep (io.widen_scan,

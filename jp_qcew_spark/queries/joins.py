@@ -395,3 +395,81 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["bucketed_colocated_join"] = q_bucketed_colocated_join
 ORACLE["bucketed_colocated_join"] = ORACLE_BUCKETED_COLOCATED_JOIN
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest — bidirectional as-of (nearest event, feature-store join)
+# --------------------------------------------------------------------------
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join: for every error event, the user's
+    purchase closest in time in EITHER direction — the feature-store
+    "nearest" variant completing the as-of family next to
+    ``join_asof``'s backward-only semantics (SURVEY §2.C extension row).
+
+    Same scale shape as the backward as-of: equi-join on user_id keeps
+    the shuffle keyed; the per-left-row argmin rides a window. Distances
+    compare in EXACT MICROSECONDS (``unix_micros`` / ``epoch_us``) — a
+    seconds cast would truncate sub-second gaps and silently flip the
+    winner between engines (the round-4 session-gap lesson). Equidistant
+    ties pin deterministically: earlier purchase first, then event_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("pur_user"),
+        F.col("ts").alias("pur_ts"),
+        F.col("value").alias("pur_value"),
+    )
+    joined = err.join(pur, err.user_id == pur.pur_user, "left")
+    dist = F.abs(F.unix_micros("pur_ts") - F.unix_micros("err_ts"))
+    w = Window.partitionBy("err_id").orderBy(
+        dist.asc(), F.col("pur_ts").asc(), F.col("pur_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "err_id",
+            "user_id",
+            "err_ts",
+            F.col("pur_id").alias("nearest_purchase_id"),
+            dist.cast("long").alias("dist_us"),
+            F.round("pur_value", 2).alias("nearest_purchase_value"),
+        )
+        .orderBy("err_id")
+    )
+
+
+ORACLE_JOIN_ASOF_NEAREST = """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, ts AS err_ts
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT event_id AS pur_id, user_id AS pur_user, ts AS pur_ts, value AS pur_value
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT e.err_id, e.user_id, e.err_ts, p.pur_id,
+         abs(epoch_us(p.pur_ts) - epoch_us(e.err_ts)) AS dist_us,
+         p.pur_value,
+         row_number() OVER (
+           PARTITION BY e.err_id
+           ORDER BY abs(epoch_us(p.pur_ts) - epoch_us(e.err_ts)) ASC,
+                    p.pur_ts ASC, p.pur_id ASC) AS rn
+  FROM err e LEFT JOIN pur p ON e.user_id = p.pur_user
+)
+SELECT err_id, user_id, err_ts,
+       pur_id AS nearest_purchase_id,
+       CAST(dist_us AS BIGINT) AS dist_us,
+       round(pur_value, 2) AS nearest_purchase_value
+FROM ranked WHERE rn = 1 ORDER BY err_id
+"""
+
+QUERIES["join_asof_nearest"] = q_join_asof_nearest
+ORACLE["join_asof_nearest"] = ORACLE_JOIN_ASOF_NEAREST

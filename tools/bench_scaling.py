@@ -60,6 +60,12 @@ QUERIES = [
     "semdedup_lsh",
     "dedup_passages",
     "quality_percentile_band",
+    "text_lm_score",
+    "text_entropy",
+    "outlier_mad",
+    "dedup_sorted_neighborhood",
+    "graph_triangles",
+    "join_asof_nearest",
 ]
 
 

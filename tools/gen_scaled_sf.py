@@ -43,37 +43,37 @@ def generate(k: int, src: str, out: str) -> None:
 
     plans = {
         "lineitem": (
-            "SELECT l_orderkey + {r}*" + str(OFFSET) + " AS l_orderkey, "
-            "l_partkey + {r}*" + str(OFFSET) + " AS l_partkey, "
-            "l_suppkey + {r}*" + str(OFFSET) + " AS l_suppkey, "
+            "SELECT l_orderkey + ({r}::BIGINT)*" + str(OFFSET) + " AS l_orderkey, "
+            "l_partkey + ({r}::BIGINT)*" + str(OFFSET) + " AS l_partkey, "
+            "l_suppkey + ({r}::BIGINT)*" + str(OFFSET) + " AS l_suppkey, "
             "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
             "l_returnflag, l_linestatus, l_shipdate FROM src"
         ),
         "orders": (
-            "SELECT o_orderkey + {r}*" + str(OFFSET) + " AS o_orderkey, "
-            "o_custkey + {r}*" + str(OFFSET) + " AS o_custkey, "
+            "SELECT o_orderkey + ({r}::BIGINT)*" + str(OFFSET) + " AS o_orderkey, "
+            "o_custkey + ({r}::BIGINT)*" + str(OFFSET) + " AS o_custkey, "
             "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
             "FROM src"
         ),
         "customer": (
-            "SELECT c_custkey + {r}*" + str(OFFSET) + " AS c_custkey, "
+            "SELECT c_custkey + ({r}::BIGINT)*" + str(OFFSET) + " AS c_custkey, "
             "c_name, c_nationkey, c_acctbal, c_mktsegment FROM src"
         ),
         "supplier": (
-            "SELECT s_suppkey + {r}*" + str(OFFSET) + " AS s_suppkey, "
+            "SELECT s_suppkey + ({r}::BIGINT)*" + str(OFFSET) + " AS s_suppkey, "
             "s_name, s_nationkey FROM src"
         ),
         "part": (
-            "SELECT p_partkey + {r}*" + str(OFFSET) + " AS p_partkey, "
+            "SELECT p_partkey + ({r}::BIGINT)*" + str(OFFSET) + " AS p_partkey, "
             "p_name, p_brand, p_retailprice FROM src"
         ),
         "events": (
-            "SELECT event_id + {r}*" + str(OFFSET) + " AS event_id, ts, "
-            "user_id + {r}*" + str(OFFSET) + " AS user_id, "
+            "SELECT event_id + ({r}::BIGINT)*" + str(OFFSET) + " AS event_id, ts, "
+            "user_id + ({r}::BIGINT)*" + str(OFFSET) + " AS user_id, "
             "event_type, value, props FROM src"
         ),
         "documents": (
-            "SELECT doc_id + {r}*" + str(OFFSET) + " AS doc_id, "
+            "SELECT doc_id + ({r}::BIGINT)*" + str(OFFSET) + " AS doc_id, "
             "CASE WHEN {r} = 0 THEN text "
             "ELSE regexp_replace(text, '(\\S+)', '\\1·r{r}', 'g') END AS text, "
             "lang, source, "
@@ -89,7 +89,7 @@ def generate(k: int, src: str, out: str) -> None:
         # at 34x for 10x data for exactly that reason (real pairs, not a
         # plan bug).
         "embeddings": (
-            "SELECT vec_id + {r}*" + str(OFFSET) + " AS vec_id, "
+            "SELECT vec_id + ({r}::BIGINT)*" + str(OFFSET) + " AS vec_id, "
             "CASE WHEN {r} = 0 THEN embedding ELSE "
             "list_transform(list_zip(embedding, range(1, len(embedding) + 1)), "
             "x -> x[1] * CASE WHEN hash({r} * 7919 + x[2]) % 2 = 0 "
@@ -110,14 +110,14 @@ def generate(k: int, src: str, out: str) -> None:
         if name == "supplier":
             extra = [c for c in cols if c not in {"s_suppkey"}]
             tmpl = (
-                "SELECT s_suppkey + {r}*" + str(OFFSET) + " AS s_suppkey, "
+                "SELECT s_suppkey + ({r}::BIGINT)*" + str(OFFSET) + " AS s_suppkey, "
                 + ", ".join(sorted(extra))
                 + " FROM src"
             )
         elif name == "part":
             extra = [c for c in cols if c not in {"p_partkey"}]
             tmpl = (
-                "SELECT p_partkey + {r}*" + str(OFFSET) + " AS p_partkey, "
+                "SELECT p_partkey + ({r}::BIGINT)*" + str(OFFSET) + " AS p_partkey, "
                 + ", ".join(sorted(extra))
                 + " FROM src"
             )

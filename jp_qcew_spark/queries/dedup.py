@@ -717,7 +717,11 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is ASCII today, which is data luck, not matching semantics
     (same hazard class as the r4 exact-timestamp session-gap fix).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # widen before normalizing: the range partitioner evaluates its input
+    # TWICE (boundary sampling + the real exchange), so the regex
+    # normalize pays double on an under-split scan — measured 4.4 s scan
+    # + 6.3 s range/sample at sf1 on 2 splits before widening
+    d = widen_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = F.coalesce(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
         F.lit(""),

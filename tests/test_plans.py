@@ -528,3 +528,45 @@ def test_widen_scan_threshold(spark, tmp_path):
         assert I.count_exchanges(df_big) == 1
     else:  # payload compressed below the gate — then it must NOT widen
         assert I.count_exchanges(df_big) == 0
+
+
+def test_graph_triangles_keyed_joins_only(spark, sf_dir):
+    """Triangle enumeration must stay keyed end-to-end: the co-occurrence
+    self-join (orderkey), the wedge join (b), and the closing join (a, c)
+    are all equi-joins — an unkeyed product here is the O(n^3) cliff; the
+    support filter rides a partial-agg'd groupBy."""
+    from jp_qcew_spark.queries.graph import q_graph_triangles
+
+    df = q_graph_triangles(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+    assert all(
+        set(s) <= {"l_orderkey", "l_suppkey"} for s in I.read_schemas(df)
+    )
+
+
+def test_snm_no_cartesian_bounded_broadcast(spark, sf_dir):
+    """Sorted-neighborhood: the (pos+delta)=pos neighborhood join is a
+    keyed equi-join (never a range/cartesian product), and the only
+    broadcast hint is the tiny per-partition offsets table (n_partitions
+    rows by construction) — it appears once per side of the self-join,
+    so the hint count is exactly 2."""
+    from jp_qcew_spark.queries.dedup import q_dedup_sorted_neighborhood
+
+    df = q_dedup_sorted_neighborhood(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) <= 2
+    assert all(set(s) <= {"doc_id", "text"} for s in I.read_schemas(df))
+
+
+def test_join_asof_nearest_keyed(spark, sf_dir):
+    """Nearest as-of: the user_id equi-join keys the shuffle (no product),
+    and both event scans prune to the referenced columns."""
+    from jp_qcew_spark.queries.joins import QUERIES as JQ
+
+    df = JQ["join_asof_nearest"](spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert all(
+        set(s) <= {"event_id", "user_id", "ts", "value", "event_type"}
+        for s in I.read_schemas(df)
+    )

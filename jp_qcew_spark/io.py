@@ -7,6 +7,8 @@ column pruning and predicate pushdown left to Catalyst.
 from __future__ import annotations
 
 import os
+import re
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -83,6 +85,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # second and the widening exchange + extra stage cost more than they save
 _WIDEN_MIN_BYTES = 4 << 20
 
+_BYTE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _byte_string_as_bytes(value: object, default: int = 134217728) -> int:
+    """Parse a Spark byte-size conf string ("134217728", "128m", "1g"...)
+    the way Spark's JavaUtils.byteStringAsBytes does, falling back to
+    ``default`` on anything unparseable. (The previous digit-stripping
+    parse turned a legal "128m" into 128 BYTES, inflating est_splits and
+    silently disabling widening — ADVICE r4.)"""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m:
+        return default
+    mult = _BYTE_SUFFIX.get(m.group(2).lower())
+    if mult is None:
+        return default
+    return int(m.group(1)) * mult
+
+
+def _local_file_size(uri: str) -> int | None:
+    """Size of one ``df.inputFiles()`` entry, or None if it can't be
+    stat-ed locally. Entries are URI strings that may be percent-encoded
+    (spaces -> %20) and may carry a scheme/authority; decode before
+    stat-ing instead of raw string-slicing (ADVICE r4). Non-local schemes
+    return None — at cluster scale split-based parallelism is the norm
+    and widening conservatively skips."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file") and parsed.netloc in ("", "localhost"):
+        path = unquote(parsed.path) if parsed.scheme else uri
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
+    return None
+
 
 def widen_scan(df: DataFrame) -> DataFrame:
     """Guarantee a compute-dense scan at least core-count parallelism.
@@ -119,22 +168,14 @@ def widen_scan(df: DataFrame) -> DataFrame:
         return df
     total = 0
     for f in files:
-        path = f[7:] if f.startswith("file://") else f.removeprefix("file:")
-        try:
-            total += os.path.getsize(path)
-        except OSError:
+        size = _local_file_size(f)
+        if size is None:
             return df
+        total += size
     if total < _WIDEN_MIN_BYTES:
         return df
-    max_split = int(
-        "".join(
-            c
-            for c in str(
-                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            )
-            if c.isdigit()
-        )
-        or 134217728
+    max_split = _byte_string_as_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     est_splits = max(len(files), -(-total // max_split))
     dp = spark.sparkContext.defaultParallelism

@@ -690,6 +690,7 @@ ORACLE["dedup_passages"] = ORACLE_DEDUP_PASSAGES
 
 _SNM_WINDOW = 3   # compare each doc to its next 3 neighbors in sort order
 _SNM_NEAR = 20    # edit-distance threshold on the 64-char signature
+_SNM_BUCKET_PREFIX = 2  # chars of the sort key that name a bucket
 
 
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,10 +701,23 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy to hash blocking (``dedup_fuzzy``) and LSH (minhash): it
     catches prefix-similar near-dups that land in different hash blocks.
 
-    Spark-first shape, built from two pieces this repo already proves:
-    1. the EXACT GLOBAL POSITION comes from the two-phase range-partition
-       + offset plan (``rank_global_twophase``) — never a single-partition
-       global window (the canonical SNM-on-Spark mistake);
+    Spark-first shape:
+    1. the EXACT GLOBAL POSITION comes from DETERMINISTIC PREFIX
+       BUCKETING: bucket = the first ``_SNM_BUCKET_PREFIX`` chars of the
+       sort key. A character prefix is a byte prefix, so bucket order is
+       consistent with key order under Spark's (and DuckDB's) binary
+       string comparison — global row_number over (key, doc_id) equals
+       per-bucket row_number plus the running count of earlier buckets.
+       Unlike ``repartitionByRange`` (whose RDD-id-SEEDED boundary
+       sampling made duplicated subtrees assign the same row different
+       partitions — the round-4 bug this replaces), every piece here is a
+       pure function of the data: both sides of the later self-join
+       recompute IDENTICAL positions with no checkpoint/materialization.
+       The offsets table is bounded by the bucket-alphabet (≤ a few
+       thousand 2-char prefixes), so its global running-sum window and
+       the broadcast are trivially small at any corpus size. Knob: a
+       corpus sharing one long common prefix skews the per-bucket window
+       — raise ``_SNM_BUCKET_PREFIX`` to split it (offsets stay tiny);
     2. the neighborhood join is a KEYED equi-join: each row fans out to
        ``_SNM_WINDOW`` (pos, delta) probes and joins on
        ``a.pos + delta = b.pos`` — dense integer positions make the range
@@ -716,11 +730,14 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison window would silently diverge the engines — the
     corpus is ASCII today, which is data luck, not matching semantics
     (same hazard class as the r4 exact-timestamp session-gap fix).
+    The self-join's two subtree instances each re-scan and re-normalize
+    (no cache): same deliberate double-scan trade as qcew_etl — at
+    100 TB a full-corpus persist of (doc_id, sig, pos) is the bottleneck,
+    a second columnar scan is not.
     """
-    # widen before normalizing: the range partitioner evaluates its input
-    # TWICE (boundary sampling + the real exchange), so the regex
-    # normalize pays double on an under-split scan — measured 4.4 s scan
-    # + 6.3 s range/sample at sf1 on 2 splits before widening
+    # widen before normalizing: the per-bucket rank window re-evaluates
+    # the regex normalize on whatever split count the scan produced —
+    # an under-split single-file corpus would run it on 2 of 32 cores
     d = widen_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = F.coalesce(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
@@ -731,34 +748,27 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring(norm, 1, 32).alias("key"),
         F.substring(ascii_norm, 1, 64).alias("sig"),
+    ).withColumn("bkt", F.substring(F.col("key"), 1, _SNM_BUCKET_PREFIX))
+    counts = base.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    # single-partition window is safe HERE ONLY: counts is the aggregated
+    # bucket frame, ≤ alphabet^prefix rows regardless of corpus size
+    w_off = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = base.repartitionByRange(
-        n_parts, F.col("key").asc(), F.col("doc_id").asc()
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
     )
-    # MATERIALIZE the partition ids: the (ranged, pid) subtree is consumed
-    # by BOTH the local-rank window and the per-partition counts, and each
-    # physical instance of a range exchange samples its boundaries with an
-    # RDD-id-seeded RNG — unmaterialized, the two branches can assign the
-    # SAME row different pids (observed at sf0.1 under a bare session:
-    # nondeterministic duplicate/missing positions, 15288-15882 pairs vs
-    # the true 14994). One localCheckpoint pins boundaries once; every
-    # consumer — including both sides of the later neighborhood self-join
-    # — then derives deterministically from the same data.
-    pid = ranged.withColumn(
-        "pid", F.spark_partition_id()
-    ).localCheckpoint()
-    w_local = Window.partitionBy("pid").orderBy(
+    w_local = Window.partitionBy("bkt").orderBy(
         F.col("key").asc(), F.col("doc_id").asc()
     )
-    local = pid.withColumn("lrk", F.row_number().over(w_local))
-    counts = pid.groupBy("pid").agg(F.count("*").alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
-    )
-    pos = local.join(F.broadcast(offsets), "pid").select(
-        "doc_id", "sig", (F.col("off") + F.col("lrk")).cast("long").alias("pos")
+    pos = (
+        base.withColumn("lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "sig",
+            (F.col("off") + F.col("lrk")).cast("long").alias("pos"),
+        )
     )
     deltas = F.explode(
         F.array(*[F.lit(i) for i in range(1, _SNM_WINDOW + 1)])

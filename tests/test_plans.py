@@ -548,15 +548,20 @@ def test_graph_triangles_keyed_joins_only(spark, sf_dir):
 def test_snm_no_cartesian_bounded_broadcast(spark, sf_dir):
     """Sorted-neighborhood: the (pos+delta)=pos neighborhood join is a
     keyed equi-join (never a range/cartesian product), and the only
-    broadcast hint is the tiny per-partition offsets table (n_partitions
+    broadcast hint is the tiny bucket-offsets table (≤ alphabet^prefix
     rows by construction) — it appears once per side of the self-join,
-    so the hint count is exactly 2."""
+    so the hint count is exactly 2. The plan must read straight from the
+    parquet scan: no checkpoint/materialized-RDD leaf (the r4
+    localCheckpoint was a full-corpus materialization — a scale-killer —
+    replaced by deterministic prefix-bucket positions in r5)."""
     from jp_qcew_spark.queries.dedup import q_dedup_sorted_neighborhood
 
     df = q_dedup_sorted_neighborhood(spark, sf_dir)
     assert not I.has_cartesian_product(df)
     assert I.broadcast_hint_count(df) <= 2
     assert all(set(s) <= {"doc_id", "text"} for s in I.read_schemas(df))
+    plan = I.formatted_plan(df)
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
 
 
 def test_join_asof_nearest_keyed(spark, sf_dir):

@@ -237,9 +237,10 @@ def test_snm_pair_count_identity(spark, sf_dir):
     """Sorted-neighborhood must emit EXACTLY 3n-6 pairs (window w=3 over a
     strict total order): every position but the last three fans out to 3
     neighbors. Gross duplication — the RDD-id-seeded range-boundary
-    inconsistency the pid localCheckpoint fixes — breaks this identity
-    immediately (observed 15288-15882 vs the true 14994 at sf0.1 before
-    the fix); the sf0.1 bare-session sweep remains the full-scale guard."""
+    inconsistency (r4: 15288-15882 vs the true 14994 at sf0.1) that the
+    deterministic prefix-bucket positions eliminate — breaks this
+    identity immediately; the sf0.1 bare-session sweep remains the
+    full-scale guard."""
     from jp_qcew_spark.queries.dedup import q_dedup_sorted_neighborhood
     from jp_qcew_spark.io import load_table
 

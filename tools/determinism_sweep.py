@@ -16,7 +16,12 @@ Usage:
 
 Runs at sf0.1 by default (SPARK_GRAFT_SF_DIR to override) — large enough
 that range-boundary samples disagree across plan instances (sf0.001
-masked the SNM bug). Round-4 result: 132/132 identical, zero errors.
+masked the SNM bug). Round-4 result: 133/133 identical, zero errors
+(commit 879a9cb).
+
+Output paths default to /tmp/determinism_<run-id>_{pass}.json; set
+DETERMINISM_RUN_ID to pin one (two concurrent sweeps with the default
+fixed paths would otherwise collide — ADVICE r4).
 """
 
 from __future__ import annotations
@@ -32,7 +37,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join("/tmp", "determinism_{}.json")
+_RUN_ID = os.environ.get("DETERMINISM_RUN_ID", "default")
+OUT = os.path.join("/tmp", f"determinism_{_RUN_ID}_{{}}.json")
 
 
 def _canon(v):

@@ -38,41 +38,61 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-4 window (VERDICT r3 #1):
+# evidence policy. This list pins the ROUND-5 window (VERDICT r4 #1):
 #
-# - the 22 queries with no driver row in any round (3-round union 96/118):
-#   the whole scalars group, the geo trio, components/fuzzy dedup,
-#   cube/grouping-sets/quantiles/distinct-agg, VARIANT, UDTF, kmeans,
-#   session-gaps — a green sweep completes a 118/118 driver-verified union;
-# - dedup_embedding_cos (r1-green but rewritten twice since: de-broadcast
-#   457bbcb, corpus-sized bucket bits 98d3fbc — stale evidence, VERDICT #2);
-# - second-consecutive-green re-checks (VERDICT #4): text_inverted_index,
-#   the wages/ts chain, the 5 real-stream queries;
-# - re-checks of the most-rewritten r3 greens: simhash (column rework),
-#   minhash (de-broadcast), the ANN six, plus queries touched THIS round
-#   (events_session_gaps exact-timestamp gap, udtf_tokenize blank guard,
-#   kmeans unpersist — all three already above) and their twins/chains
-#   (events_session shares the gaps oracle; llm_prep chains minhash).
+# - the fifteen round-4 additions that have NEVER had a driver row (local
+#   bare-session parity evidence only) — a green sweep completes a
+#   133/133 driver-verified union, no registered query without the hard
+#   signal. dedup_sorted_neighborhood leads: its plan was ALSO rewritten
+#   this round (deterministic prefix-bucket positions replacing the
+#   localCheckpoint, commit c942952);
+# - the widen_scan-replanned queries whose r1-r3 driver evidence went
+#   stale when the scan-widening sweep (commits 5e9fd3a/c8e4d72) changed
+#   their plans OUTSIDE the r4 window (values re-verified bare-session at
+#   sf0.01 post-change, but the driver row is the brief's hard signal):
+#   text_stats, text_quality, text_langid, text_fingerprint, text_chunk,
+#   text_bigrams, text_repetition, text_tfidf, scrub_pii, scrub_denylist,
+#   stratified_sample (text_token_count was inside the r4 window and is
+#   already re-checked);
+# - second-consecutive-green re-checks (the standing policy from VERDICT
+#   r3 #4) for the 22 queries whose FIRST driver row was r4: the scalars
+#   group, the geo trio, cube/grouping-sets/quantiles/distinct-agg,
+#   components/fuzzy dedup, VARIANT, UDTF, kmeans, session-gaps;
+# - cast_nullsafe (r4 tail drift, VERDICT r4 #5 — fresh row + re-time).
 # Everything NOT listed follows in module-registration order — all of it
-# carries 1-2 rounds of prior driver evidence on unchanged code.
-#
-# ROUND-5 rotation TODO: the fifteen round-4 additions (semdedup_lsh,
-# merge_upsert, quality_percentile_band, dedup_passages, stream_sliding,
-# window_range_frame, bucketed_colocated_join, stream_python_source,
-# stream_python_source_sharded, text_lm_score, text_entropy, outlier_mad,
-# dedup_sorted_neighborhood, graph_triangles, join_asof_nearest)
-# have local parity evidence only (bare-session sf0.001/sf0.01/sf0.1)
-# and belong at the head of the next window, together with re-checks of
-# whatever r4 edits — notably the scan-widening sweep (io.widen_scan,
-# commits 5e9fd3a/c8e4d72) touched the plans of these queries OUTSIDE
-# the r4 window, staling their r1-r3 driver evidence: text_stats,
-# text_quality, text_langid, text_token_count, text_fingerprint,
-# text_chunk, text_bigrams, text_repetition, text_tfidf, scrub_pii,
-# scrub_denylist, stratified_sample (values unchanged — 130/130
-# bare-session parity re-verified at sf0.01 post-change; the widened
-# queries INSIDE the r4 window get fresh driver rows this round).
+# carries 2+ rounds of prior driver evidence on unchanged code.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked: scalars group (9)
+    # -- never driver-checked round-4 additions (15)
+    "dedup_sorted_neighborhood",
+    "semdedup_lsh",
+    "merge_upsert",
+    "quality_percentile_band",
+    "dedup_passages",
+    "stream_sliding",
+    "window_range_frame",
+    "bucketed_colocated_join",
+    "stream_python_source",
+    "stream_python_source_sharded",
+    "text_lm_score",
+    "text_entropy",
+    "outlier_mad",
+    "graph_triangles",
+    "join_asof_nearest",
+    # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_chunk",
+    "text_bigrams",
+    "text_repetition",
+    "text_tfidf",
+    "scrub_pii",
+    "scrub_denylist",
+    "stratified_sample",
+    # -- r4 tail drift re-time (VERDICT r4 #5)
+    "cast_nullsafe",
+    # -- second-consecutive-green re-checks of the r4 first-timers (22)
     "math_funcs",
     "regex_extract",
     "date_funcs",
@@ -82,56 +102,19 @@ _WINDOW_PRIORITY = [
     "regr_stats",
     "histogram_bins",
     "argmax_funcs",
-    # -- never driver-checked: geo trio (grid join first — its oracle is the
-    #    quadratic cross join, so one green row proves the distributed
-    #    spatial plan loses no pairs)
     "geo_grid_join",
     "geo_nearest",
     "geo_bbox_join",
-    # -- never driver-checked: agg/group-by extensions
     "cube_agg",
     "grouping_sets",
     "quantiles_exact",
     "agg_distinct_exact",
-    # -- never driver-checked: dedup + clustering + semi-structured
     "dedup_components",
     "dedup_fuzzy",
     "events_variant",
     "udtf_tokenize",
     "kmeans_cluster",
     "events_session_gaps",
-    # -- stale evidence on a twice-rewritten plan (VERDICT r3 #2)
-    "dedup_embedding_cos",
-    # -- second-consecutive-green re-checks (VERDICT r3 #4)
-    "text_inverted_index",
-    "wages_series",
-    "ts_resample",
-    "ts_resample_yearly",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful_user_stats",
-    "stream_static_join",
-    "stream_stream_join",
-    # -- most-rewritten r3 greens: simhash/minhash + the ANN six
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "knn_bruteforce",
-    "knn_signlsh",
-    "knn_classify",
-    "knn_ivf",
-    "knn_hybrid",
-    "knn_multiprobe",
-    # -- twins/chains of this round's edits + remaining high-value re-checks
-    "events_session",
-    "llm_prep_pipeline",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_char_ngram",
-    "graph_pagerank",
-    "text_token_count",
-    "ts_gapfill",
-    "ts_ewma",
-    "rank_global_twophase",
 ]
 
 

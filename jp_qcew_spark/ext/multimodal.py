@@ -34,6 +34,7 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -140,15 +141,172 @@ def decode_netpbm(payload: bytes) -> dict:
     }
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """REAL PNG encoder — stdlib only (zlib + struct): 8-bit truecolor
+    (color type 2), one IDAT, CRC-correct chunks. Rows deliberately cycle
+    through ALL FOUR non-trivial scanline filters (Sub/Up/Average/Paeth,
+    row r gets filter (r % 4) + 1) so a round-trip through
+    ``decode_png`` exercises every unfilter branch a real decoder needs —
+    a filter-0-only encoder would let a broken unfilter path pass."""
+    import struct
+    import zlib
+
+    h, w, channels = pixels.shape
+    assert channels == 3 and pixels.dtype.itemsize == 1
+    bpp = 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for r in range(h):
+        row = pixels[r].tobytes()
+        ftype = (r % 4) + 1
+        raw.append(ftype)
+        for i, x in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                raw.append((x - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((x - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((x - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((x - _paeth(left, up, ul)) & 0xFF)
+        prev = row
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode — stdlib only (zlib + struct + numpy): walk the chunk
+    stream (verifying every CRC), parse IHDR, inflate the concatenated
+    IDATs, undo all five scanline filters (None/Sub/Up/Average/Paeth),
+    and compute the same pixel features as ``decode_netpbm`` — including
+    the genuine nearest-neighbor 2× downsample. Supports 8-bit truecolor
+    (type 2) and greyscale (type 0), no interlace — the subset
+    ``encode_png`` emits, parsed the hard way. This closes the round-4
+    real-codec gate for PNG; JPEG/WAV/MPEG (lossy/entropy codecs with no
+    stdlib inflate) remain behind ``decode_media(real=True)``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError(f"not a PNG payload: {payload[:8]!r}")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2) or interlace:
+        raise ValueError(
+            f"unsupported PNG shape: depth={bit_depth} type={color_type} "
+            f"interlace={interlace}"
+        )
+    channels = 3 if color_type == 2 else 1
+    bpp = channels
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT payload has wrong length")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i, x in enumerate(line):
+            left = recon[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + left
+            elif ftype == 2:
+                v = x + up
+            elif ftype == 3:
+                v = x + (left + up) // 2
+            elif ftype == 4:
+                v = x + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            recon[i] = v & 0xFF
+        out[r * stride : (r + 1) * stride] = recon
+        prev = bytes(recon)
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    ds = arr[::2, ::2]
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "bit_depth": bit_depth,
+        "n_bytes": len(payload),
+        "mean_px": round(float(arr.mean()), 4),
+        "ds_mean_px": round(float(ds.mean()), 4),
+    }
+
+
 def decode_media(payload: bytes, real: bool = False) -> dict:
-    """Byte-level 'decode' of one payload. ``real=True`` would hand off to an
-    actual codec (PIL / ffmpeg / librosa) — not present in this container, so
-    it is an explicit stub; the deterministic fake path parses the header
-    bytes exactly like a codec parses an IHDR chunk."""
+    """Byte-level 'decode' of one payload. ``real=True`` hands off to an
+    actual codec: PNG decodes for real (``decode_png`` — stdlib zlib, no
+    PIL needed); the remaining codecs (JPEG/WAV/MPEG — PIL/ffmpeg/librosa
+    are not in this container) stay an explicit stub. The deterministic
+    fake path parses the header bytes exactly like a codec parses an
+    IHDR chunk."""
     if real:
+        if payload[:8] == PNG_SIGNATURE:
+            return decode_png(payload)
         raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg/librosa) are not available in this "
-            "environment; deterministic fake decode is the supported path"
+            "real codecs for JPEG/WAV/MPEG (PIL/ffmpeg/librosa) are not "
+            "available in this environment; PNG decodes for real via "
+            "decode_png, deterministic fake decode covers the rest"
         )
     width = (payload[4] << 8) | payload[5]
     height = (payload[6] << 8) | payload[7]
@@ -183,6 +341,88 @@ PPM_SCHEMA = StructType(
         StructField("ds_mean_px", DoubleType()),
     ]
 )
+
+
+PNG_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("ds_mean_px", DoubleType()),
+    ]
+)
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              w: int = 4, h: int = 4) -> DataFrame:
+    """Encode a REAL compressed PNG per document in Arrow batches: pixels
+    are the md5(text) hex stream repeated to ``w*h*3`` bytes (the same
+    deterministic rule as ``synth_ppm``, so the SQL oracle recomputes every
+    pixel from the text), then ``encode_png`` wraps them in CRC-correct
+    zlib-compressed chunks with all four non-trivial row filters."""
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as H
+
+        import numpy as np
+        import pandas as pd
+
+        n = w * h * 3
+        reps = (2 * n + 31) // 32
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                hx = (H.md5(t.encode()).hexdigest() * reps)[: 2 * n]
+                arr = np.frombuffer(
+                    bytes.fromhex(hx), dtype=np.uint8
+                ).reshape(h, w, 3)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, PNG_PAYLOAD_SCHEMA)
+
+
+def png_features(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Real-codec feature extraction over a binary PNG column: the payload
+    crosses the Arrow boundary as compressed bytes and is decoded by
+    ``decode_media(real=True)`` → ``decode_png`` (CRC walk, inflate,
+    unfilter, pixel mean + 2× downsample). A separate ``mapInPandas``
+    stage from ``synth_png`` on purpose: the compressed binary column
+    itself round-trips JVM↔Arrow, not just the decoded features."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("width", "height", "channels", "bit_depth", "mean_px",
+                "ds_mean_px")
+        for pdf in batches:
+            feats = [
+                {k: d[k] for k in cols}
+                for d in (
+                    decode_media(bytes(p), real=True)
+                    for p in pdf[payload_col]
+                )
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, PNG_FEATURES_SCHEMA
+    )
 
 
 def ppm_features(df: DataFrame, id_col: str = "doc_id",

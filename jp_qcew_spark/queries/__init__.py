@@ -78,6 +78,8 @@ _WINDOW_PRIORITY = [
     "outlier_mad",
     "graph_triangles",
     "join_asof_nearest",
+    # -- new in round 5: real stdlib PNG codec through two Arrow stages
+    "mm_png_decode",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",

@@ -76,13 +76,25 @@ def q_cast_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     null). Spark's non-ANSI cast has identical semantics; the oracle uses
     TRY_CAST. ``o_orderstatus`` ('O'/'F'/'P') never parses → null;
     the leading digit of ``o_orderpriority`` always parses.
+
+    Plain ``.cast()`` — NOT ``try_cast`` — on purpose: ``load_table`` has
+    already pinned ANSI off (``ensure_session_confs``), where the two are
+    semantically identical, but ``try_cast`` evaluates as
+    TryEval(ansi-Cast) and every unparseable row THROWS-and-catches a JVM
+    exception. Measured at sf0.1 (150k all-failing status rows): 1.4 s
+    per fresh plan with try_cast vs 0.2 s with plain cast — exception
+    construction dominates until JIT fast-throw warms per generated
+    class, and each new plan instance pays the warmup again. At 100 TB an
+    exception per malformed row is a scale-killer; null-on-failure
+    non-ANSI cast is exception-free (the r4→r5 tail-drift root cause,
+    BASELINE.md round-5 notes).
     """
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(
             F.col("o_orderkey"),
-            F.col("o_orderstatus").try_cast("long").alias("status_as_num"),
-            F.substring("o_orderpriority", 1, 1).try_cast("long").alias("priority_num"),
+            F.col("o_orderstatus").cast("long").alias("status_as_num"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_num"),
         )
         .groupBy("priority_num")
         .agg(

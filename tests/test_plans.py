@@ -589,3 +589,19 @@ def test_countmin_broadcasts_sketch_no_cartesian(spark, sf_dir):
     assert I.broadcast_hint_count(df) >= 1
     assert I.has_partial_aggregation(df)
     assert all(set(s) <= {"l_suppkey"} for s in I.read_schemas(df))
+
+
+def test_pq_adc_codes_only_shuffle(spark, sf_dir):
+    """PQ-ADC: the codebook and the per-query LUT are the ONLY broadcast
+    sides (both bounded: M×K and queries×M×K rows); the ADC join is a keyed
+    (m, code) equi-join whose corpus-side payload is the 4-code table —
+    never the raw 64-double vectors; no cartesian anywhere."""
+    from jp_qcew_spark.queries.similarity import q_knn_pq_adc
+
+    df = q_knn_pq_adc(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) <= 3  # cb (x2 plan instances) + qlut
+    assert I.has_partial_aggregation(df)
+    assert all(
+        set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
+    )

@@ -82,6 +82,7 @@ _WINDOW_PRIORITY = [
     #    deterministic Count-Min heavy hitters (exact-hash oracle)
     "mm_png_decode",
     "sketch_countmin_topk",
+    "knn_pq_adc",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -117,11 +118,12 @@ _WINDOW_PRIORITY = [
     "dedup_fuzzy",
     "events_variant",
     "udtf_tokenize",
-    "kmeans_cluster",
 ]
-# (events_session_gaps, the 22nd r4 first-timer, yields its second-green
-# slot to the two round-5 additions — a FIRST driver row for a new query
-# outranks a second consecutive green, per the r4 policy.)
+# (events_session_gaps and kmeans_cluster, the last two r4 first-timers,
+# yield their second-green slots to the three round-5 additions — a FIRST
+# driver row for a new query outranks a second consecutive green; both
+# keep their r4 green and kmeans_cluster additionally carries the round-5
+# isolated re-time in BASELINE.md.)
 
 
 def _load():

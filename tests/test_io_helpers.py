@@ -1,0 +1,44 @@
+"""Unit tests for io.py's widen_scan decision helpers (ADVICE r4): the
+byte-size conf parser and the URI-safe local file stat. Pure-Python — no
+Spark session needed."""
+
+from __future__ import annotations
+
+import os
+
+from jp_qcew_spark.io import _byte_string_as_bytes, _local_file_size
+
+DEFAULT = 134217728
+
+
+def test_byte_string_plain_and_suffixed():
+    assert _byte_string_as_bytes("134217728") == 134217728
+    # the ADVICE r4 case: '128m' must be 128 MiB, not 128 bytes
+    assert _byte_string_as_bytes("128m") == 128 << 20
+    assert _byte_string_as_bytes("128MB") == 128 << 20
+    assert _byte_string_as_bytes("1g") == 1 << 30
+    assert _byte_string_as_bytes(" 64k ") == 64 << 10
+    assert _byte_string_as_bytes("512b") == 512
+    assert _byte_string_as_bytes("2t") == 2 << 40
+
+
+def test_byte_string_unparseable_falls_back():
+    assert _byte_string_as_bytes("") == DEFAULT
+    assert _byte_string_as_bytes("abc") == DEFAULT
+    assert _byte_string_as_bytes("12x") == DEFAULT
+    assert _byte_string_as_bytes(None) == DEFAULT
+    assert _byte_string_as_bytes("1.5g") == DEFAULT  # Spark rejects these too
+
+
+def test_local_file_size_decodes_uris(tmp_path):
+    p = tmp_path / "a file.parquet"  # space -> %20 in inputFiles() URIs
+    p.write_bytes(b"x" * 123)
+    uri = "file://" + str(p).replace(" ", "%20")
+    assert _local_file_size(uri) == 123
+    assert _local_file_size(str(p)) == 123  # bare path entries too
+
+
+def test_local_file_size_skips_remote_and_missing(tmp_path):
+    assert _local_file_size("s3://bucket/key.parquet") is None
+    assert _local_file_size("hdfs://nn:8020/x.parquet") is None
+    assert _local_file_size(str(tmp_path / "missing.parquet")) is None

@@ -16,8 +16,9 @@ Usage:
 
 Runs at sf0.1 by default (SPARK_GRAFT_SF_DIR to override) — large enough
 that range-boundary samples disagree across plan instances (sf0.001
-masked the SNM bug). Round-4 result: 133/133 identical, zero errors
-(commit 879a9cb).
+masked the SNM bug). Round-4 result: 133/133 identical (commit 879a9cb); round-5 result
+on the finished r5 code (deterministic SNM, PNG/CMS/PQ additions):
+136/136 identical, zero errors.
 
 Output paths default to /tmp/determinism_<run-id>_{pass}.json; set
 DETERMINISM_RUN_ID to pin one (two concurrent sweeps with the default

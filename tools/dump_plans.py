@@ -91,6 +91,20 @@ HEADLINERS = [
      "Derandomized A-Res weighted sampling: md5-seeded keys computed "
      "map-side, global top-k via TakeOrderedAndProject — zero exchanges "
      "before the take."),
+    ("dedup_sorted_neighborhood",
+     "SNM blocking (r5 rework): global positions from deterministic "
+     "prefix-bucket counts + per-bucket row_number — a pure function of "
+     "the data, no range-boundary sampling, no checkpoint/materialized "
+     "leaf; neighborhood join stays a keyed (pos+delta)=pos equi-join."),
+    ("sketch_countmin_topk",
+     "Count-Min heavy hitters: one partial-agg shuffle to per-key counts, "
+     "the 4x256-counter sketch broadcasts back — per-partition sketches "
+     "merge bucket-wise at cluster scale."),
+    ("knn_pq_adc",
+     "Product quantization + ADC: codebooks and the per-query LUT "
+     "broadcast; the ADC scan joins the 4-codes-per-vector table on "
+     "(subspace, code) — the corpus shuffle payload is codes, never the "
+     "64-double vectors."),
 ]
 
 

@@ -83,6 +83,7 @@ _WINDOW_PRIORITY = [
     "mm_png_decode",
     "sketch_countmin_topk",
     "knn_pq_adc",
+    "cdc_apply",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -117,13 +118,12 @@ _WINDOW_PRIORITY = [
     "dedup_components",
     "dedup_fuzzy",
     "events_variant",
-    "udtf_tokenize",
 ]
-# (events_session_gaps and kmeans_cluster, the last two r4 first-timers,
-# yield their second-green slots to the three round-5 additions — a FIRST
-# driver row for a new query outranks a second consecutive green; both
-# keep their r4 green and kmeans_cluster additionally carries the round-5
-# isolated re-time in BASELINE.md.)
+# (events_session_gaps, kmeans_cluster and udtf_tokenize, the last three
+# r4 first-timers, yield their second-green slots to the four round-5
+# additions — a FIRST driver row for a new query outranks a second
+# consecutive green; all three keep their r4 green and kmeans_cluster
+# additionally carries the round-5 isolated re-time in BASELINE.md.)
 
 
 def _load():

@@ -460,3 +460,69 @@ FROM rz GROUP BY event_type ORDER BY event_type
 
 QUERIES["outlier_mad"] = q_outlier_mad
 ORACLE["outlier_mad"] = ORACLE_OUTLIER_MAD
+
+
+# --------------------------------------------------------------------------
+# cdc_apply — changelog compaction (CDC snapshot materialization)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a current-state snapshot from a CDC changelog
+    (Debezium-apply / Kafka log-compaction semantics) — the write-side twin
+    of ``scd2_history`` (full version history) and ``merge_upsert``
+    (two-table merge): here a SINGLE ordered op stream per key compacts to
+    last-writer-wins, with delete tombstones REMOVING the key from the
+    snapshot entirely.
+
+    Op mapping over ``events``: 'purchase'/'click' are upserts of
+    ``value``, 'view' is a delete tombstone; order is (ts, event_id) —
+    the unique event_id makes last-writer deterministic under equal
+    timestamps (same tie-break discipline as scd2_history).
+
+    Scale shape: ONE shuffle on the key (window partitionBy user_id);
+    the per-key sort is partition-local, the filter keeps exactly one row
+    per surviving key before the presentation sort. At 100 TB this is the
+    standard compaction pass over a day's changelog partition — no join,
+    no state beyond the window sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_ops", F.count("*").over(Window.partitionBy("user_id"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "view"))
+        .select(
+            "user_id",
+            F.round("value", 2).alias("last_value"),
+            F.col("ts").alias("updated_at"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+)
+SELECT user_id,
+       round(value, 2) AS last_value,
+       ts AS updated_at,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND event_type <> 'view'
+ORDER BY user_id
+"""
+
+QUERIES["cdc_apply"] = q_cdc_apply
+ORACLE["cdc_apply"] = ORACLE_CDC_APPLY

@@ -66,6 +66,11 @@ QUERIES = [
     "dedup_sorted_neighborhood",
     "graph_triangles",
     "join_asof_nearest",
+    # r5 additions
+    "mm_png_decode",
+    "sketch_countmin_topk",
+    "knn_pq_adc",
+    "cdc_apply",
 ]
 
 

@@ -84,6 +84,7 @@ _WINDOW_PRIORITY = [
     "sketch_countmin_topk",
     "knn_pq_adc",
     "cdc_apply",
+    "stream_cdc_apply",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -117,13 +118,13 @@ _WINDOW_PRIORITY = [
     "agg_distinct_exact",
     "dedup_components",
     "dedup_fuzzy",
-    "events_variant",
 ]
-# (events_session_gaps, kmeans_cluster and udtf_tokenize, the last three
-# r4 first-timers, yield their second-green slots to the four round-5
-# additions — a FIRST driver row for a new query outranks a second
-# consecutive green; all three keep their r4 green and kmeans_cluster
-# additionally carries the round-5 isolated re-time in BASELINE.md.)
+# (events_session_gaps, kmeans_cluster, udtf_tokenize and events_variant,
+# the last four r4 first-timers, yield their second-green slots to the
+# five round-5 additions — a FIRST driver row for a new query outranks a
+# second consecutive green; all four keep their r4 green and
+# kmeans_cluster additionally carries the round-5 isolated re-time in
+# BASELINE.md.)
 
 
 def _load():

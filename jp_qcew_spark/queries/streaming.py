@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from jp_qcew_spark.streaming import (
+    stream_cdc_apply,
     stream_dedup_keys,
     stream_session_windows,
     stream_stateful_user_stats,
@@ -279,3 +280,32 @@ FROM events GROUP BY 1 ORDER BY shard
 
 QUERIES["stream_python_source_sharded"] = q_stream_python_source_sharded
 ORACLE["stream_python_source_sharded"] = ORACLE_STREAM_PYTHON_SOURCE_SHARDED
+
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot maintenance (see streaming.pipelines
+    .stream_cdc_apply); at quiescence it must equal the batch
+    ``cdc_apply`` compaction exactly, so the two share one oracle."""
+    return stream_cdc_apply(spark, sf_dir).orderBy("user_id")
+
+
+# identical semantics to the batch cdc_apply oracle (warehouse.py)
+ORACLE_STREAM_CDC = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+)
+SELECT user_id,
+       round(value, 2) AS last_value,
+       ts AS updated_at,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rn = 1 AND event_type <> 'view'
+ORDER BY user_id
+"""
+
+QUERIES["stream_cdc_apply"] = q_stream_cdc_apply
+ORACLE["stream_cdc_apply"] = ORACLE_STREAM_CDC

@@ -252,3 +252,45 @@ def test_snm_pair_count_identity(spark, sf_dir):
         pairs.groupBy("pos_a", "delta").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_prefix_bucket_positions_equal_global_sort(spark):
+    """The r5 SNM position scheme (bucket = 2-char key prefix; global pos =
+    bucket offset + per-bucket row_number) must equal a direct global
+    row_number over (key, doc_id) for ADVERSARIAL keys: empty strings,
+    keys shorter than the prefix, multi-byte UTF-8, shared prefixes, and
+    duplicate keys (doc_id tie-break). UTF-8 byte order preserves
+    code-point order, so bucket order can never contradict key order."""
+    from pyspark.sql import Window, functions as F
+
+    keys = ["", "a", "ab", "abc", "abé", "é", "éz",
+            "\U0001f600x", "zz", "z", "  lead", "ab", "aß"]
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "doc_id long, key string"
+    )
+    bucketed = df.withColumn("bkt", F.substring(F.col("key"), 1, 2))
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("bkt").orderBy(
+        F.col("key").asc(), F.col("doc_id").asc()
+    )
+    got = {
+        r.doc_id: r.pos
+        for r in bucketed.withColumn("lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "bkt")
+        .select("doc_id", (F.col("off") + F.col("lrk")).alias("pos"))
+        .collect()
+    }
+    w_global = Window.orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    want = {
+        r.doc_id: r.pos
+        for r in df.withColumn("pos", F.row_number().over(w_global))
+        .select("doc_id", "pos")
+        .collect()
+    }
+    assert got == want

@@ -85,6 +85,7 @@ _WINDOW_PRIORITY = [
     "knn_pq_adc",
     "cdc_apply",
     "stream_cdc_apply",
+    "join_pit_scd2",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -117,12 +118,11 @@ _WINDOW_PRIORITY = [
     "quantiles_exact",
     "agg_distinct_exact",
     "dedup_components",
-    "dedup_fuzzy",
 ]
-# (events_session_gaps, kmeans_cluster, udtf_tokenize and events_variant,
-# the last four r4 first-timers, yield their second-green slots to the
-# five round-5 additions — a FIRST driver row for a new query outranks a
-# second consecutive green; all four keep their r4 green and
+# (events_session_gaps, kmeans_cluster, udtf_tokenize, events_variant and
+# dedup_fuzzy, the last five r4 first-timers, yield their second-green
+# slots to the six round-5 additions — a FIRST driver row for a new query
+# outranks a second consecutive green; all five keep their r4 green and
 # kmeans_cluster additionally carries the round-5 isolated re-time in
 # BASELINE.md.)
 

@@ -526,3 +526,85 @@ ORDER BY user_id
 
 QUERIES["cdc_apply"] = q_cdc_apply
 ORACLE["cdc_apply"] = ORACLE_CDC_APPLY
+
+
+# --------------------------------------------------------------------------
+# join_pit_scd2 — point-in-time (as-of) join against the SCD2 dimension
+# --------------------------------------------------------------------------
+
+
+def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness join — the feature-store / ML-training
+    pattern that motivates keeping SCD2 history at all: each fact (click)
+    joins the dimension VERSION that was active at the fact's own
+    timestamp, never a later one (no feature leakage). Dimension versions
+    come from the purchase changelog exactly as ``scd2_history`` builds
+    them; a click matches the unique version with
+    ``valid_from <= ts < valid_to`` (open-ended current version matches
+    everything after its start).
+
+    Scale shape: both sides shuffle ONCE on user_id and the interval
+    predicate rides the keyed join as a residual filter — per-user version
+    chains are short, so the within-key scan is bounded and there is no
+    range-join blowup and no cartesian. (For adversarial per-key version
+    counts, the union + last-non-null-window as-of form of ``join_asof``
+    is the fallback — same results, one window instead of a join.)"""
+    ev = load_table(spark, sf_dir, "events")
+    ver = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
+        .withColumn(
+            "valid_to",
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = ver.alias("v")
+    c = clicks.alias("c")
+    return (
+        c.join(
+            v,
+            (F.col("c.user_id") == F.col("v.user_id"))
+            & (F.col("v.ts") <= F.col("c.click_ts"))
+            & (
+                F.col("v.valid_to").isNull()
+                | (F.col("c.click_ts") < F.col("v.valid_to"))
+            ),
+        )
+        .select(
+            F.col("c.click_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.click_ts"),
+            F.col("v.event_id").alias("version_id"),
+            F.col("v.value").alias("value_asof"),
+        )
+        .orderBy("user_id", "click_ts", "click_id")
+    )
+
+
+ORACLE_JOIN_PIT_SCD2 = """
+WITH ver AS (
+  SELECT user_id, event_id, ts, round(value, 2) AS value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.click_id, c.user_id AS user_id, c.click_ts,
+       v.event_id AS version_id, v.value AS value_asof
+FROM clicks c JOIN ver v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.click_ts
+ AND (v.valid_to IS NULL OR c.click_ts < v.valid_to)
+ORDER BY c.user_id, c.click_ts, c.click_id
+"""
+
+QUERIES["join_pit_scd2"] = q_join_pit_scd2
+ORACLE["join_pit_scd2"] = ORACLE_JOIN_PIT_SCD2

@@ -605,3 +605,19 @@ def test_pq_adc_codes_only_shuffle(spark, sf_dir):
     assert all(
         set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
     )
+
+
+def test_pit_scd2_keyed_join_no_cartesian(spark, sf_dir):
+    """PIT-against-SCD2: the interval predicate must ride the user_id
+    equi-join as a residual (keyed join, no range-join cartesian), both
+    scans prune to the referenced event columns, and there is no
+    broadcast hint (both sides are fact-scale)."""
+    from jp_qcew_spark.queries.warehouse import q_join_pit_scd2
+
+    df = q_join_pit_scd2(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    assert all(
+        set(s) <= {"user_id", "event_id", "ts", "event_type", "value"}
+        for s in I.read_schemas(df)
+    )

@@ -7,7 +7,7 @@ lambdas / regex functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.functions import text as X
@@ -578,3 +578,75 @@ ORACLE_TEXT_ENTROPY = _entropy_oracle()
 
 QUERIES["text_entropy"] = q_text_entropy
 ORACLE["text_entropy"] = ORACLE_TEXT_ENTROPY
+
+
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability — the conditional-model
+    step up from ``text_lm_score``'s unigram: P(w|w_prev) = c(w_prev,w) /
+    c(w_prev) (MLE; every scored bigram exists in the corpus-trained
+    model, so no smoothing mass is needed and the oracle sees identical
+    values). Word-order scrambling that unigram perplexity cannot see
+    drops a document's score here — the complementary curation gate.
+
+    Three keyed passes, no new shapes: bigrams from ONE doc-keyed lead
+    window over positioned tokens; the bigram model is a (w, w2) count
+    shuffle; context counts RE-AGGREGATE the bigram model (vocab-sized,
+    never a second corpus pass); scoring joins bigrams to the model on
+    (w, w2) — same skew posture as text_lm_score (AQE skew-split, top-K
+    broadcast variant at 100 TB). Docs with under two tokens have no
+    bigrams and drop out symmetrically on both engines."""
+    d = _docs(spark, sf_dir, "doc_id", "text").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(w_doc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w", "w2")
+    )
+    bmodel = big.groupBy("w", "w2").agg(F.count("*").cast("double").alias("c"))
+    ctx = bmodel.groupBy("w").agg(F.sum("c").alias("cp"))
+    model = bmodel.join(ctx, "w").select(
+        "w", "w2", F.log(F.col("c") / F.col("cp")).alias("logp")
+    )
+    return (
+        big.join(model, ["w", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_LM_BIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+         generate_subscripts(
+           regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+  FROM documents WHERE trim(text) <> ''
+), big AS (
+  SELECT doc_id, w, w2 FROM (
+    SELECT doc_id, w,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+), bm AS (
+  SELECT w, w2, count(*)::DOUBLE AS c FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT w, sum(c) AS cp FROM bm GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(c / cp)), 4) AS avg_logp
+FROM big JOIN bm USING (w, w2) JOIN ctx USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["text_lm_bigram"] = q_text_lm_bigram
+ORACLE["text_lm_bigram"] = ORACLE_TEXT_LM_BIGRAM

@@ -71,6 +71,9 @@ QUERIES = [
     "sketch_countmin_topk",
     "knn_pq_adc",
     "cdc_apply",
+    "stream_cdc_apply",
+    "join_pit_scd2",
+    "text_lm_bigram",
 ]
 
 

@@ -86,6 +86,7 @@ _WINDOW_PRIORITY = [
     "cdc_apply",
     "stream_cdc_apply",
     "join_pit_scd2",
+    "text_lm_bigram",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -117,14 +118,13 @@ _WINDOW_PRIORITY = [
     "grouping_sets",
     "quantiles_exact",
     "agg_distinct_exact",
-    "dedup_components",
 ]
-# (events_session_gaps, kmeans_cluster, udtf_tokenize, events_variant and
-# dedup_fuzzy, the last five r4 first-timers, yield their second-green
-# slots to the six round-5 additions — a FIRST driver row for a new query
-# outranks a second consecutive green; all five keep their r4 green and
-# kmeans_cluster additionally carries the round-5 isolated re-time in
-# BASELINE.md.)
+# (events_session_gaps, kmeans_cluster, udtf_tokenize, events_variant,
+# dedup_fuzzy and dedup_components — the last six r4 first-timers — yield
+# their second-green slots to the seven round-5 additions: a FIRST driver
+# row for a new query outranks a second consecutive green; all six keep
+# their r4 green and kmeans_cluster additionally carries the round-5
+# isolated re-time in BASELINE.md.)
 
 
 def _load():

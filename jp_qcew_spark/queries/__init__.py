@@ -87,6 +87,7 @@ _WINDOW_PRIORITY = [
     "stream_cdc_apply",
     "join_pit_scd2",
     "text_lm_bigram",
+    "knn_ivfpq",
     # -- widen_scan-replanned, driver evidence stale since r1-r3 (11)
     "text_stats",
     "text_quality",
@@ -117,14 +118,13 @@ _WINDOW_PRIORITY = [
     "cube_agg",
     "grouping_sets",
     "quantiles_exact",
-    "agg_distinct_exact",
 ]
 # (events_session_gaps, kmeans_cluster, udtf_tokenize, events_variant,
-# dedup_fuzzy and dedup_components — the last six r4 first-timers — yield
-# their second-green slots to the seven round-5 additions: a FIRST driver
-# row for a new query outranks a second consecutive green; all six keep
-# their r4 green and kmeans_cluster additionally carries the round-5
-# isolated re-time in BASELINE.md.)
+# dedup_fuzzy, dedup_components and agg_distinct_exact — the last seven
+# r4 first-timers — yield their second-green slots to the eight round-5
+# additions: a FIRST driver row for a new query outranks a second
+# consecutive green; all seven keep their r4 green and kmeans_cluster
+# additionally carries the round-5 isolated re-time in BASELINE.md.)
 
 
 def _load():

@@ -1172,3 +1172,215 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 
 QUERIES["knn_pq_adc"] = q_knn_pq_adc
 ORACLE["knn_pq_adc"] = ORACLE_KNN_PQ_ADC
+
+
+# --------------------------------------------------------------------------
+# knn_ivfpq — the IVFADC composition: coarse cells + PQ codes within cell
+# --------------------------------------------------------------------------
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the full IVFADC architecture (FAISS's default billion-
+    scale index): the coarse quantizer (``knn_ivf``'s deterministic
+    label-mean centroids) restricts each query to ITS OWN cell
+    (sub-linear candidate set), and within the cell candidates are scored
+    by PQ asymmetric distance (``knn_pq_adc``'s 4-codes-per-vector
+    compression) — so the scan side touches neither the full corpus nor
+    any raw vector. The two stages compose exactly as their standalone
+    queries prove them; the shuffled candidate payload is (cell, m, code)
+    per vector, the codebooks and the per-query LUT broadcast.
+    """
+    vecs = _vecs(spark, sf_dir)
+    # --- coarse quantizer: nearest label-mean centroid by cosine --------
+    ex = vecs.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ax"))),
+                lambda s: F.round(s["ax"], 6),
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("clabel"), "cv")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(
+        F.col("cscore").desc(), F.col("clabel").asc()
+    )
+    assigned = (
+        vecs.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "clabel",
+            S.cosine(F.col("v"), F.col("cv")).alias("cscore"),
+        )
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", F.col("clabel").alias("cell"))
+        .persist()  # consumed by codebook, encode, and query sides
+    )
+    sub = assigned.select(
+        "vec_id",
+        "label",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                            "sv"
+                        ),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", "label", "cell",
+        F.col("s.m").alias("m"), F.col("s.sv").alias("sv"),
+    )
+    # --- PQ codebooks per (subspace, label), rounded ---------------------
+    exs = sub.select("m", "label", F.posexplode("sv").alias("pos", "x"))
+    cb = (
+        exs.groupBy("m", "label", "pos")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("m", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ax"))),
+                lambda s: F.round(s["ax"], 6),
+            ).alias("cw")
+        )
+        .select("m", F.col("label").alias("code"), "cw")
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "cell",
+            "m",
+            F.struct(
+                S.l2sq(F.col("sv"), F.col("cw")).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id", "cell", "m")
+        .agg(F.min("sc").alias("best"))
+        .select("vec_id", "cell", "m", F.col("best.code").alias("code"))
+    )
+    qlut = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("qcell"),
+            "m",
+            "code",
+            F.round(S.l2sq(F.col("sv"), F.col("cw")), 6).alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qlut), ["m", "code"])
+        .filter(
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_d2",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_KNN_IVFPQ = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs
+),
+cent AS (
+  SELECT label AS clabel, array_agg(round(ax, 6) ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(x) AS ax FROM ex GROUP BY 1, 2)
+  GROUP BY 1
+),
+cell_scored AS (
+  SELECT vecs.vec_id, vecs.label, vecs.v, cent.clabel,
+         round(list_sum(list_transform(list_zip(vecs.v, cent.cv), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(list_zip(vecs.v, vecs.v), x -> x[1] * x[2])))
+            * sqrt(list_sum(list_transform(list_zip(cent.cv, cent.cv), x -> x[1] * x[2])))), 6)
+           AS cscore
+  FROM vecs CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, label, v, clabel AS cell FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cscore DESC, clabel ASC) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+sub AS (
+  SELECT vec_id, label, cell, m,
+         v[m * {_PQ_SUBDIM} + 1 : (m + 1) * {_PQ_SUBDIM}] AS sv
+  FROM assigned CROSS JOIN range(0, {_PQ_M}) t(m)
+),
+exs AS (
+  SELECT m, label, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM sub
+),
+cb AS (
+  SELECT m, label AS code, array_agg(round(ax, 6) ORDER BY pos) AS cw
+  FROM (SELECT m, label, pos, avg(x) AS ax FROM exs GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+encs AS (
+  SELECT s.vec_id, s.cell, s.m, cb.code,
+         list_sum(list_transform(list_zip(s.sv, cb.cw),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM sub s JOIN cb ON cb.m = s.m
+),
+codes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM encs
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, s.cell AS qcell, s.m, cb.code,
+         round(list_sum(list_transform(list_zip(s.sv, cb.cw),
+                        x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS qd2
+  FROM sub s JOIN cb ON cb.m = s.m
+  WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.qd2), 6) AS adc_d2
+  FROM codes c JOIN qlut q ON q.m = c.m AND q.code = c.code
+  WHERE c.cell = q.qcell AND c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_d2, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+QUERIES["knn_ivfpq"] = q_knn_ivfpq
+ORACLE["knn_ivfpq"] = ORACLE_KNN_IVFPQ

@@ -621,3 +621,17 @@ def test_pit_scd2_keyed_join_no_cartesian(spark, sf_dir):
         set(s) <= {"user_id", "event_id", "ts", "event_type", "value"}
         for s in I.read_schemas(df)
     )
+
+
+def test_ivfpq_cell_restricted_codes_join(spark, sf_dir):
+    """IVFADC composition: no cartesian, only bounded broadcasts (centroids,
+    codebooks, per-query LUT), partial aggregation present, scans pruned to
+    the embedding columns."""
+    from jp_qcew_spark.queries.similarity import q_knn_ivfpq
+
+    df = q_knn_ivfpq(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+    assert all(
+        set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
+    )

@@ -74,6 +74,7 @@ QUERIES = [
     "stream_cdc_apply",
     "join_pit_scd2",
     "text_lm_bigram",
+    "knn_ivfpq",
 ]
 
 

@@ -251,9 +251,14 @@ def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``overcount = est − exact ≥ 0`` always.
 
     Unlike the HLL queries (randomized → bounded-error FLAGS), every byte
-    here is deterministic — bucket = md5("j-key") prefix mod w, identical
-    in Spark and DuckDB — so the oracle recomputes the ENTIRE sketch and
-    the exact estimate values are hash-matched, not banded.
+    here is deterministic — bucket = value of the LAST TWO md5 hex chars,
+    parsed positionally via ``instr('0123456789abcdef', c)`` arithmetic
+    that Spark and DuckDB define identically (w=256 == 16², so two hex
+    digits cover the bucket space exactly, no modulo) — so the oracle
+    recomputes the ENTIRE sketch and the exact estimate values are
+    hash-matched, not banded.  (Round 6: replaced the earlier
+    ``CAST('0x'||hex AS BIGINT)`` oracle parse, whose hex-string→int
+    semantics vary across DuckDB builds and went driver-red in r5.)
 
     Scale shape: one partial-agg shuffle to per-key counts (building CMS
     from pre-aggregated counts is identical to streaming increments — sums
@@ -264,30 +269,34 @@ def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = li.groupBy(F.col("l_suppkey").alias("k")).agg(
         F.count("*").alias("c")
     )
-    probes = freq.select(
-        "k",
-        "c",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(_CMS_D)])
-        ).alias("j"),
-    ).withColumn(
-        "b",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("j").cast("string"),
-                        F.lit("-"),
-                        F.col("k").cast("string"),
-                    )
-                ),
-                1,
-                8,
+    probes = (
+        freq.select(
+            "k",
+            "c",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_CMS_D)])
+            ).alias("j"),
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit("-"),
+                    F.col("k").cast("string"),
+                )
             ),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_W,
+        )
+        # Positional hex parse — the SAME expression text runs in the
+        # DuckDB oracle, so there is no cross-engine cast to disagree on.
+        .withColumn(
+            "b",
+            F.expr(
+                "(instr('0123456789abcdef', substr(h, 31, 1)) - 1) * 16"
+                " + instr('0123456789abcdef', substr(h, 32, 1)) - 1"
+            ).cast("long"),
+        )
+        .drop("h")
     )
     cms = probes.groupBy("j", "b").agg(F.sum("c").alias("total"))
     est = (
@@ -310,11 +319,14 @@ def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SKETCH_COUNTMIN = f"""
 WITH freq AS (
   SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), hashed AS (
+  SELECT k, c, j, md5(j || '-' || k) AS h
+  FROM freq CROSS JOIN range(0, {_CMS_D}) t(j)
 ), probes AS (
   SELECT k, c, j,
-         CAST(('0x' || substr(md5(j || '-' || k), 1, 8)) AS BIGINT)
-           % {_CMS_W} AS b
-  FROM freq CROSS JOIN range(0, {_CMS_D}) t(j)
+         (instr('0123456789abcdef', substr(h, 31, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(h, 32, 1)) - 1 AS b
+  FROM hashed
 ), cms AS (
   SELECT j, b, sum(c) AS total FROM probes GROUP BY 1, 2
 )

@@ -118,14 +118,20 @@ def main() -> None:
             df.collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
-        # Drop caches the query persisted: pipelines .persist() hot
-        # intermediates and hand back only the result DF, so over a
-        # 114-query suite the block manager accumulates hundreds of dead
-        # cached partitions -> executor memory pressure + GC that inflated
-        # later queries ~2x (round-3 measurement notes). Clearing between
-        # queries makes each median an isolated-run cost, which is what
-        # the per-query anchors compare against.
-        spark.catalog.clearCache()
+        # Cache scoping is the ENGINE's job now (round 6, VERDICT r5 #3):
+        # every internal persist routes through io.track_cache and the query
+        # registry releases the previous query's caches when a different
+        # query starts building, so the block manager never accumulates dead
+        # partitions across the suite (the round-3 2x late-suite inflation).
+        # The bench no longer calls spark.catalog.clearCache() — each median
+        # is an isolated-run cost because the engine scopes its own caches.
+
+    # release the LAST registry query's scoped caches (the wrapper only
+    # fires when the NEXT query builds) so the ETL/streaming sections below
+    # start cache-free, as they did under the old clearCache regime
+    from jp_qcew_spark.io import release_caches
+
+    release_caches()
 
     if not ONLY or "qcew_etl" in ONLY:
         # QCEW vertical slice: fixed-width decode -> partitioned parquet -> agg

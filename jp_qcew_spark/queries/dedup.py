@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import dedup as D
 from jp_qcew_spark.functions.text import fingerprint
-from jp_qcew_spark.io import cache_parallel, load_table, widen_scan
+from jp_qcew_spark.io import cache_parallel, load_table, track_cache, widen_scan
 
 _SH_SQL = r"""
   SELECT doc_id,
@@ -172,8 +172,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()
     )
+    cand = track_cache(cand)
     # verify: first narrow the exploded shingles to docs that appear in some
     # candidate pair (semi-join), then intersect within that small set.  No
     # broadcast hints anywhere in the verify chain: on an honest corpus
@@ -187,7 +187,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    exc = ex.join(cand_docs, "doc_id", "semi").persist()
+    exc = track_cache(ex.join(cand_docs, "doc_id", "semi"))
     inter = (
         cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
         .join(

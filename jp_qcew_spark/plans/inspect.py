@@ -101,3 +101,16 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the plan combines map-side (partial_*) before the shuffle —
     the difference between shuffling group states and shuffling raw rows."""
     return bool(re.search(r"partial_(sum|avg|count|min|max)", formatted_plan(df)))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every non-empty PartitionFilters entry across the plan's file scans —
+    non-empty means the scan prunes whole directories/files from a
+    hive-partitioned layout before any row is read."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out

@@ -635,3 +635,66 @@ def test_ivfpq_cell_restricted_codes_join(spark, sf_dir):
     assert all(
         set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
     )
+
+
+def test_widen_scan_noops_on_many_file_corpus(spark, tmp_path):
+    """The many-file no-op path (VERDICT r5 #7): when the file index
+    already yields at least core-count splits, widen_scan must NOT add an
+    exchange even though the corpus clears the size gate — on a 100 TB
+    many-file corpus a blanket repartition of raw text would itself be
+    the bottleneck; parallelism already comes from the file splits."""
+    import pyspark.sql.functions as F
+
+    from jp_qcew_spark.io import _WIDEN_MIN_BYTES, widen_scan
+
+    dp = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many.parquet")
+    # dp+8 files of incompressible payload, comfortably over the byte gate
+    spark.range(60_000).select(
+        "id",
+        F.sha2(F.col("id").cast("string"), 512).alias("a"),
+        F.sha2((F.col("id") + 1).cast("string"), 512).alias("b"),
+    ).repartition(dp + 8).write.parquet(many)
+    df = spark.read.parquet(many)
+    files = df.inputFiles()
+    assert len(files) >= dp
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    total = sum(
+        _os.path.getsize(unquote(urlparse(f).path)) for f in files
+    )
+    assert total >= _WIDEN_MIN_BYTES, "fixture must clear the size gate"
+    assert I.count_exchanges(widen_scan(df)) == 0
+
+
+def test_static_partition_pruning_on_year_qtr_layout(spark, tmp_path):
+    """Static partition pruning against a multi-partition, multi-file
+    (year, qtr) corpus (VERDICT r5 #7): a year=/qtr= equality filter must
+    appear as PartitionFilters on the scan (pruned BEFORE any row is
+    read) — and the pruned scan must touch only that partition's files,
+    not the whole tree. This is the layout qcew_etl writes
+    (operators/etl.py partitionBy year,qtr), exercised here with 12
+    partitions x multiple files."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "qcew_tree")
+    spark.range(12_000).select(
+        (2020 + F.col("id") % 3).cast("int").alias("year"),
+        (1 + (F.col("id") / 3).cast("long") % 4).cast("int").alias("qtr"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(4).write.partitionBy("year", "qtr").parquet(root)
+    full = spark.read.parquet(root)
+    n_all = len(full.inputFiles())
+    pruned = full.filter((F.col("year") == 2021) & (F.col("qtr") == 2))
+    pf = I.partition_filters(pruned)
+    assert any("year" in f for f in pf) and any("qtr" in f for f in pf)
+    # pruning is real at EXECUTION time: only the one (year,qtr) leaf's
+    # files are actually opened (inputFiles() is relation-level and would
+    # still list the whole tree)
+    n_pruned = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert 0 < n_pruned < n_all / 6
+    # and no data filter remains — partition columns never reach the rows
+    assert not I.pushed_filters(pruned)

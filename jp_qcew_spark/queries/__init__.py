@@ -51,12 +51,14 @@ _GROUPS = [
 #   (VERDICT r5 "What's wrong" #2).
 # - then strictly OLDEST-driver-evidence first (computed from the
 #   CORRECTNESS_r01..r05 union): data_split (r1, the oldest row in the
-#   registry), the 32 queries whose latest row is r2, and 14 of the 23
-#   r3-era queries (alphabetical; the remaining nine r3 rows —
+#   registry), the 32 queries whose latest row is r2, and 10 of the 23
+#   r3-era queries (alphabetical; the remaining thirteen r3 rows —
+#   mm_frame_sample, mm_metadata, mm_ppm_decode, profile_columns,
 #   regional_volume, sample_reservoir, sample_weighted, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
-#   wages_label_domain — plus the r4 cohort lead the round-7 window,
-#   completing the full re-certification in two rounds at 50/window).
+#   wages_label_domain — plus the r4 cohort lead the round-7 window;
+#   four r3 slots yielded to the round-6 additions, since a FIRST
+#   driver row for a new query outranks an oldest-evidence refresh).
 # The round-6 cache-scoping rework (io.track_cache) touched
 # knn_ivf/knn_ivfpq/kmeans_cluster/graph_pagerank/dedup internals but
 # changes only cache lifetime, not plans or values; all 141 queries were
@@ -66,8 +68,14 @@ _GROUPS = [
 _WINDOW_PRIORITY = [
     # -- the r5 red, reworked oracle (must re-certify first)
     "sketch_countmin_topk",
-    # -- new in round 6: real GIF/LZW codec through two Arrow stages
+    # -- new in round 6: real GIF/LZW codec through two Arrow stages,
+    #    snapshot-diff CDC generation, int8 embedding quantization,
+    #    temperature-scaled domain mixing, containment near-dup pairs
     "mm_gif_decode",
+    "cdc_diff_snapshots",
+    "embedding_quantize_int8",
+    "sample_temperature",
+    "text_containment",
     # -- the one widen_scan-replanned query never re-checked
     "text_token_count",
     # -- oldest driver evidence: r1 (1)
@@ -116,10 +124,6 @@ _WINDOW_PRIORITY = [
     "funnel_steps",
     "grouped_zscore",
     "mm_decode_features",
-    "mm_frame_sample",
-    "mm_metadata",
-    "mm_ppm_decode",
-    "profile_columns",
 ]
 
 

@@ -713,3 +713,118 @@ FROM flagged GROUP BY source ORDER BY source
 
 QUERIES["quality_percentile_band"] = q_quality_percentile_band
 ORACLE["quality_percentile_band"] = ORACLE_QUALITY_PERCENTILE_BAND
+
+
+# --------------------------------------------------------------------------
+# sample_temperature — temperature-scaled domain mixing (exact quotas)
+# --------------------------------------------------------------------------
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling — the multilingual/multi-domain
+    mixing rule used for LLM pretraining corpora (sample domain d with
+    probability ∝ p_d^α; α=0.5 here via sqrt): small domains are
+    up-weighted relative to their natural share, unlike ``domain_mix``'s
+    uniform downsample-to-min. Quotas are EXACT (floor(T·√n_d / Σ√n),
+    T = half the corpus), filled deterministically by content-hash order —
+    no RNG, stable under re-ingestion like the whole sampling family.
+
+    Scale shape: exact per-domain quotas need a per-domain rank, and a
+    plain window over 5 domains would serialize the corpus into 5
+    partitions — the low-cardinality skew cliff. Instead this reuses the
+    ``rank_global_twophase`` discipline per domain: rank within
+    (domain, first-hash-byte bucket) — 256 even buckets per domain, no
+    skew — plus broadcast per-bucket prefix offsets (a ≤ domains×256-row
+    aggregate) reconstructs the exact global rank within each domain.
+    One partial-agg shuffle for counts, one window shuffle on the
+    well-distributed (source, bucket) key, tiny broadcasts everywhere
+    else."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    base = d.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    counts = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.sqrt("n_docs")).alias("z"), F.sum("n_docs").alias("n")
+    )
+    quota = counts.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.col("n") / 2.0 * F.sqrt("n_docs") / F.col("z")
+        ).cast("long").alias("quota"),
+    )
+    bcounts = base.groupBy("source", "bucket").agg(F.count("*").alias("bn"))
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcounts.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("off"),
+    )
+    wrk = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    ranked = (
+        base.join(F.broadcast(offs), ["source", "bucket"])
+        .withColumn("grk", F.col("off") + F.row_number().over(wrk))
+    )
+    sel = ranked.join(F.broadcast(quota), "source").withColumn(
+        "selected", (F.col("grk") <= F.col("quota")).cast("long")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.min("n_docs").cast("long").alias("n_docs"),
+            F.min("quota").alias("quota"),
+            F.sum("selected").cast("long").alias("n_selected"),
+            F.sum(
+                F.when(F.col("selected") == 1, F.col("doc_id"))
+            ).cast("long").alias("sel_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+), counts AS (
+  SELECT source, count(*) AS n_docs FROM base GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS n FROM counts
+), quota AS (
+  SELECT source, n_docs,
+         CAST(floor(n / 2.0 * sqrt(n_docs) / z) AS BIGINT) AS quota
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS grk
+  FROM base
+), sel AS (
+  SELECT r.source, q.n_docs, q.quota, r.doc_id,
+         CASE WHEN r.grk <= q.quota THEN 1 ELSE 0 END AS selected
+  FROM ranked r JOIN quota q USING (source)
+)
+SELECT source,
+       CAST(min(n_docs) AS BIGINT) AS n_docs,
+       min(quota) AS quota,
+       CAST(sum(selected) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN selected = 1 THEN doc_id END) AS BIGINT)
+         AS sel_checksum
+FROM sel GROUP BY source ORDER BY source
+"""
+
+QUERIES["sample_temperature"] = q_sample_temperature
+ORACLE["sample_temperature"] = ORACLE_SAMPLE_TEMPERATURE

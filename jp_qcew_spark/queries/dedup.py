@@ -817,3 +817,74 @@ ORDER BY pos_a, delta
 
 QUERIES["dedup_sorted_neighborhood"] = q_dedup_sorted_neighborhood
 ORACLE["dedup_sorted_neighborhood"] = ORACLE_DEDUP_SNM
+
+
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-similarity near-dup pairs — the asymmetric companion to
+    ``dedup_jaccard_pairs``: C(A→B) = |S(A)∩S(B)| / |S(A)| (Broder's
+    containment). A short document quoted inside a much longer one scores
+    high containment but LOW Jaccard (the union is dominated by the long
+    doc), so a Jaccard-only dedup pass ships the duplicated passage into
+    training — this is the standard gate for subset/quotation dupes.
+
+    Same scale discipline as the Jaccard query: candidates come from the
+    stop-shingle-capped shared-shingle equi-join (never n²), sizes from a
+    per-doc count over the SAME capped shingle universe, and the pair
+    keeps both directions' containments with the pair emitted once
+    (doc_a < doc_b), filtered on max(C_ab, C_ba) ≥ 0.5."""
+    ex = cache_parallel(D.stop_shingle_filter(_exploded(spark, sf_dir)))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("sa.sz"), 6).alias("cont_ab"),
+            F.round(F.col("inter") / F.col("sb.sz"), 6).alias("cont_ba"),
+        )
+        .filter(F.greatest("cont_ab", "cont_ba") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_TEXT_CONTAINMENT = rf"""
+WITH sh AS ({_SH_SQL}),
+ex0 AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0
+  ) WHERE df <= {D.DF_CAP_DEFAULT}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / sa.sz, 6) AS cont_ab,
+       round(inter::DOUBLE / sb.sz, 6) AS cont_ba
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE greatest(round(inter::DOUBLE / sa.sz, 6),
+               round(inter::DOUBLE / sb.sz, 6)) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["text_containment"] = q_text_containment
+ORACLE["text_containment"] = ORACLE_TEXT_CONTAINMENT

@@ -1389,3 +1389,75 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 
 QUERIES["knn_ivfpq"] = q_knn_ivfpq
 ORACLE["knn_ivfpq"] = ORACLE_KNN_IVFPQ
+
+
+# --------------------------------------------------------------------------
+# embedding_quantize_int8 — per-dimension symmetric int8 quantization
+# --------------------------------------------------------------------------
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of the embedding corpus —
+    the storage-tier companion to the PQ queries: at 100 TB an fp32
+    embedding column is 4× the bytes of int8 codes, and scalar (per-dim
+    max-abs) quantization is the standard first step before ANN serving
+    (faiss ScalarQuantizer QT_8bit_direct family).
+
+    Per dimension d: ``scale_d = max(|x_d|) / 127``; code =
+    ``round(x / scale)``; the query audits the codebook itself — one row
+    per dimension with the scale and the worst/mean absolute
+    reconstruction error of ``code * scale`` — so the hash-match proves
+    every element was quantized and reconstructed identically.
+
+    Scale shape: posexplode is map-side; per-dim max is a 64-group
+    partial-agg shuffle; the scales (64 rows) broadcast back onto the
+    exploded stream for the error pass — a second 64-group partial agg.
+    Nothing shuffles the raw vectors, and at cluster scale both aggs are
+    map-side-combined down to 64 rows per partition."""
+    ex = _vecs(spark, sf_dir).select(
+        "vec_id", F.posexplode("v").alias("dim", "x")
+    )
+    scales = (
+        ex.groupBy("dim")
+        .agg((F.max(F.abs("x")) / 127.0).alias("scale"))
+    )
+    err = (
+        ex.join(F.broadcast(scales), "dim")
+        .withColumn("code", F.round(F.col("x") / F.col("scale")))
+        .withColumn("abs_err", F.abs(F.col("code") * F.col("scale") - F.col("x")))
+    )
+    return (
+        err.groupBy("dim")
+        .agg(
+            F.round(F.min("scale") * 1000, 6).alias("scale_permille"),
+            F.max(F.abs("code")).cast("long").alias("max_code"),
+            F.round(F.max("abs_err") * 1000, 6).alias("max_err_permille"),
+            F.round(F.avg("abs_err") * 1000, 6).alias("avg_err_permille"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMB_QUANT_INT8 = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), scales AS (
+  SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim
+), err AS (
+  SELECT e.dim, s.scale, round(e.x / s.scale) AS code,
+         abs(round(e.x / s.scale) * s.scale - e.x) AS abs_err
+  FROM ex e JOIN scales s USING (dim)
+)
+SELECT dim,
+       round(min(scale) * 1000, 6) AS scale_permille,
+       CAST(max(abs(code)) AS BIGINT) AS max_code,
+       round(max(abs_err) * 1000, 6) AS max_err_permille,
+       round(avg(abs_err) * 1000, 6) AS avg_err_permille
+FROM err GROUP BY dim ORDER BY dim
+"""
+
+QUERIES["embedding_quantize_int8"] = q_embedding_quantize_int8
+ORACLE["embedding_quantize_int8"] = ORACLE_EMB_QUANT_INT8

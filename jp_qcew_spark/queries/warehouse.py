@@ -608,3 +608,108 @@ ORDER BY c.user_id, c.click_ts, c.click_id
 
 QUERIES["join_pit_scd2"] = q_join_pit_scd2
 ORACLE["join_pit_scd2"] = ORACLE_JOIN_PIT_SCD2
+
+
+# --------------------------------------------------------------------------
+# cdc_diff_snapshots — changelog GENERATION from two table snapshots
+# --------------------------------------------------------------------------
+
+
+def q_cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: derive the CDC changelog FROM two keyed snapshots —
+    the inverse of ``cdc_apply`` (which materializes a snapshot from a
+    changelog) and the standard backfill path when a source system offers
+    only periodic dumps, no log (Delta CDF backfill / DMS full-load
+    compare).
+
+    Snapshots are carved deterministically from ``orders``:
+    snapshot A keeps keys with ``o_orderkey % 7 != 0``; snapshot B keeps
+    ``% 5 != 0`` and re-prices keys divisible by 3 (a 10% uplift) — so the
+    diff contains all three op kinds. One FULL OUTER sort-merge join on
+    the key classifies every row: I (B only), D (A only), U (both,
+    value changed); unchanged rows vanish. Result ships as one audit row
+    per op kind (count + key-range + value-delta checksums), proving the
+    whole diff was computed without shipping the diff itself.
+
+    Scale shape: the single full-outer join on the snapshot key IS the
+    operator — both sides shuffle once on the key (or co-located bucketed
+    snapshots skip even that, operators/bucketing.py); the op
+    classification is a map-side CASE, and the audit aggregate is a
+    3-group partial agg. No window, no second pass over either snapshot."""
+    # integer-cents end to end: decimal re-rounding of uplifted doubles
+    # (round(x*1.1, 2)) sits on .005 boundaries that Spark (BigDecimal
+    # HALF_UP) and DuckDB (scale-multiply) break differently — the uplift
+    # is instead exact integer arithmetic (cents * 11 div 10)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("val_a")
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.expr("cents * 11 div 10"),
+        )
+        .otherwise(F.col("cents"))
+        .cast("long")
+        .alias("val_b"),
+    )
+    diff = (
+        snap_a.join(snap_b, "k", "full_outer")
+        .withColumn(
+            "op",
+            F.when(F.col("val_a").isNull(), F.lit("I"))
+            .when(F.col("val_b").isNull(), F.lit("D"))
+            .when(F.col("val_a") != F.col("val_b"), F.lit("U")),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    return (
+        diff.groupBy("op")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            (
+                F.sum(F.coalesce("val_b", F.lit(0)))
+                - F.sum(F.coalesce("val_a", F.lit(0)))
+            ).cast("long").alias("delta_cents"),
+        )
+        .orderBy("op")
+    )
+
+
+ORACLE_CDC_DIFF = """
+WITH cents AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), snap_a AS (
+  SELECT o_orderkey AS k, cents AS val_a
+  FROM cents WHERE o_orderkey % 7 <> 0
+), snap_b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN cents * 11 // 10
+              ELSE cents END AS val_b
+  FROM cents WHERE o_orderkey % 5 <> 0
+), diff AS (
+  SELECT COALESCE(a.k, b.k) AS k, val_a, val_b,
+         CASE WHEN val_a IS NULL THEN 'I'
+              WHEN val_b IS NULL THEN 'D'
+              WHEN val_a <> val_b THEN 'U' END AS op
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(k) AS min_key,
+       max(k) AS max_key,
+       CAST(sum(COALESCE(val_b, 0)) - sum(COALESCE(val_a, 0)) AS BIGINT)
+         AS delta_cents
+FROM diff WHERE op IS NOT NULL
+GROUP BY op ORDER BY op
+"""
+
+QUERIES["cdc_diff_snapshots"] = q_cdc_diff_snapshots
+ORACLE["cdc_diff_snapshots"] = ORACLE_CDC_DIFF

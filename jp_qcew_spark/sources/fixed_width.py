@@ -86,8 +86,24 @@ def typed_qcew(decoded: DataFrame) -> DataFrame:
     feeds, try_cast's TryEval(ansi-Cast) throws-and-catches a JVM
     exception PER FAILING VALUE (measured 1.4 s/150k failures at sf0.1 on
     cast_nullsafe; a 100 TB ingest would drown in exception overhead),
-    while the non-ANSI cast nulls failures exception-free with identical
-    semantics."""
+    while the non-ANSI cast nulls failures exception-free.
+
+    Two documented deviations from a hypothetical try_cast build
+    (ADVICE r5):
+
+    - **Fractional strings in integer fields**: non-ANSI
+      ``cast('1.5' AS LONG)`` TRUNCATES to 1 where try_cast yields NULL.
+      QCEW integer fields are whole-number employment/wage counts, so a
+      fractional string is a corrupt byte slice either way; truncation
+      (the lenient Hive/Polars ``strict=False`` family behavior) is the
+      INTENDED semantics here and is pinned by
+      tests/test_qcew_pipeline.py::test_typed_cast_fractional_truncates.
+    - **Execution-time conf dependence**: null-on-failure holds only
+      while ``spark.sql.ansi.enabled`` is still false at ACTION time.
+      ``ensure_session_confs`` pins it at plan time, but a caller who
+      re-enables ANSI between plan and action turns malformed rows into
+      runtime exceptions — callers owning exotic conf lifecycles should
+      re-assert ``ensure_session_confs`` before the action."""
     ensure_session_confs(decoded.sparkSession)
     cols = {c: F.col(c).cast("long") for c in INT_FIELDS}
     cols.update({c: F.col(c).cast("double") for c in FLOAT_FIELDS})

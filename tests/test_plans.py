@@ -698,3 +698,61 @@ def test_static_partition_pruning_on_year_qtr_layout(spark, tmp_path):
     assert 0 < n_pruned < n_all / 6
     # and no data filter remains — partition columns never reach the rows
     assert not I.pushed_filters(pruned)
+
+
+def test_cdc_diff_single_full_outer_join(spark, sf_dir):
+    """Snapshot diff must be ONE keyed full-outer join (both snapshots
+    shuffle once on the key) + a 3-group audit agg — no window, no second
+    pass, no cartesian."""
+    from jp_qcew_spark.queries.warehouse import q_cdc_diff_snapshots
+
+    df = q_cdc_diff_snapshots(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 1
+    assert I.has_partial_aggregation(df)
+
+
+def test_embedding_quantize_broadcast_scales_only(spark, sf_dir):
+    """Scalar quantization: the only join is the 64-row scales table
+    broadcast back onto the exploded stream; both aggregations are
+    64-group partial aggs — raw vectors never shuffle."""
+    from jp_qcew_spark.queries.similarity import q_embedding_quantize_int8
+
+    df = q_embedding_quantize_int8(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hash_joins(df) >= 1
+    assert I.sort_merge_joins(df) == 0
+    assert I.has_partial_aggregation(df)
+    assert I.broadcast_hint_count(df) == 1  # bounded: 64 rows by construction
+
+
+def test_sample_temperature_no_low_cardinality_window(spark, sf_dir):
+    """Exact per-domain quotas must NOT serialize the corpus into
+    one-partition-per-domain: the rank window is keyed (source, bucket)
+    — 256 hash buckets per domain — and every join against the corpus
+    stream is a bounded broadcast (quota and offset tables are
+    ≤ domains×256 rows by construction)."""
+    from jp_qcew_spark.plans.inspect import formatted_plan
+    from jp_qcew_spark.queries.curation import q_sample_temperature
+
+    df = q_sample_temperature(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) == 0  # corpus never joins corpus
+    plan = formatted_plan(df)
+    import re
+
+    # every window partition spec over the corpus includes the bucket key
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus_specs = [s for s in specs if "bucket" in s or "source" in s]
+    assert any("bucket" in s for s in corpus_specs)
+
+
+def test_text_containment_keyed_joins_only(spark, sf_dir):
+    """Containment pairs reuse the capped shared-shingle discipline: the
+    self-join is keyed by shingle, sizes join by doc_id, and no dedup-
+    family broadcast hint may grow with the corpus (the r1/r2 rule)."""
+    from jp_qcew_spark.queries.dedup import q_text_containment
+
+    df = q_text_containment(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0

@@ -305,3 +305,33 @@ def test_latin1_roundtrip(spark, tmp_path):
     row = typed_qcew(decode_qcew(read_qcew_text(spark, str(p)))).first()
     assert row["leg_corp_name"] == name
     assert row["year"] == 2015
+
+
+def test_typed_cast_fractional_truncates(spark):
+    """Pin the intended malformed-field semantics (ADVICE r5): the
+    non-ANSI cast TRUNCATES a fractional string in an integer field
+    ('1.5' -> 1) where try_cast would yield NULL, and still nulls
+    genuinely unparseable and blank slices. QCEW integer fields are
+    whole-number counts, so a fractional string is corrupt input either
+    way — the lenient truncation is deliberate, documented in
+    sources/fixed_width.py::typed_qcew."""
+    from pyspark.sql import Row
+
+    from jp_qcew_spark.schema.qcew_fields import FLOAT_FIELDS, INT_FIELDS
+    from jp_qcew_spark.sources.fixed_width import typed_qcew
+
+    def rec(year):
+        vals = {c: "1" for c in INT_FIELDS}
+        vals.update({c: "0.5" for c in FLOAT_FIELDS})
+        vals["year"] = year
+        return Row(**vals)
+
+    df = spark.createDataFrame([rec("1.5"), rec("7"), rec("x"), rec("")])
+    got = {
+        r["year"] for r in typed_qcew(df).select("year").collect()
+    }
+    # '1.5' truncates to 1 (try_cast would say None); 'x' and '' null out
+    assert got == {1, 7, None}
+    # float fields parse fractionals exactly as doubles
+    lat = typed_qcew(df).select("latitude").first()["latitude"]
+    assert lat == 0.5

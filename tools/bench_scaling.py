@@ -75,6 +75,12 @@ QUERIES = [
     "join_pit_scd2",
     "text_lm_bigram",
     "knn_ivfpq",
+    # r6 additions
+    "mm_gif_decode",
+    "cdc_diff_snapshots",
+    "embedding_quantize_int8",
+    "sample_temperature",
+    "text_containment",
 ]
 
 

@@ -305,10 +305,12 @@ def decode_media(payload: bytes, real: bool = False) -> dict:
             return decode_png(payload)
         if payload[:6] in GIF_SIGNATURES:
             return decode_gif(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
         raise NotImplementedError(
-            "real codecs for JPEG/WAV/MPEG (PIL/ffmpeg/librosa) are not "
-            "available in this environment; PNG (DEFLATE) and GIF (LZW) "
-            "decode for real via decode_png/decode_gif, deterministic "
+            "real codecs for JPEG/MPEG (PIL/ffmpeg) are not available in "
+            "this environment; PNG (DEFLATE), GIF (LZW) and PCM WAV decode "
+            "for real via decode_png/decode_gif/decode_wav, deterministic "
             "fake decode covers the rest"
         )
     width = (payload[4] << 8) | payload[5]
@@ -809,4 +811,157 @@ def gif_features(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, GIF_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV / PCM (round 6) — the audio modality decoded for REAL. PCM WAV is an
+# uncompressed container: RIFF chunk walk + fmt parse + int16 sample plane,
+# all stdlib struct + numpy — no codec library involved, so gating it with
+# JPEG/MPEG (genuinely entropy-coded) was over-broad. This closes the WAV
+# row of the README gate table.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """REAL canonical 44-byte-header PCM WAV encoder: RIFF/WAVE, one
+    ``fmt `` chunk (format 1 = PCM, mono, 16-bit) and one ``data`` chunk
+    of little-endian int16 samples."""
+    import struct
+
+    assert samples.dtype.str in ("<i2", "|i2", "=i2" ) or samples.dtype.itemsize == 2
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL PCM WAV decode — stdlib struct + numpy: verify the RIFF/WAVE
+    container, walk the chunk stream (skipping unknown chunks like LIST /
+    INFO, honoring the odd-size pad byte), parse ``fmt `` (PCM only,
+    16-bit only — compressed WAV formats such as ADPCM/mu-law would need a
+    codec and stay gated), then ``np.frombuffer`` the int16 sample plane
+    and compute real signal features: peak amplitude, RMS, and integer
+    duration."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size does not match payload length")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM decodes for real (format={audio_format}, "
+            f"bits={bits}); compressed WAV formats need a codec"
+        )
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if channels > 1:
+        s = s.reshape(-1, channels)
+    n = s.shape[0]
+    # n and the sums are exact integers; rms is a sqrt of an exact
+    # rational, irrational unless the mean square is a perfect square —
+    # round(…, 6) cannot tie across engines
+    return {
+        "sample_rate": int(sample_rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "n_samples": n,
+        "duration_ms": n * 1000 // int(sample_rate),
+        "peak": int(np.abs(s).max()),
+        "rms": round(float(np.sqrt((s.astype(np.float64) ** 2).mean())), 6),
+        "n_bytes": len(payload),
+    }
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              n_samples: int = 256, sample_rate: int = 8000) -> DataFrame:
+    """Encode a REAL PCM WAV per document in Arrow batches. Sample rule:
+    int16 sample s comes from bytes (2s, 2s+1) little-endian of the
+    indexed-md5 stream (block k = raw md5(text || '-' || k) bytes — the
+    same SQL-recomputable rule as ``synth_gif``)."""
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as H
+
+        import numpy as np
+        import pandas as pd
+
+        n_blocks = (2 * n_samples + 15) // 16
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = b"".join(
+                    H.md5(f"{t}-{k}".encode()).digest()
+                    for k in range(n_blocks)
+                )[: 2 * n_samples]
+                samples = np.frombuffer(raw, dtype="<i2")
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, PNG_PAYLOAD_SCHEMA)
+
+
+def wav_features(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Real audio feature extraction over a binary WAV column — second
+    Arrow stage, same contract as ``png_features``/``gif_features``: the
+    container bytes round-trip JVM↔Arrow and ``decode_media(real=True)``
+    dispatches to ``decode_wav``."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("sample_rate", "bits", "n_samples", "duration_ms", "peak",
+                "rms")
+        for pdf in batches:
+            feats = [
+                {k: d[k] for k in cols}
+                for d in (
+                    decode_media(bytes(p), real=True)
+                    for p in pdf[payload_col]
+                )
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, WAV_FEATURES_SCHEMA
     )

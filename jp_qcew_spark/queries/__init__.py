@@ -52,11 +52,13 @@ _GROUPS = [
 # - then strictly OLDEST-driver-evidence first (computed from the
 #   CORRECTNESS_r01..r05 union): data_split (r1, the oldest row in the
 #   registry), the 32 queries whose latest row is r2, and 10 of the 23
-#   r3-era queries (alphabetical; the remaining thirteen r3 rows —
-#   mm_frame_sample, mm_metadata, mm_ppm_decode, profile_columns,
-#   regional_volume, sample_reservoir, sample_weighted, scd2_history,
-#   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
-#   wages_label_domain — plus the r4 cohort lead the round-7 window;
+#   r3-era queries (alphabetical through grouped_zscore, plus
+#   sample_weighted whose oracle was made hex-portable this round; the
+#   remaining r3 rows — grouped_zscore, mm_decode_features, mm_frame_sample,
+#   mm_metadata, mm_ppm_decode, profile_columns, regional_volume,
+#   sample_reservoir, scd2_history, seq_pack, sketch_approx,
+#   sketch_hll_rollup, udf_vector_norm, wages_label_domain — plus the
+#   r4 cohort lead the round-7 window;
 #   four r3 slots yielded to the round-6 additions, since a FIRST
 #   driver row for a new query outranks an oldest-evidence refresh).
 # The round-6 cache-scoping rework (io.track_cache) touched
@@ -76,6 +78,7 @@ _WINDOW_PRIORITY = [
     "embedding_quantize_int8",
     "sample_temperature",
     "text_containment",
+    "mm_wav_decode",
     # -- the one widen_scan-replanned query never re-checked
     "text_token_count",
     # -- oldest driver evidence: r1 (1)
@@ -113,7 +116,8 @@ _WINDOW_PRIORITY = [
     "topk_per_group",
     "union_distinct",
     "unpivot_long",
-    # -- latest driver evidence r3 (first 14 of 23, alphabetical)
+    # -- latest driver evidence r3 (alphabetical first 9, + the
+    #    hex-portability re-certification)
     "bloom_prefilter",
     "cohort_retention",
     "copurchase_pairs",
@@ -122,8 +126,9 @@ _WINDOW_PRIORITY = [
     "domain_mix",
     "events_rollup_reagg",
     "funnel_steps",
-    "grouped_zscore",
-    "mm_decode_features",
+    # -- oracle made hex-portable this round (r6), r3 row now stale:
+    #    must re-certify with the new positional-instr parse
+    "sample_weighted",
 ]
 
 

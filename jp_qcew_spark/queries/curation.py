@@ -625,14 +625,20 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 8-hex-char draw is parsed POSITIONALLY (Horner over instr), not via
+# CAST('0x'||hex AS BIGINT): that cast's hex-string->int semantics vary
+# across DuckDB builds at widths past 32 bits of value — the exact
+# construct that made sketch_countmin_topk driver-red in round 5
 ORACLE_SAMPLE_WEIGHTED = f"""
-WITH keyed AS (
+WITH hashed AS (
   SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
-         pow((CAST(concat('0x',
-                substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8))
-              AS BIGINT) + 0.5) / 4294967296.0,
-             1.0 / CAST(n_chars AS DOUBLE)) AS k
+         substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8) AS hx
   FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_chars,
+         pow((((((((((0::BIGINT * 16 + instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 6, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16 + instr('0123456789abcdef', substr(hx, 8, 1)) - 1) + 0.5) / 4294967296.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+  FROM hashed
 )
 SELECT doc_id, source, n_chars, round(k, 6) AS draw_key
 FROM keyed

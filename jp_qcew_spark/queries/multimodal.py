@@ -243,6 +243,57 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+def q_mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end — closes the WAV row of the README
+    gate table: PCM WAV is an uncompressed container (RIFF chunk walk +
+    fmt parse + int16 sample plane, stdlib struct + numpy), so gating it
+    with JPEG/MPEG was over-broad. Synthesize a genuine 44-byte-header
+    PCM WAV per document (256 int16 samples at 8 kHz from the indexed-md5
+    byte stream), round-trip the binary column through Arrow, and decode
+    it via ``decode_media(real=True)`` -> ``decode_wav`` (container
+    verify, chunk walk with pad-byte alignment, PCM-only fmt gate, real
+    signal features: peak + RMS + integer duration).
+
+    The SQL oracle recomputes every little-endian signed 16-bit sample
+    from the text with the portable positional-hex arithmetic; RMS is
+    sqrt of an exact dyadic mean (256 = 2^8 samples), so the hash match
+    proves the sample plane is byte-exact, not just the header."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.wav_features(M.synth_wav(d)).orderBy("doc_id")
+
+
+# sample s <- bytes (2s, 2s+1) of the indexed-md5 stream: both bytes land
+# in block k = s // 8 (md5(text||'-'||k)), hex offsets 2i+1/2i+3 for
+# i = (2s) % 16; u = low + 256*high, sign-extended at 32768.
+ORACLE_MM_WAV_DECODE = """
+WITH raw AS (
+  SELECT doc_id, md5(text || '-' || (t.s // 8)) AS h, ((2 * t.s) % 16) AS i
+  FROM documents CROSS JOIN range(0, 256) t(s)
+  WHERE doc_id < 200
+), u AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1
+           + 256 * ((instr('0123456789abcdef', substr(h, 2 * i + 3, 1)) - 1) * 16
+                    + instr('0123456789abcdef', substr(h, 2 * i + 4, 1)) - 1)
+           AS uu
+  FROM raw
+), v AS (
+  SELECT doc_id, CASE WHEN uu >= 32768 THEN uu - 65536 ELSE uu END AS v
+  FROM u
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(256 AS BIGINT) AS n_samples,
+       CAST(32 AS BIGINT) AS duration_ms,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_metadata": q_mm_metadata,
     "mm_decode_features": q_mm_decode_features,
@@ -250,6 +301,7 @@ QUERIES = {
     "mm_ppm_decode": q_mm_ppm_decode,
     "mm_png_decode": q_mm_png_decode,
     "mm_gif_decode": q_mm_gif_decode,
+    "mm_wav_decode": q_mm_wav_decode,
 }
 
 ORACLE = {
@@ -259,4 +311,5 @@ ORACLE = {
     "mm_ppm_decode": ORACLE_MM_PPM_DECODE,
     "mm_png_decode": ORACLE_MM_PNG_DECODE,
     "mm_gif_decode": ORACLE_MM_GIF_DECODE,
+    "mm_wav_decode": ORACLE_MM_WAV_DECODE,
 }

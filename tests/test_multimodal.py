@@ -296,3 +296,59 @@ def test_decode_media_real_dispatches_to_gif():
     idx = np.full((2, 2), 9, dtype=np.uint8)
     d = M.decode_media(M.encode_gif(idx), real=True)
     assert d["mean_px"] == 9.0 and d["palette_size"] == 256
+
+
+# ---------------------------------------------------------------------------
+# WAV / PCM (round 6): the audio modality decoded for real
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features():
+    s = np.array([0, 100, -100, 32767, -32768, 7, -1, 500], dtype="<i2")
+    payload = M.encode_wav(s, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = M.decode_wav(payload)
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (8000, 1, 16)
+    assert d["n_samples"] == 8 and d["duration_ms"] == 1
+    assert d["peak"] == 32768
+    import math
+
+    assert d["rms"] == round(math.sqrt(float((s.astype("i8") ** 2).mean())), 6)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Real WAVs carry LIST/INFO (and odd-size) chunks between fmt and
+    data; the parser must skip them with word alignment."""
+    import struct
+
+    s = np.arange(16, dtype="<i2")
+    payload = bytearray(M.encode_wav(s))
+    # splice an odd-sized LIST chunk right after the fmt chunk (ends at 36)
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = bytes(payload[:36]) + info + bytes(payload[36:])
+    # patch the RIFF size
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    d = M.decode_wav(spliced)
+    assert d["n_samples"] == 16 and d["peak"] == 15
+
+
+def test_wav_rejects_compressed_formats():
+    """Only PCM decodes for real; an ADPCM/mu-law format code must be
+    refused loudly, not mis-decoded."""
+    import struct
+
+    payload = bytearray(M.encode_wav(np.zeros(4, dtype="<i2")))
+    payload[20:22] = struct.pack("<H", 7)  # mu-law
+    with pytest.raises(ValueError, match="PCM"):
+        M.decode_wav(bytes(payload))
+
+
+def test_decode_media_real_dispatches_to_wav():
+    d = M.decode_media(
+        M.encode_wav(np.full(4, 3, dtype="<i2")), real=True
+    )
+    assert d["peak"] == 3 and d["n_samples"] == 4

@@ -81,6 +81,7 @@ QUERIES = [
     "embedding_quantize_int8",
     "sample_temperature",
     "text_containment",
+    "mm_wav_decode",
 ]
 
 

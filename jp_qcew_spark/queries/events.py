@@ -412,3 +412,73 @@ def q_events_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_session_gaps"] = q_events_session_gaps
 ORACLE["events_session_gaps"] = ORACLE_EVENTS_SESSION
+
+
+def q_events_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — the batch form of
+    MATCH_RECOGNIZE / FlinkCEP's ``A next B within T``: a 'click'
+    IMMEDIATELY followed (next event of the same user in event-time
+    order) by a 'purchase' no more than 30 minutes later. Adjacency
+    ("next", not "eventually") is what separates CEP from the funnel
+    query: an intervening event of any type breaks the pattern.
+
+    Spark-first strategy: one ``lead`` window per user over (ts,
+    event_id) — no self-join, no range explosion; the pattern predicate
+    is a map-side filter over the windowed stream, and the per-user
+    rollup reuses the window's partitioning (user_id prefix), so the
+    whole query is ONE shuffle on the high-cardinality user key plus the
+    presentation sort. The event_id tiebreak makes "next" deterministic
+    under equal timestamps — same discipline as the sessionization and
+    CDC twins.
+
+    Scale: windows over user_id distribute evenly (millions of users);
+    at 100 TB this is the standard per-key sorted pass — state is one
+    event of lookahead, the streaming equivalent being
+    applyInPandasWithState with a 1-event buffer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn("next_value", F.lead("value").over(w))
+    )
+    matched = nxt.filter(
+        (F.col("event_type") == "click")
+        & (F.col("next_type") == "purchase")
+        & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+            F.round(F.sum("next_value"), 2).alias("matched_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_CEP = """
+WITH nxt AS (
+  SELECT user_id, ts, event_type, value,
+         lead(event_type) OVER w AS next_type,
+         lead(ts) OVER w AS next_ts,
+         lead(value) OVER w AS next_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), matched AS (
+  SELECT * FROM nxt
+  WHERE event_type = 'click' AND next_type = 'purchase'
+    AND next_ts <= ts + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(ts) AS first_match_ts,
+       round(sum(next_value), 2) AS matched_value
+FROM matched GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["events_cep_sequence"] = q_events_cep_sequence
+ORACLE["events_cep_sequence"] = ORACLE_EVENTS_CEP

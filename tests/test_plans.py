@@ -756,3 +756,16 @@ def test_text_containment_keyed_joins_only(spark, sf_dir):
     df = q_text_containment(spark, sf_dir)
     assert not I.has_cartesian_product(df)
     assert I.broadcast_hint_count(df) == 0
+
+
+def test_cep_sequence_single_user_shuffle(spark, sf_dir):
+    """CEP adjacency must be a lead-window pass, not a self-join: one
+    shuffle on the high-cardinality user key (the rollup reuses the
+    window's partitioning), plus the presentation sort — and no join
+    operator at all."""
+    from jp_qcew_spark.queries.events import q_events_cep_sequence
+
+    df = q_events_cep_sequence(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert I.count_exchanges(df) <= 2

@@ -82,6 +82,7 @@ QUERIES = [
     "sample_temperature",
     "text_containment",
     "mm_wav_decode",
+    "events_cep_sequence",
 ]
 
 

@@ -309,3 +309,39 @@ ORDER BY user_id
 
 QUERIES["stream_cdc_apply"] = q_stream_cdc_apply
 ORACLE["stream_cdc_apply"] = ORACLE_STREAM_CDC
+
+
+def q_stream_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP pattern match (see streaming.pipelines
+    .stream_cep_sequence): per-user 1-event state buffer over the custom
+    ordered replay source, cross-batch adjacency carry; at quiescence it
+    equals the batch ``events_cep_sequence`` lead-window exactly, so the
+    two share one oracle."""
+    from jp_qcew_spark.streaming.pipelines import stream_cep_sequence
+
+    return stream_cep_sequence(spark, sf_dir).orderBy("user_id")
+
+
+# identical semantics to the batch events_cep_sequence oracle (events.py)
+ORACLE_STREAM_CEP = """
+WITH nxt AS (
+  SELECT user_id, ts, event_type, value,
+         lead(event_type) OVER w AS next_type,
+         lead(ts) OVER w AS next_ts,
+         lead(value) OVER w AS next_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), matched AS (
+  SELECT * FROM nxt
+  WHERE event_type = 'click' AND next_type = 'purchase'
+    AND next_ts <= ts + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(ts) AS first_match_ts,
+       round(sum(next_value), 2) AS matched_value
+FROM matched GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["stream_cep_sequence"] = q_stream_cep_sequence
+ORACLE["stream_cep_sequence"] = ORACLE_STREAM_CEP

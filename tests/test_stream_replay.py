@@ -65,3 +65,55 @@ def test_quiescence_drain_surfaces_source_errors(spark):
         q_stream_python_source(spark, "/nonexistent/dir")
     assert time.time() - t0 < 60, "error took too long to surface"
     assert not isinstance(ei.value, TimeoutError)
+
+
+def test_cep_fn_carries_state_across_batches():
+    """The CEP matcher's whole point is the 1-event lookahead surviving a
+    micro-batch boundary: a click that ENDS batch 1 must pair with the
+    purchase that OPENS batch 2 (same user, within 30 min), and the
+    in-batch path must match identically."""
+    import pandas as pd
+
+    from jp_qcew_spark.streaming.pipelines import _cep_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, tuple(v)
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                "event_type": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        )
+
+    st = FakeState()
+    # batch 1: view then click (click is the LAST event of the batch)
+    out1 = pd.concat(_cep_fn((7,), iter([mk([(1, 100, "view", 0.0),
+                                             (2, 200, "click", 0.0)])]), st))
+    assert len(out1) == 0 and st.get[0] == "click"
+    # batch 2 opens with the purchase 10 min later -> cross-batch match
+    out2 = pd.concat(_cep_fn((7,), iter([mk([(3, 800, "purchase", 9.5)])]), st))
+    assert len(out2) == 1
+    assert out2.iloc[0]["click_ts_us"] == 200 * 1_000_000
+    assert out2.iloc[0]["purchase_value"] == 9.5
+    # batch 3: purchase again — NOT adjacent to a click anymore, no match;
+    # and a click followed by a too-late purchase (>30 min) doesn't match
+    out3 = pd.concat(_cep_fn((7,), iter([mk([
+        (4, 900, "purchase", 1.0),
+        (5, 1000, "click", 0.0),
+        (6, 1000 + 1801, "purchase", 2.0),
+    ])]), st))
+    assert len(out3) == 0

@@ -54,7 +54,7 @@ _GROUPS = [
 #   registry), the 32 queries whose latest row is r2, and 10 of the 23
 #   r3-era queries (alphabetical through grouped_zscore, plus
 #   sample_weighted whose oracle was made hex-portable this round; the
-#   remaining r3 rows — events_rollup_reagg, funnel_steps, grouped_zscore, mm_decode_features, mm_frame_sample,
+#   remaining r3 rows — domain_mix, events_rollup_reagg, funnel_steps, grouped_zscore, mm_decode_features, mm_frame_sample,
 #   mm_metadata, mm_ppm_decode, profile_columns, regional_volume,
 #   sample_reservoir, scd2_history, seq_pack, sketch_approx,
 #   sketch_hll_rollup, udf_vector_norm, wages_label_domain — plus the
@@ -81,6 +81,7 @@ _WINDOW_PRIORITY = [
     "mm_wav_decode",
     "events_cep_sequence",
     "stream_cep_sequence",
+    "scd2_upsert",
     # -- the one widen_scan-replanned query never re-checked
     "text_token_count",
     # -- oldest driver evidence: r1 (1)
@@ -125,7 +126,6 @@ _WINDOW_PRIORITY = [
     "copurchase_pairs",
     "decontaminate",
     "dedup_incremental",
-    "domain_mix",
     # -- oracle made hex-portable this round (r6), r3 row now stale:
     #    must re-certify with the new positional-instr parse
     "sample_weighted",

@@ -713,3 +713,111 @@ GROUP BY op ORDER BY op
 
 QUERIES["cdc_diff_snapshots"] = q_cdc_diff_snapshots
 ORACLE["cdc_diff_snapshots"] = ORACLE_CDC_DIFF
+
+
+# --------------------------------------------------------------------------
+# scd2_upsert — INCREMENTAL SCD2 maintenance (dbt-snapshot semantics)
+# --------------------------------------------------------------------------
+
+_SCD2_CUTOFF = "2024-01-24 00:00:00"
+
+
+def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance — the dbt-snapshot / MERGE-into-dim
+    pattern that ``scd2_history`` (full rebuild) is too expensive for at
+    100 TB: given the EXISTING SCD2 dimension (purchase versions before
+    the cutoff) and an INCOMING batch (purchases at/after the cutoff,
+    compacted last-writer-wins per user), close out each touched user's
+    current version (``valid_to`` = the new version's ts) and append the
+    new current version. Untouched users pass through unchanged.
+
+    Scale shape: every stage keys on user_id — the history window, the
+    batch compaction window, and the close-out LEFT join all share one
+    partitioning, so the whole maintenance pass is one logical shuffle
+    key end-to-end (co-partitioned under AQE; bucketed dims skip even
+    that). The incoming batch is compacted BEFORE it touches the
+    dimension — the standard trick that turns an hours-of-changelog apply
+    into one row per touched key."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        pur.filter(F.col("ts") < cutoff)
+        .withColumn("valid_to", F.lead("ts").over(w))
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        pur.filter(F.col("ts") >= cutoff)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("new_eid"),
+            F.col("ts").alias("new_ts"),
+            F.col("value").alias("new_value"),
+        )
+    )
+    closed = hist.join(batch, "user_id", "left").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        # only the OPEN version of a touched user gets closed out
+        F.coalesce("valid_to", "new_ts").alias("valid_to"),
+        "value",
+    )
+    newrows = batch.select(
+        "user_id",
+        F.col("new_eid").alias("event_id"),
+        F.col("new_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.col("new_value").alias("value"),
+    )
+    return (
+        closed.unionByName(newrows)
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("long")
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+ORACLE_SCD2_UPSERT = f"""
+WITH pur AS (
+  SELECT user_id, event_id, ts, round(value, 2) AS value
+  FROM events WHERE event_type = 'purchase'
+), hist AS (
+  SELECT user_id, event_id, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         value
+  FROM pur WHERE ts < TIMESTAMP '{_SCD2_CUTOFF}'
+), batch AS (
+  SELECT user_id, event_id AS new_eid, ts AS new_ts, value AS new_value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM pur WHERE ts >= TIMESTAMP '{_SCD2_CUTOFF}'
+  ) WHERE rn = 1
+), closed AS (
+  SELECT h.user_id, h.event_id, h.ts AS valid_from,
+         COALESCE(h.valid_to, b.new_ts) AS valid_to, h.value
+  FROM hist h LEFT JOIN batch b USING (user_id)
+), merged AS (
+  SELECT * FROM closed
+  UNION ALL
+  SELECT user_id, new_eid AS event_id, new_ts AS valid_from,
+         NULL AS valid_to, new_value AS value
+  FROM batch
+)
+SELECT user_id, event_id, valid_from, valid_to, value,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM merged ORDER BY user_id, valid_from, event_id
+"""
+
+QUERIES["scd2_upsert"] = q_scd2_upsert
+ORACLE["scd2_upsert"] = ORACLE_SCD2_UPSERT

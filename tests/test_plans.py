@@ -769,3 +769,16 @@ def test_cep_sequence_single_user_shuffle(spark, sf_dir):
     assert not I.has_cartesian_product(df)
     assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
     assert I.count_exchanges(df) <= 2
+
+
+def test_scd2_upsert_single_key_partitioning(spark, sf_dir):
+    """Incremental SCD2 maintenance must stay on ONE shuffle key: both
+    windows and the close-out join all key on user_id (no cartesian, no
+    second join), so at scale the whole pass is co-partitioned."""
+    from jp_qcew_spark.queries.warehouse import q_scd2_upsert
+
+    df = q_scd2_upsert(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 1
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(user_id#\d+", plan)

@@ -83,6 +83,8 @@ QUERIES = [
     "text_containment",
     "mm_wav_decode",
     "events_cep_sequence",
+    "stream_cep_sequence",
+    "scd2_upsert",
 ]
 
 

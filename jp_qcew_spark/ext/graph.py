@@ -33,6 +33,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from jp_qcew_spark.io import track_local_checkpoint
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,7 +68,7 @@ def connected_components(
     # materialize the edge list once: it joins into EVERY round, and leaving
     # it lazy re-executes the caller's (possibly expensive) pair-generation
     # pipeline per iteration — measured 8.2 s → 2-3 s on the dedup graph
-    und = und.localCheckpoint()
+    und = track_local_checkpoint(und)
     # init fused with the first propagation: min(self, neighbors) — one
     # groupBy instead of a distinct plus a full propagation round
     seed = und.select("a", F.least("a", "b").alias("comp"))
@@ -80,10 +81,9 @@ def connected_components(
                 F.least(F.col("x.a"), F.col("y.b")).alias("comp"),
             )
         )
-    labels = (
+    labels = track_local_checkpoint(
         seed.groupBy(F.col("a").alias("id"))
         .agg(F.min("comp").alias("comp"))
-        .localCheckpoint()
     )
 
     def _label_mass(lbl: DataFrame):
@@ -96,11 +96,10 @@ def connected_components(
         msgs = und.join(labels, und.a == labels.id).select(
             F.col("b").alias("id"), "comp"
         )
-        labels = (
+        labels = track_local_checkpoint(
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         new_mass = _label_mass(labels)
         if new_mass == mass:

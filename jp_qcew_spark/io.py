@@ -218,6 +218,37 @@ def cache_parallel(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LIVE_CACHES: list[DataFrame] = []
+_LIVE_RDD_IDS: list[tuple[SparkSession, int]] = []
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with scope-tracked block release.
+
+    A localCheckpoint persists its materialized RDD OUTSIDE the SQL cache
+    manager, so ``DataFrame.unpersist``/``clearCache`` never reclaim it —
+    only JVM GC via ContextCleaner does, eventually. Iterative operators
+    (connected components, pagerank) checkpoint per superstep, so a
+    long-lived session accumulates dead checkpoint blocks the same way it
+    used to accumulate dead caches (VERDICT r5 #3). This wrapper diffs
+    ``getPersistentRDDs`` around the (eager) checkpoint and registers the
+    new RDD ids; ``release_caches`` unpersists them explicitly.
+
+    Caveat (inherent to localCheckpoint, not to the tracking): a released
+    checkpoint CANNOT silently recompute — its lineage was truncated — so
+    a consumer who builds query A, builds query B (releasing A's scope),
+    and only then collects A gets an error where a plain released cache
+    would just recompute. The registry contract (materialize a query's
+    result before building the next) never hits this; Spark's own
+    localCheckpoint docs carry the same warning."""
+    spark = df.sparkSession
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
+    cp = df.localCheckpoint()  # eager: blocks exist when we diff
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) not in before:
+            _LIVE_RDD_IDS.append((spark, int(k)))
+    return cp
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -248,6 +279,16 @@ def release_caches() -> int:
             pass  # session already stopped — nothing to release
         else:
             n += 1
+    while _LIVE_RDD_IDS:
+        spark, rid = _LIVE_RDD_IDS.pop()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) == rid:
+                    jmap.get(k).unpersist(False)
+                    n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
     return n
 
 

@@ -73,6 +73,20 @@ class TestScopedCaching:
         release_caches()
         assert self._cache_empty(spark)
 
+    def test_sweep_leaves_no_checkpoint_blocks(self, spark, sf_dir):
+        """localCheckpoint blocks live OUTSIDE the cache manager (round-6
+        extension of the r5 leak fix): after the iterative operators run
+        and the scope is released, getPersistentRDDs must be empty too —
+        not just the SQL cache."""
+        from jp_qcew_spark.io import release_caches
+        from jp_qcew_spark.queries import all_queries
+
+        qs = all_queries()
+        for name in ("dedup_components", "graph_pagerank"):
+            assert qs[name](spark, sf_dir).collect()
+        release_caches()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
     def test_same_query_rebuild_keeps_warm_cache(self, spark, sf_dir):
         from jp_qcew_spark.io import release_caches
         from jp_qcew_spark.queries import all_queries

@@ -105,6 +105,27 @@ HEADLINERS = [
      "broadcast; the ADC scan joins the 4-codes-per-vector table on "
      "(subspace, code) — the corpus shuffle payload is codes, never the "
      "64-double vectors."),
+    ("cdc_diff_snapshots",
+     "Snapshot diff (r6): ONE full-outer sort-merge join on the snapshot "
+     "key classifies I/U/D in a codegen'd CASE; the audit is a 3-group "
+     "partial agg — no window, no second pass over either snapshot."),
+    ("sample_temperature",
+     "Temperature-scaled domain quotas (r6): exact per-domain rank via "
+     "(source, hash-bucket) windows — 256 even buckets per domain, never "
+     "one-partition-per-domain — with quota and prefix-offset tables "
+     "broadcast (bounded at domains x 256 rows by construction)."),
+    ("embedding_quantize_int8",
+     "Scalar int8 quantization (r6): posexplode map-side, two 64-group "
+     "partial-agg shuffles, the 64-row scales table broadcast back — raw "
+     "vectors never shuffle."),
+    ("scd2_upsert",
+     "Incremental SCD2 maintenance (r6): history window, batch compaction "
+     "window, and close-out left join all keyed on user_id — one logical "
+     "shuffle key end-to-end."),
+    ("events_cep_sequence",
+     "CEP adjacency (r6): one lead-window pass per user, pattern "
+     "predicate map-side, rollup reuses the window partitioning — no "
+     "self-join, no range blowup."),
 ]
 
 

@@ -350,9 +350,18 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucketed write happens into /tmp per invocation (mode=overwrite →
     idempotent); in production that cost is paid once at ingest and
-    amortized over every subsequent join/agg on the key."""
+    amortized over every subsequent join/agg on the key. Path and table
+    names carry the Spark application id: a fixed location let a second
+    engine process overwrite the files mid-read (observed as a
+    FileNotFoundException race when the test suite and a driver
+    simulation ran concurrently) — per-application layout keeps each
+    session's bucketed tables private while staying idempotent within
+    the session."""
     from jp_qcew_spark.operators.bucketing import bucketed_join, write_bucketed
 
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"/tmp/jp_qcew_bucketed_{app}"
+    t_orders, t_li = f"bco_orders_{app}", f"bco_lineitem_{app}"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -362,14 +371,12 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     write_bucketed(
-        orders, "bco_orders", ["o_orderkey"], 8,
-        path="/tmp/jp_qcew_bucketed/orders",
+        orders, t_orders, ["o_orderkey"], 8, path=f"{base}/orders",
     )
     write_bucketed(
-        li, "bco_lineitem", ["o_orderkey"], 8,
-        path="/tmp/jp_qcew_bucketed/lineitem",
+        li, t_li, ["o_orderkey"], 8, path=f"{base}/lineitem",
     )
-    j = bucketed_join(spark, "bco_orders", "bco_lineitem", ["o_orderkey"])
+    j = bucketed_join(spark, t_orders, t_li, ["o_orderkey"])
     return (
         j.groupBy("o_orderpriority")
         .agg(

@@ -17,3 +17,14 @@ Layers
 """
 
 __version__ = "0.1.0"
+
+
+def release_caches() -> int:
+    """Release every engine-tracked cache and checkpoint block (see
+    ``io.release_caches``). The query registry scopes caches automatically
+    (a new query's build releases the previous query's working set);
+    embedders that call query builders directly, or that want the LAST
+    query's caches gone without building another, call this."""
+    from jp_qcew_spark.io import release_caches as _rc
+
+    return _rc()

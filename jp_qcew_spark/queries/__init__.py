@@ -67,6 +67,10 @@ _GROUPS = [
 # re-verified against the oracle in a bare-session sweep after that
 # change (see BASELINE.md round-6 notes), so those keep their r4/r5 rows.
 # Everything NOT listed follows in module-registration order.
+# Registered AFTER the r6 window froze (bare-session 3-scale parity
+# evidence only; they lead the round-7 window together with the r3/r4
+# backlog above): events_attribution, ts_rolling_median, knn_recall_eval,
+# skyline_orders.
 _WINDOW_PRIORITY = [
     # -- the r5 red, reworked oracle (must re-certify first)
     "sketch_countmin_topk",

@@ -482,3 +482,127 @@ FROM matched GROUP BY user_id ORDER BY user_id
 
 QUERIES["events_cep_sequence"] = q_events_cep_sequence
 ORACLE["events_cep_sequence"] = ORACLE_EVENTS_CEP
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics companion to the
+    CEP query: every purchase is attributed to the user's most recent
+    'click' at-or-before it (any intervening views don't break it, unlike
+    CEP adjacency), provided the click is within a 7-day lookback.
+
+    Spark-first trick: no as-of join, no self-join — the "most recent
+    click so far" is a RUNNING MAX of click timestamps over the per-user
+    event-time window (``max(CASE WHEN click THEN ts END) OVER (... ROWS
+    UNBOUNDED PRECEDING)``), which both engines define identically, then
+    purchases filter map-side. One shuffle on the high-cardinality user
+    key; the rollup reuses its partitioning.
+
+    Scale: the unbounded-preceding running max is streaming-friendly
+    state (one timestamp per user) — the batch twin of a 1-value
+    stateful stream, same shape family as stream_cep_sequence."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    attributed = (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+            & (
+                F.col("ts")
+                <= F.col("last_click_ts") + F.expr("INTERVAL 7 DAYS")
+            )
+        )
+    )
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_attributed"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+            F.max("last_click_ts").alias("last_click_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_ATTRIBUTION = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, value,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS last_click_ts
+  FROM events
+), attributed AS (
+  SELECT * FROM marked
+  WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+    AND ts <= last_click_ts + INTERVAL 7 DAY
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_attributed,
+       round(sum(value), 2) AS attributed_value,
+       max(last_click_ts) AS last_click_ts
+FROM attributed GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["events_attribution"] = q_events_attribution
+ORACLE["events_attribution"] = ORACLE_EVENTS_ATTRIBUTION
+
+
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily revenue per event type — the
+    robust-trend smoother the ts tier lacked (moving_avg is mean-based
+    and outlier-sensitive; the median window is the standard anomaly-
+    tolerant baseline for alerting on heavy-tailed daily metrics).
+
+    Spark expresses it as the exact ``percentile`` AGGREGATE over a ROWS
+    window frame (7-row trailing), which interpolates the even-count
+    midpoint exactly like DuckDB's windowed ``median`` — hash-matched,
+    not banded. Two chained shuffles: the daily partial-agg (event_type,
+    date) and the per-type window — and the window input is one row per
+    (type, day), so the sort is over days, not events: at 100 TB the
+    heavy reduction happens in the partial agg, the median frame only
+    ever sees the tiny daily series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("daily_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        daily.withColumn(
+            "med7", F.expr("percentile(daily_value, 0.5)").over(w)
+        )
+        .select("event_type", "d", "daily_value", F.round("med7", 4).alias("med7"))
+        .orderBy("event_type", "d")
+    )
+
+
+ORACLE_TS_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         round(sum(value), 2) AS daily_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, d, daily_value,
+       round(median(daily_value) OVER (
+         PARTITION BY event_type ORDER BY d
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS med7
+FROM daily ORDER BY event_type, d
+"""
+
+QUERIES["ts_rolling_median"] = q_ts_rolling_median
+ORACLE["ts_rolling_median"] = ORACLE_TS_ROLLING_MEDIAN

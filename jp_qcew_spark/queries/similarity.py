@@ -1461,3 +1461,65 @@ FROM err GROUP BY dim ORDER BY dim
 
 QUERIES["embedding_quantize_int8"] = q_embedding_quantize_int8
 ORACLE["embedding_quantize_int8"] = ORACLE_EMB_QUANT_INT8
+
+
+# --------------------------------------------------------------------------
+# knn_recall_eval — measure the ANN approximation against ground truth
+# --------------------------------------------------------------------------
+
+
+def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@3 of the sign-LSH index against the
+    brute-force ground truth, per query and summarized. Every production
+    ANN deployment ships this eval next to the index (faiss/ScaNN recall
+    curves): the engine should too, as a first-class query rather than a
+    notebook ritual.
+
+    Composition, not re-derivation: both sides ARE existing registry
+    queries (same code paths the driver checks), joined on
+    (query_id, neighbor_id); recall@3 = |ANN ∩ exact| / 3. The join input
+    is top-3 lists (3 rows per query on each side), so the eval costs
+    nothing at any scale — the expensive parts are the index builds the
+    two sub-queries already optimized."""
+    bf = q_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = q_knn_signlsh(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(ann, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    per_q = (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall_at_3", F.round(F.col("n_hits") / 3.0, 4)
+        )
+    )
+    return per_q.orderBy("query_id")
+
+
+ORACLE_KNN_RECALL = f"""
+WITH bf AS ({ORACLE_KNN_BRUTEFORCE}),
+ann AS ({_oracle_signlsh()}),
+hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN ann USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / 3.0, 4) AS recall_at_3
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+QUERIES["knn_recall_eval"] = q_knn_recall_eval
+ORACLE["knn_recall_eval"] = ORACLE_KNN_RECALL

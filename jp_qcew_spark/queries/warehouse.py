@@ -821,3 +821,79 @@ FROM merged ORDER BY user_id, valid_from, event_id
 
 QUERIES["scd2_upsert"] = q_scd2_upsert
 ORACLE["scd2_upsert"] = ORACLE_SCD2_UPSERT
+
+
+# --------------------------------------------------------------------------
+# skyline_orders — Pareto frontier (skyline operator)
+# --------------------------------------------------------------------------
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Börzsönyi et al., "The Skyline
+    Operator", ICDE 2001): the orders that are not dominated in
+    (minimize o_totalprice, maximize o_orderdate) — i.e. no other order
+    is at-most-as-expensive AND at-least-as-recent with one strict.
+    Duplicates on both dimensions keep only the first by key
+    (distinct-skyline semantics; pinned by the shared total order).
+
+    Spark-first distributed shape — the canonical two-phase skyline:
+    dominance within ANY subset implies dominance globally, so phase 1
+    computes a LOCAL skyline per hash bucket (64 even buckets, window
+    ordered by price asc, date desc with a running best-date over
+    preceding rows) and phase 2 repeats the same window globally over
+    the survivors only. Random-ish data leaves O(log n)-sized local
+    frontiers, so the global pass sorts a table ~64 log n rows, never
+    the fact table — the one-global-window naive plan would serialize
+    the corpus into a single sort partition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+
+    def survivors(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(
+                F.col("price").asc(),
+                F.col("odate").desc(),
+                F.col("o_orderkey").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("best_prev", F.max("odate").over(w))
+            .filter(
+                F.col("best_prev").isNull()
+                | (F.col("odate") > F.col("best_prev"))
+            )
+            .drop("best_prev")
+        )
+
+    local = survivors(
+        o.withColumn("b", F.pmod(F.hash("o_orderkey"), F.lit(64))), ["b"]
+    ).drop("b")
+    return survivors(local, []).orderBy("price", "o_orderkey")
+
+
+ORACLE_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+         CAST(o_orderdate AS DATE) AS odate
+  FROM orders
+), marked AS (
+  SELECT o_orderkey, price, odate,
+         max(odate) OVER (
+           ORDER BY price ASC, odate DESC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_prev
+  FROM o
+)
+SELECT o_orderkey, price, odate
+FROM marked
+WHERE best_prev IS NULL OR odate > best_prev
+ORDER BY price, o_orderkey
+"""
+
+QUERIES["skyline_orders"] = q_skyline_orders
+ORACLE["skyline_orders"] = ORACLE_SKYLINE

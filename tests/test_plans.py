@@ -782,3 +782,45 @@ def test_scd2_upsert_single_key_partitioning(spark, sf_dir):
     assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 1
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(user_id#\d+", plan)
+
+
+def test_attribution_single_user_window_no_join(spark, sf_dir):
+    """Last-touch attribution must be the running-max window form, not an
+    as-of self-join: zero join operators, one user-keyed shuffle reused
+    by the rollup."""
+    from jp_qcew_spark.queries.events import q_events_attribution
+
+    df = q_events_attribution(spark, sf_dir)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert not I.has_cartesian_product(df)
+    assert I.count_exchanges(df) <= 2
+
+
+def test_rolling_median_windows_daily_series_not_events(spark, sf_dir):
+    """The exact-median frame must run over the (type, day) series AFTER
+    the daily partial agg — the heavy reduction happens map-side combined;
+    the window never sees raw events."""
+    from jp_qcew_spark.queries.events import q_ts_rolling_median
+
+    df = q_ts_rolling_median(spark, sf_dir)
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    # the Window operator's input is the aggregate, so the plan orders
+    # Window above HashAggregate (formatted plan lists operators leaf-last)
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_skyline_two_phase_no_global_fact_sort(spark, sf_dir):
+    """Distributed skyline: phase 1 is a 64-bucket local-frontier window,
+    phase 2 a global window over survivors only — two Window operators,
+    no join, no cartesian; the single-partition sort touches survivors,
+    never the fact table."""
+    import re as _re
+
+    from jp_qcew_spark.queries.warehouse import q_skyline_orders
+
+    df = q_skyline_orders(spark, sf_dir)
+    plan = I.formatted_plan(df)
+    assert len(_re.findall(r"^\(\d+\) Window", plan, _re.M)) == 2
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert not I.has_cartesian_product(df)

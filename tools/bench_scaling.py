@@ -85,6 +85,10 @@ QUERIES = [
     "events_cep_sequence",
     "stream_cep_sequence",
     "scd2_upsert",
+    "events_attribution",
+    "ts_rolling_median",
+    "knn_recall_eval",
+    "skyline_orders",
 ]
 
 

@@ -38,101 +38,84 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-6 window (VERDICT r5 #1/#2):
+# evidence policy. This list pins the ROUND-7 window (VERDICT r6 #1/#3):
 #
-# - sketch_countmin_topk FIRST — the registry's only red (r5 hash
-#   mismatch, driver-DuckDB-specific '0x'||hex cast). The oracle now
-#   parses buckets with positional instr() arithmetic shared verbatim
-#   with the Spark side; a green row here closes the only red.
-# - mm_gif_decode — new this round (real stdlib GIF/LZW codec), needs
-#   its first driver row.
-# - text_token_count — its plan changed in the r4 widen_scan rework and
-#   it was the one replanned query every rotation since missed
-#   (VERDICT r5 "What's wrong" #2).
+# - sketch_countmin_topk FIRST — hash-red in r5 AND r6. Root cause
+#   (confirmed r6 verdict): DuckDB widens the oracle's integer sum() to
+#   HUGEINT, so n_est/overcount surfaced as Arrow decimal128 vs Spark's
+#   long; fixed with CAST(... AS BIGINT) on both output columns, and the
+#   class is now caught locally (tests/harness.py logical-type check +
+#   tests/test_oracle_portability.py HUGEINT lint over all oracles).
+# - the 4 queries registered after the r6 window froze, which have never
+#   had a driver row (events_attribution, ts_rolling_median,
+#   knn_recall_eval, skyline_orders) — a FIRST driver row outranks any
+#   oldest-evidence refresh — plus any query NEW this round.
 # - then strictly OLDEST-driver-evidence first (computed from the
-#   CORRECTNESS_r01..r05 union): data_split (r1, the oldest row in the
-#   registry), the 32 queries whose latest row is r2, and 10 of the 23
-#   r3-era queries (alphabetical through grouped_zscore, plus
-#   sample_weighted whose oracle was made hex-portable this round; the
-#   remaining r3 rows — domain_mix, events_rollup_reagg, funnel_steps, grouped_zscore, mm_decode_features, mm_frame_sample,
-#   mm_metadata, mm_ppm_decode, profile_columns, regional_volume,
-#   sample_reservoir, scd2_history, seq_pack, sketch_approx,
-#   sketch_hll_rollup, udf_vector_norm, wages_label_domain — plus the
-#   r4 cohort lead the round-7 window;
-#   four r3 slots yielded to the round-6 additions, since a FIRST
-#   driver row for a new query outranks an oldest-evidence refresh).
-# The round-6 cache-scoping rework (io.track_cache) touched
-# knn_ivf/knn_ivfpq/kmeans_cluster/graph_pagerank/dedup internals but
-# changes only cache lifetime, not plans or values; all 141 queries were
-# re-verified against the oracle in a bare-session sweep after that
-# change (see BASELINE.md round-6 notes), so those keep their r4/r5 rows.
+#   CORRECTNESS_r01..r06 union): all 17 queries whose latest row is r3
+#   (domain_mix, events_rollup_reagg, funnel_steps, grouped_zscore,
+#   mm_decode_features, mm_frame_sample, mm_metadata, mm_ppm_decode,
+#   profile_columns, regional_volume, sample_reservoir, scd2_history,
+#   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
+#   wages_label_domain), then the r4 cohort alphabetically as far as the
+#   50 slots reach; the remaining r4 rows (ts_ewma, ts_gapfill,
+#   ts_resample, ts_resample_yearly, udtf_tokenize, wages_series) plus
+#   the 49 r5 rows lead the round-8 window.
 # Everything NOT listed follows in module-registration order.
-# Registered AFTER the r6 window froze (bare-session 3-scale parity
-# evidence only; they lead the round-7 window together with the r3/r4
-# backlog above): events_attribution, ts_rolling_median, knn_recall_eval,
-# skyline_orders.
 _WINDOW_PRIORITY = [
-    # -- the r5 red, reworked oracle (must re-certify first)
+    # -- the r5/r6 red, oracle HUGEINT fix (must re-certify first)
     "sketch_countmin_topk",
-    # -- new in round 6: real GIF/LZW codec through two Arrow stages,
-    #    snapshot-diff CDC generation, int8 embedding quantization,
-    #    temperature-scaled domain mixing, containment near-dup pairs
-    "mm_gif_decode",
-    "cdc_diff_snapshots",
-    "embedding_quantize_int8",
-    "sample_temperature",
-    "text_containment",
-    "mm_wav_decode",
-    "events_cep_sequence",
-    "stream_cep_sequence",
-    "scd2_upsert",
-    # -- the one widen_scan-replanned query never re-checked
-    "text_token_count",
-    # -- oldest driver evidence: r1 (1)
-    "data_split",
-    # -- latest driver evidence r2 (32)
-    "analytic_dist",
-    "distinct_domain",
-    "events_dedup",
-    "events_json_props",
-    "events_props_map",
-    "events_sliding",
-    "events_tumbling",
-    "events_tumbling_stream",
-    "except_keys",
-    "filter_nonblank",
-    "fixedwidth_slice",
-    "intersect_keys",
-    "join_anti",
-    "join_asof",
-    "join_broadcast_dims",
-    "join_range",
-    "join_salted_skew",
-    "join_semi",
-    "label_synthesis",
-    "lag_diff_pct",
-    "mode_keying",
-    "moving_avg",
-    "pivot_wide",
-    "pricing_summary",
-    "rank_dense",
-    "rollup_agg",
-    "running_sum",
-    "suppressed_agg",
-    "tick_sample",
-    "topk_per_group",
-    "union_distinct",
-    "unpivot_long",
-    # -- latest driver evidence r3 (alphabetical first 9, + the
-    #    hex-portability re-certification)
-    "bloom_prefilter",
-    "cohort_retention",
-    "copurchase_pairs",
-    "decontaminate",
-    "dedup_incremental",
-    # -- oracle made hex-portable this round (r6), r3 row now stale:
-    #    must re-certify with the new positional-instr parse
-    "sample_weighted",
+    # -- registered after the r6 window froze: first driver rows
+    "events_attribution",
+    "ts_rolling_median",
+    "knn_recall_eval",
+    "skyline_orders",
+    # -- oldest driver evidence: the 17 r3-era rows
+    "domain_mix",
+    "events_rollup_reagg",
+    "funnel_steps",
+    "grouped_zscore",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_metadata",
+    "mm_ppm_decode",
+    "profile_columns",
+    "regional_volume",
+    "sample_reservoir",
+    "scd2_history",
+    "seq_pack",
+    "sketch_approx",
+    "sketch_hll_rollup",
+    "udf_vector_norm",
+    "wages_label_domain",
+    # -- r4 cohort, alphabetical (28 of 34; the rest lead round 8)
+    "agg_distinct_exact",
+    "dedup_char_ngram",
+    "dedup_components",
+    "dedup_embedding_cos",
+    "dedup_exact",
+    "dedup_fuzzy",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_session",
+    "events_session_gaps",
+    "events_variant",
+    "graph_pagerank",
+    "kmeans_cluster",
+    "knn_bruteforce",
+    "knn_classify",
+    "knn_hybrid",
+    "knn_ivf",
+    "knn_multiprobe",
+    "knn_signlsh",
+    "llm_prep_pipeline",
+    "rank_global_twophase",
+    "stream_dedup",
+    "stream_session",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "stream_stream_join",
+    "text_inverted_index",
 ]
 
 

@@ -258,7 +258,11 @@ def q_sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the ENTIRE sketch and the exact estimate values are
     hash-matched, not banded.  (Round 6: replaced the earlier
     ``CAST('0x'||hex AS BIGINT)`` oracle parse, whose hex-string→int
-    semantics vary across DuckDB builds and went driver-red in r5.)
+    semantics vary across DuckDB builds and went driver-red in r5.
+    Round 7: the REAL r5/r6 red root cause — DuckDB widens ``sum(BIGINT)``
+    to HUGEINT, so ``n_est``/``overcount`` surfaced as Arrow
+    decimal128(38,0) vs Spark's long and a type-sensitive hash could never
+    match — fixed by ``CAST(... AS BIGINT)`` on both output columns.)
 
     Scale shape: one partial-agg shuffle to per-key counts (building CMS
     from pre-aggregated counts is identical to streaming increments — sums
@@ -332,8 +336,8 @@ WITH freq AS (
 )
 SELECT p.k AS suppkey,
        p.c AS n_exact,
-       min(cms.total) AS n_est,
-       min(cms.total) - p.c AS overcount
+       CAST(min(cms.total) AS BIGINT) AS n_est,
+       CAST(min(cms.total) - p.c AS BIGINT) AS overcount
 FROM probes p JOIN cms USING (j, b)
 GROUP BY p.k, p.c
 ORDER BY n_exact DESC, suppkey ASC

@@ -74,28 +74,51 @@ def fetch_spark(df) -> tuple[list[str], list[tuple], list[set]]:
     return cols, rows, _col_types(raw, len(cols))
 
 
-def fetch_duckdb(con, sql: str) -> tuple[list[str], list[tuple], list[set]]:
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
+#: DuckDB logical output types whose Arrow surface diverges from anything
+#: Spark can emit (HUGEINT -> decimal128(38,0), DECIMAL(p,s) -> decimal128):
+#: a type-sensitive driver hash can NEVER match these. The DBAPI cursor
+#: converts them to plain Python int/Decimal, which is exactly why value-level
+#: inspection missed the r5/r6 `sketch_countmin_topk` red two rounds running —
+#: so we read the RELATION's logical types, not the fetched values.
+_FATAL_DUCKDB_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def fetch_duckdb(
+    con, sql: str
+) -> tuple[list[str], list[tuple], list[set], list[str]]:
+    rel = con.sql(sql)
+    names = list(rel.columns)
+    logical = [str(t) for t in rel.types]
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
-    raw = [tuple(r[i] for i in order) for r in cur.fetchall()]
+    logical = [logical[i] for i in order]
+    raw = [tuple(r[i] for i in order) for r in rel.fetchall()]
     rows = [tuple(_norm_value(v) for v in r) for r in raw]
     rows.sort(key=_sort_key)
-    return cols, rows, _col_types(raw, len(cols))
+    return cols, rows, _col_types(raw, len(cols)), logical
 
 
-def _type_divergence(name, cols, s_types, d_types) -> list[str]:
-    """Flag the one proven driver-hash killer (round 1 `text_token_count`):
-    DuckDB returning Decimal (HUGEINT from integer sum(), or DECIMAL) where
-    Spark emits int/float. Other cross-type pairs (date vs datetime, bool vs
-    int) hash-matched in round 1, so only Decimal is treated as fatal."""
+def _type_divergence(name, cols, s_types, d_types, d_logical) -> list[str]:
+    """Flag the proven driver-hash killers: DuckDB logical output types
+    (HUGEINT from integer sum(), or DECIMAL) whose Arrow surface is
+    decimal128 where Spark emits long/double. Checked on the RELATION's
+    logical types — the DBAPI cursor converts HUGEINT to plain Python int,
+    which made value-level inspection certify `sketch_countmin_topk` as
+    byte-identical in r5 AND r6 while the driver's type-sensitive hash
+    stayed red. Other cross-type pairs (date vs datetime, bool vs int)
+    hash-matched in round 1, so only Decimal-surface types are fatal."""
     problems = []
+    for c, lt in zip(cols, d_logical):
+        if any(f in str(lt).upper() for f in _FATAL_DUCKDB_TYPES):
+            problems.append(
+                f"[{name}] column {c!r}: oracle logical type {lt} surfaces as "
+                f"Arrow decimal128 where Spark emits long/double — driver "
+                f"value-hash WILL mismatch; CAST the oracle output to "
+                f"BIGINT/DOUBLE"
+            )
     for c, st, dt in zip(cols, s_types, d_types):
         if not st or not dt or st == dt:
             continue
-        # the one proven driver-hash killer: DuckDB Decimal (HUGEINT/DECIMAL)
-        # where Spark emits int — cast the oracle to BIGINT/DOUBLE.
         if "Decimal" in dt and dt != st:
             problems.append(
                 f"[{name}] column {c!r}: duckdb yields Decimal {sorted(dt)} vs "
@@ -121,12 +144,12 @@ def _values_equal(a, b) -> bool:
 def compare(spark_df, con, oracle: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     s_cols, s_rows, s_types = fetch_spark(spark_df)
-    d_cols, d_rows, d_types = fetch_duckdb(con, oracle)
+    d_cols, d_rows, d_types, d_logical = fetch_duckdb(con, oracle)
     problems: list[str] = []
     if s_cols != d_cols:
         problems.append(f"[{name}] columns differ: spark={s_cols} duckdb={d_cols}")
         return problems
-    problems.extend(_type_divergence(name, s_cols, s_types, d_types))
+    problems.extend(_type_divergence(name, s_cols, s_types, d_types, d_logical))
     if len(s_rows) != len(d_rows):
         problems.append(
             f"[{name}] row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"

@@ -269,6 +269,16 @@ def release_caches() -> int:
     automatically by the query registry when a new query starts; call it
     directly after materializing the last result when using query builders
     straight from the modules.
+
+    BUILD-THEN-MATERIALIZE CONTRACT (pinned in tests/test_io_helpers.py::
+    TestScopedCaching::test_released_checkpoint_errors_not_recomputes):
+    materialize each query's result BEFORE building the next one.  Plain
+    released caches silently recompute, but released localCheckpoint blocks
+    cannot — their lineage was truncated — so collecting a retained
+    DataFrame from an earlier query AFTER its scope was released fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than returning data.  If you
+    must interleave, collect (or write) the first result before the second
+    ``build(...)`` call.
     """
     n = 0
     while _LIVE_CACHES:

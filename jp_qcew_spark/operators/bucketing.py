@@ -31,7 +31,50 @@ groupBy on the bucket key both plan with zero Exchange operators.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+#: app_id -> (catalog tables, external-layout directory) awaiting cleanup.
+#: Per-application layouts fixed the round-6 concurrent-overwrite race, but
+#: left every session's /tmp directory and bco_* catalog entries behind
+#: (ADVICE r6) — this registry deletes THIS application's layout at
+#: interpreter exit (or eagerly via cleanup_bucketed_layouts), keeping the
+#: race fix while bounding /tmp growth at one live session's working set.
+_PENDING_CLEANUPS: dict[str, tuple[set[str], str]] = {}
+_ATEXIT_ARMED = False
+
+
+def register_layout_cleanup(
+    spark: SparkSession, tables: list[str], path: str
+) -> None:
+    """Arrange for ``tables`` and the external layout directory ``path`` to
+    be removed at interpreter exit (idempotent per application)."""
+    global _ATEXIT_ARMED
+    app = spark.sparkContext.applicationId
+    known, _ = _PENDING_CLEANUPS.get(app, (set(), path))
+    _PENDING_CLEANUPS[app] = (known | set(tables), path)
+    if not _ATEXIT_ARMED:
+        atexit.register(cleanup_bucketed_layouts)
+        _ATEXIT_ARMED = True
+
+
+def cleanup_bucketed_layouts() -> None:
+    """Drop registered bucketed catalog tables (if a session is still alive
+    to drop them in) and delete their external directories. Safe to call
+    eagerly once no pending DataFrame still reads the layout; atexit calls
+    it as a backstop for normal interpreter shutdown."""
+    spark = SparkSession.getActiveSession()
+    for app, (tables, path) in list(_PENDING_CLEANUPS.items()):
+        if spark is not None:
+            for t in sorted(tables):
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass  # session already stopped mid-shutdown
+        shutil.rmtree(path, ignore_errors=True)
+        _PENDING_CLEANUPS.pop(app, None)
 
 
 def write_bucketed(

@@ -356,8 +356,14 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileNotFoundException race when the test suite and a driver
     simulation ran concurrently) — per-application layout keeps each
     session's bucketed tables private while staying idempotent within
-    the session."""
-    from jp_qcew_spark.operators.bucketing import bucketed_join, write_bucketed
+    the session, and the layout registers for atexit cleanup so repeated
+    sessions don't accumulate /tmp data or catalog entries (ADVICE r6;
+    operators/bucketing.py::register_layout_cleanup)."""
+    from jp_qcew_spark.operators.bucketing import (
+        bucketed_join,
+        register_layout_cleanup,
+        write_bucketed,
+    )
 
     app = spark.sparkContext.applicationId.replace("-", "_")
     base = f"/tmp/jp_qcew_bucketed_{app}"
@@ -376,6 +382,7 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(
         li, t_li, ["o_orderkey"], 8, path=f"{base}/lineitem",
     )
+    register_layout_cleanup(spark, [t_orders, t_li], base)
     j = bucketed_join(spark, t_orders, t_li, ["o_orderkey"])
     return (
         j.groupBy("o_orderpriority")

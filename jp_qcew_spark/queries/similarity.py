@@ -1404,7 +1404,12 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (faiss ScalarQuantizer QT_8bit_direct family).
 
     Per dimension d: ``scale_d = max(|x_d|) / 127``; code =
-    ``round(x / scale)``; the query audits the codebook itself — one row
+    ``round(x / scale)``; an all-zero dimension yields scale 0, and 0/0
+    NaN propagation/rounding presentation can diverge across engines, so
+    the scale is null-guarded with ``nullif(scale, 0)`` on BOTH sides
+    (ADVICE r6) — a zero dimension then emits null code/error, identically
+    skipped by the aggregates in Spark and DuckDB. The query audits the
+    codebook itself — one row
     per dimension with the scale and the worst/mean absolute
     reconstruction error of ``code * scale`` — so the hash-match proves
     every element was quantized and reconstructed identically.
@@ -1423,8 +1428,11 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = (
         ex.join(F.broadcast(scales), "dim")
-        .withColumn("code", F.round(F.col("x") / F.col("scale")))
-        .withColumn("abs_err", F.abs(F.col("code") * F.col("scale") - F.col("x")))
+        .withColumn("safe_scale", F.nullif(F.col("scale"), F.lit(0.0)))
+        .withColumn("code", F.round(F.col("x") / F.col("safe_scale")))
+        .withColumn(
+            "abs_err", F.abs(F.col("code") * F.col("safe_scale") - F.col("x"))
+        )
     )
     return (
         err.groupBy("dim")
@@ -1447,8 +1455,9 @@ WITH ex AS (
 ), scales AS (
   SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim
 ), err AS (
-  SELECT e.dim, s.scale, round(e.x / s.scale) AS code,
-         abs(round(e.x / s.scale) * s.scale - e.x) AS abs_err
+  SELECT e.dim, s.scale, round(e.x / nullif(s.scale, 0)) AS code,
+         abs(round(e.x / nullif(s.scale, 0)) * nullif(s.scale, 0) - e.x)
+           AS abs_err
   FROM ex e JOIN scales s USING (dim)
 )
 SELECT dim,

@@ -94,3 +94,26 @@ def test_bucketed_agg_zero_exchange(spark, bucketed_tables):
     desc = spark.sql(f"DESCRIBE EXTENDED {lt}").collect()
     info = {r["col_name"]: r["data_type"] for r in desc}
     assert info.get("Num Buckets") == "8"
+
+
+def test_layout_cleanup_drops_tables_and_directory(spark, sf_dir, tmp_path):
+    """The per-application layout isolation (round-6 race fix) must not leak
+    /tmp directories or catalog entries across sessions (ADVICE r6):
+    register_layout_cleanup + cleanup_bucketed_layouts drop the tables and
+    delete the external directory, and the atexit backstop is armed."""
+    import jp_qcew_spark.operators.bucketing as B
+
+    base = tmp_path / "layout"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_bucketed(nation, "bco_cleanup_probe", ["n_nationkey"], 4,
+                   path=str(base / "nation"))
+    B.register_layout_cleanup(spark, ["bco_cleanup_probe"], str(base))
+    assert spark.catalog.tableExists("bco_cleanup_probe")
+    assert (base / "nation").exists()
+    assert B._ATEXIT_ARMED
+    B.cleanup_bucketed_layouts()
+    assert not spark.catalog.tableExists("bco_cleanup_probe")
+    assert not base.exists()
+    assert not B._PENDING_CLEANUPS
+    # idempotent: a second call is a no-op, not an error
+    B.cleanup_bucketed_layouts()

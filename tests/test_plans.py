@@ -824,3 +824,24 @@ def test_skyline_two_phase_no_global_fact_sort(spark, sf_dir):
     assert len(_re.findall(r"^\(\d+\) Window", plan, _re.M)) == 2
     assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
     assert not I.has_cartesian_product(df)
+
+
+def test_mm_codec_queries_prune_scan_and_stay_arrow(spark, sf_dir):
+    """The round-7 codec queries (BMP, RLE-TGA) must read ONLY
+    (doc_id, text) from the documents scan — payload synthesis and decode
+    are two chained ArrowEvalPython/MapInPandas stages, zero joins, zero
+    extra shuffles beyond the final orderBy."""
+    from jp_qcew_spark.queries.multimodal import q_mm_bmp_decode, q_mm_tga_decode
+
+    for q in (q_mm_bmp_decode, q_mm_tga_decode):
+        df = q(spark, sf_dir)
+        schemas = I.read_schemas(df)
+        assert schemas and all(
+            set(s) <= {"doc_id", "text"} for s in schemas
+        ), schemas
+        assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+        assert not I.has_cartesian_product(df)
+        plan = I.formatted_plan(df)
+        assert (
+            len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
+        )  # synth stage + decode stage

@@ -123,7 +123,7 @@ def test_naics_aggregate_matches_duckdb_golden(etl_out, spark):
       FROM qcew_clean WHERE substr(naics_code, 1, 4) <> ''
     )
     SELECT year, qtr, naics4,
-           sum(total_wages) AS total_wages,
+           CAST(sum(total_wages) AS BIGINT) AS total_wages,
            avg(total_employment) AS total_employment,
            count(*) AS dummy,
            CAST(sum(total_wages) * 0.014  AS DOUBLE) AS fondo_contributions,

@@ -89,6 +89,9 @@ QUERIES = [
     "ts_rolling_median",
     "knn_recall_eval",
     "skyline_orders",
+    # r7 additions
+    "mm_bmp_decode",
+    "mm_tga_decode",
 ]
 
 

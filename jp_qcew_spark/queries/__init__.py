@@ -57,10 +57,11 @@ _GROUPS = [
 #   profile_columns, regional_volume, sample_reservoir, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
 #   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (stream_static_join,
-#   stream_stream_join, text_inverted_index, ts_ewma, ts_gapfill,
-#   ts_resample, ts_resample_yearly, udtf_tokenize, wages_series) plus
-#   the 49 r5 rows lead the round-8 window.
+#   50 slots reach; the remaining r4 rows (stream_session,
+#   stream_stateful_user_stats, stream_static_join, stream_stream_join,
+#   text_inverted_index, ts_ewma, ts_gapfill, ts_resample,
+#   ts_resample_yearly, udtf_tokenize, wages_series) plus the 49 r5 rows
+#   lead the round-8 window.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
     # -- the r5/r6 red, oracle HUGEINT fix (must re-certify first)
@@ -74,9 +75,12 @@ _WINDOW_PRIORITY = [
     #    row no longer covers the shipped expression — re-certify
     "embedding_quantize_int8",
     # -- new in round 7: real BMP (stride+flip+BGR) and RLE-TGA (third
-    #    real compression family) codecs — first driver rows
+    #    real compression family) codecs, URL-canonicalization dedup,
+    #    PMI collocations — first driver rows
     "mm_bmp_decode",
     "mm_tga_decode",
+    "dedup_url_canonical",
+    "text_pmi_assoc",
     # -- oldest driver evidence: the 17 r3-era rows
     "domain_mix",
     "events_rollup_reagg",
@@ -119,8 +123,6 @@ _WINDOW_PRIORITY = [
     "llm_prep_pipeline",
     "rank_global_twophase",
     "stream_dedup",
-    "stream_session",
-    "stream_stateful_user_stats",
 ]
 
 

@@ -834,3 +834,124 @@ FROM sel GROUP BY source ORDER BY source
 
 QUERIES["sample_temperature"] = q_sample_temperature
 ORACLE["sample_temperature"] = ORACLE_SAMPLE_TEMPERATURE
+
+
+# --------------------------------------------------------------------------
+# dedup_url_canonical — URL canonicalization dedup (round 7)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST pass of every web-corpus
+    pipeline (CCNet / RefinedWeb run it before any content dedup, because
+    it is free): crawl URLs that differ only in case, default port,
+    ``www.`` prefix, tracking parameters, fragments, or trailing slashes
+    are the SAME resource, and collapsing them costs one string pipeline
+    plus one hash aggregation — no shingles, no pairs.
+
+    Each document synthesizes a deterministic raw URL whose doc_id-driven
+    variants (upper/lower case, ``:443``, ``utm_*`` query, ``#fragment``,
+    trailing slash) all canonicalize to the same resource for the same
+    ``(source, article)`` — so the group sizes prove every
+    canonicalization rule fired — while a genuine ``?page=2`` variant
+    stays a DISTINCT resource (the pipeline must not over-strip). The whole pipeline is codegen'd built-in
+    string functions (lower / regexp_replace / split), zero UDFs; the
+    oracle runs the same rules in DuckDB.
+
+    Scale shape: one map-side string pipeline + ONE hash aggregation on
+    the canonical key — at 100 TB this is a single shuffle keyed by
+    canonical URL, the same shape as ``dedup_exact`` (sketches/pairs are
+    never needed for URL identity)."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    )
+    raw = d.withColumn(
+        "raw_url",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper("source"),
+            F.lit(".Example.COM:443/articles/"),
+            F.expr("(doc_id div 20) % 7").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("/?utm_source=feed&utm_campaign=x"),
+            )
+            .when(F.col("doc_id") % 11 == 0, F.lit("/?page=2"))
+            .otherwise(F.lit("/")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("#section-"), (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    canon = (
+        raw
+        # 1. case-fold (scheme+host are case-insensitive; path normalized
+        #    too since the synthetic paths are ASCII)
+        .withColumn("u", F.lower("raw_url"))
+        # 2. strip the fragment
+        .withColumn("u", F.regexp_replace("u", r"#.*$", ""))
+        # 3. strip the default https port
+        .withColumn("u", F.regexp_replace("u", r"^(https://[^/:]+):443(/|$)", r"$1$2"))
+        # 4. drop utm_* tracking params (then a dangling '&' or '?')
+        .withColumn("u", F.regexp_replace("u", r"utm_[a-z]+=[^&#]*&?", ""))
+        .withColumn("u", F.regexp_replace("u", r"[?&]$", ""))
+        # 5. strip the www. host prefix
+        .withColumn("u", F.regexp_replace("u", r"^https://www\.", "https://"))
+        # 6. strip a trailing slash (but never a '//' or ':/' root) — the
+        #    capture-group form, NOT a lookbehind: DuckDB's RE2 has no
+        #    lookbehind, and the oracle must run the IDENTICAL pattern
+        .withColumn("u", F.regexp_replace("u", r"([^:/])/$", r"$1"))
+    )
+    return (
+        canon.groupBy(F.col("u").alias("canonical_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("canonical_url").asc())
+        .limit(50)
+    )
+
+
+ORACLE_DEDUP_URL_CANONICAL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM:443/articles/'
+           || CAST((doc_id // 20) % 7 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '/?utm_source=feed&utm_campaign=x'
+                   WHEN doc_id % 11 = 0 THEN '/?page=2'
+                   ELSE '/' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '#section-' || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE '' END AS raw_url
+  FROM documents
+), canon AS (
+  SELECT doc_id, raw_url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(raw_url), '#.*$', ''),
+              '^(https://[^/:]+):443(/|$)', '\1\2'),
+            'utm_[a-z]+=[^&#]*&?', '', 'g'),
+          '[?&]$', ''),
+        '^https://www\.', 'https://'),
+      '([^:/])/$', '\1') AS u
+  FROM raw
+)
+SELECT u AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+       min(doc_id) AS keep_doc
+FROM canon
+GROUP BY u
+ORDER BY n_docs DESC, canonical_url ASC
+LIMIT 50
+"""
+
+QUERIES["dedup_url_canonical"] = q_dedup_url_canonical
+ORACLE["dedup_url_canonical"] = ORACLE_DEDUP_URL_CANONICAL

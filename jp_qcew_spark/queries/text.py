@@ -650,3 +650,96 @@ GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["text_lm_bigram"] = q_text_lm_bigram
 ORACLE["text_lm_bigram"] = ORACLE_TEXT_LM_BIGRAM
+
+
+# --------------------------------------------------------------------------
+# text_pmi_assoc — pointwise-mutual-information collocations (round 7)
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # support floor: PMI is unstable on rare pairs
+
+
+def q_text_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations over the corpus — the association-strength
+    complement to ``text_bigrams``' conditional counts: lift =
+    ``P(ab) / (P(a)·P(b))`` ranks word pairs that co-occur far more than
+    independence predicts (collocation extraction, tokenizer-merge
+    candidates, boilerplate phrase discovery). Pairs under a support
+    floor are dropped first — PMI explodes on hapax pairs.
+
+    The query emits the RAW LIFT ratio, not ``ln(lift)``: the numerator
+    and denominator are exact integer products (< 2^53 here) and one
+    IEEE division is bit-identical across engines, while ``ln`` is libm-
+    dependent — the PMI ordering is identical either way since ln is
+    monotone. (At 100 TB the integer products can pass 2^53; switch the
+    final expression to log-space subtraction there.)
+
+    Scale shape: ONE corpus-sized shuffle (the bigram count); the margin
+    sums and the grand total are windows/aggregates over the bigram-TYPE
+    table, which is Heaps-law sublinear in the corpus; the 1-row total
+    broadcasts. Nothing quadratic, no UDFs, all codegen'd."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir, "text")
+    base = d.select(F.split(F.trim("text"), r"\s+").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_ab")
+    )
+    tot = counts.agg(F.sum("n_ab").cast("long").alias("n_tot"))
+    scored = (
+        counts.withColumn(
+            "n_a", F.sum("n_ab").over(W.partitionBy("w1")).cast("long")
+        )
+        .withColumn(
+            "n_b", F.sum("n_ab").over(W.partitionBy("w2")).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .withColumn(
+            "lift",
+            (F.col("n_ab") * F.col("n_tot")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(30)
+    )
+
+
+ORACLE_TEXT_PMI_ASSOC = rf"""
+WITH w AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), b AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM b GROUP BY w1, w2
+), sc AS (
+  SELECT w1, w2, n_ab,
+         CAST(sum(n_ab) OVER (PARTITION BY w1) AS BIGINT) AS n_a,
+         CAST(sum(n_ab) OVER (PARTITION BY w2) AS BIGINT) AS n_b,
+         CAST(sum(n_ab) OVER () AS BIGINT) AS n_tot
+  FROM counts
+)
+SELECT w1, w2, n_ab, n_a, n_b,
+       CAST(n_ab * n_tot AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+FROM sc WHERE n_ab >= {_PMI_MIN_COUNT}
+ORDER BY lift DESC, w1 ASC, w2 ASC
+LIMIT 30
+"""
+
+QUERIES["text_pmi_assoc"] = q_text_pmi_assoc
+ORACLE["text_pmi_assoc"] = ORACLE_TEXT_PMI_ASSOC

@@ -845,3 +845,37 @@ def test_mm_codec_queries_prune_scan_and_stay_arrow(spark, sf_dir):
         assert (
             len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
         )  # synth stage + decode stage
+
+
+def test_url_canonical_single_shuffle_no_udf(spark, sf_dir):
+    """URL-canonicalization dedup must be the dedup_exact shape: a
+    codegen'd string pipeline + ONE hash aggregation on the canonical
+    key — no joins, no Python evaluation, scan pruned to the three
+    referenced columns."""
+    from jp_qcew_spark.queries.curation import q_dedup_url_canonical
+
+    df = q_dedup_url_canonical(spark, sf_dir)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert "Python" not in plan and "MapInPandas" not in plan
+    schemas = I.read_schemas(df)
+    assert schemas and all(
+        set(s) <= {"doc_id", "lang", "source"} for s in schemas
+    ), schemas
+
+
+def test_pmi_windows_over_bigram_types_broadcast_total(spark, sf_dir):
+    """PMI margins must be windows over the bigram-TYPE table (Heaps-law
+    sublinear), never a re-shuffle of the corpus; the 1-row grand total
+    joins as a broadcast, and the only corpus-sized shuffle is the bigram
+    count's partial agg."""
+    from jp_qcew_spark.queries.text import q_text_pmi_assoc
+
+    df = q_text_pmi_assoc(spark, sf_dir)
+    assert not I.has_cartesian_product(df) or I.broadcast_hint_count(df) >= 1
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+    assert "MapInPandas" not in plan

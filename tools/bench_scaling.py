@@ -92,6 +92,8 @@ QUERIES = [
     # r7 additions
     "mm_bmp_decode",
     "mm_tga_decode",
+    "dedup_url_canonical",
+    "text_pmi_assoc",
 ]
 
 

@@ -57,7 +57,7 @@ _GROUPS = [
 #   profile_columns, regional_volume, sample_reservoir, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
 #   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (stream_session,
+#   50 slots reach; the remaining r4 rows (stream_dedup, stream_session,
 #   stream_stateful_user_stats, stream_static_join, stream_stream_join,
 #   text_inverted_index, ts_ewma, ts_gapfill, ts_resample,
 #   ts_resample_yearly, udtf_tokenize, wages_series) plus the 49 r5 rows
@@ -81,6 +81,7 @@ _WINDOW_PRIORITY = [
     "mm_tga_decode",
     "dedup_url_canonical",
     "text_pmi_assoc",
+    "dedup_minhash_est_eval",
     # -- oldest driver evidence: the 17 r3-era rows
     "domain_mix",
     "events_rollup_reagg",
@@ -122,7 +123,6 @@ _WINDOW_PRIORITY = [
     "knn_signlsh",
     "llm_prep_pipeline",
     "rank_global_twophase",
-    "stream_dedup",
 ]
 
 

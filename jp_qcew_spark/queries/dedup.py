@@ -888,3 +888,162 @@ ORDER BY doc_a, doc_b
 
 QUERIES["text_containment"] = q_text_containment
 ORACLE["text_containment"] = ORACLE_TEXT_CONTAINMENT
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_est_eval — MinHash estimator quality as a query (round 7)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality eval — the dedup-tier analog of
+    ``knn_recall_eval``: for every LSH candidate pair, compare the
+    signature-agreement estimate ``k_agree / 12`` (the unbiased MinHash
+    Jaccard estimator, Broder 1997) with the EXACT shingle Jaccard, and
+    emit the absolute error. Operationally this answers "could the
+    pipeline trust signatures and skip the exact-verify join?" — the
+    eval runs on exactly the candidate set the verify stage sees.
+
+    Composition, not re-derivation: signatures, banding, candidates, and
+    the exact-verify chain are the SAME code paths ``dedup_minhash_lsh``
+    ships (ext.dedup builders + the semi-join-narrowed intersect), so a
+    driver hash match re-proves those paths too. Estimates and errors
+    are unrounded doubles — each is one IEEE division (or subtraction)
+    of exact integers, bit-identical across engines, no libm calls.
+
+    Scale shape: identical to the LSH query (band-bucket join + verify
+    join, no corpus-growing broadcast) plus one signature equi-join per
+    pair side — signatures are one row per doc, joined on doc_id."""
+    ex = cache_parallel(_exploded(spark, sf_dir))
+    sig = D.minhash_from_exploded(ex, "doc_id", _NUM_HASHES)
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_NUM_HASHES)])
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    D.band_key(sig_arr, b, _ROWS_PER_BAND)
+                    for b in range(_NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand = track_cache(cand)
+    k_agree = sum(
+        (F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}")).cast("int")
+        for i in range(_NUM_HASHES)
+    ).cast("long")
+    est = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", k_agree.alias("k_agree"))
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    exc = track_cache(ex.join(cand_docs, "doc_id", "semi"))
+    inter = (
+        cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
+        .join(
+            exc.alias("xb"),
+            (F.col("doc_b") == F.col("xb.doc_id"))
+            & (F.col("xa.shingle") == F.col("xb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    exact = (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+            ).alias("jac_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "k_agree",
+            (F.col("k_agree") / F.lit(float(_NUM_HASHES))).alias("jac_est"),
+            "jac_exact",
+            F.abs(
+                F.col("k_agree") / F.lit(float(_NUM_HASHES))
+                - F.col("jac_exact")
+            ).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_minhash_est_eval() -> str:
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh_{4 * b} || mh_{4 * b + 1} || mh_{4 * b + 2} || mh_{4 * b + 3}) "
+        "AS band_key FROM sig"
+        for b in range(_NUM_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return rf"""
+WITH sh AS ({_SH_SQL}),
+nonempty AS (SELECT * FROM sh WHERE len(shset) > 0),
+sig AS (
+  SELECT doc_id, shset,
+         {sig_exprs}
+  FROM nonempty
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST({agree} AS BIGINT) AS k_agree,
+         CAST({agree} AS DOUBLE) / {_NUM_HASHES} AS jac_est,
+         CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+           / (len(x.shset) + len(y.shset)
+              - len(list_intersect(x.shset, y.shset))) AS jac_exact
+  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, k_agree, jac_est, jac_exact,
+       abs(jac_est - jac_exact) AS abs_err
+FROM scored ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES["dedup_minhash_est_eval"] = q_dedup_minhash_est_eval
+ORACLE["dedup_minhash_est_eval"] = _oracle_minhash_est_eval()

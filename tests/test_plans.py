@@ -879,3 +879,15 @@ def test_pmi_windows_over_bigram_types_broadcast_total(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
     assert "MapInPandas" not in plan
+
+
+def test_minhash_est_eval_no_corpus_broadcast(spark, sf_dir):
+    """The estimator eval reuses the LSH candidate + verify chain, so it
+    inherits the dedup-family rule: NO broadcast hint on any side that
+    grows with the corpus (signatures, candidates, exploded shingles),
+    and no cartesian product anywhere."""
+    from jp_qcew_spark.queries.dedup import q_dedup_minhash_est_eval
+
+    df = q_dedup_minhash_est_eval(spark, sf_dir)
+    assert I.broadcast_hint_count(df) == 0
+    assert not I.has_cartesian_product(df)

@@ -94,6 +94,7 @@ QUERIES = [
     "mm_tga_decode",
     "dedup_url_canonical",
     "text_pmi_assoc",
+    "dedup_minhash_est_eval",
 ]
 
 

@@ -1047,3 +1047,138 @@ FROM scored ORDER BY doc_a, doc_b
 
 QUERIES["dedup_minhash_est_eval"] = q_dedup_minhash_est_eval
 ORACLE["dedup_minhash_est_eval"] = _oracle_minhash_est_eval()
+
+
+# --------------------------------------------------------------------------
+# dedup_exact_substring — verbatim-run pair detection (round 7)
+# --------------------------------------------------------------------------
+
+_ESS_WIN = 40      # chars per window — a "verbatim run" is >= one window
+_ESS_STRIDE = 20   # half-overlapping starts so a run can't fall between
+_ESS_DF_CAP = 32   # windows in more docs than this are corpus boilerplate
+_ESS_MAX_STARTS = 64  # oracle range() bound; binds only past 1,320 chars
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-duplication pairs — the verbatim-copy detector next
+    to the probabilistic family (MinHash/SimHash estimate set overlap;
+    this finds literally identical character runs, the signal behind
+    suffix-array training-data dedup a la Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", re-expressed as a
+    distributed windowed-hash join). Character-aligned, so it catches
+    verbatim quotation/mirror content that word-shingle Jaccard dilutes
+    and that ``dedup_passages`` (word-stride, per-source rollup) counts
+    but does not attribute to PAIRS.
+
+    Every half-overlapping 40-char window (stride 20 — an exactly shared
+    run of >= 60 chars must contain a shared full window regardless of
+    alignment) collapses to its md5 fingerprint; pairs come from the
+    fingerprint equi-join, never n². Scale guards, same discipline as
+    the shingle tier: (1) windows are DISTINCT per doc before anything
+    shuffles, (2) fingerprints present in more than ``_ESS_DF_CAP`` docs
+    are dropped as boilerplate (caps any join fan-out at DF_CAP² per
+    fingerprint), (3) only the 32-byte fingerprint ever shuffles, not
+    window text (~50% of corpus bytes at stride 20, vs 2,000% for raw
+    windows). Three keyed shuffles end-to-end: distinct windows, df
+    counts, pair aggregation. ``containment`` = shared / min(win_a,
+    win_b) over the same distinct-window universe, so a short doc fully
+    embedded in a long one scores 1.0."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # Same expression text as the oracle: full windows only (the guard
+    # 20*i + 40 <= length(text) makes substr() total on both engines).
+    # The window table feeds FIVE consumers (df counts, both join sides,
+    # both per-doc sizes) — scope-cached so the text scan + md5 fan-out
+    # runs once, not five times.
+    wins = cache_parallel(
+        d.filter(F.length("text") >= _ESS_WIN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.length("text") - F.lit(_ESS_WIN))
+                        / F.lit(_ESS_STRIDE)
+                    ).cast("int"),
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"md5(substr(text, 1 + {_ESS_STRIDE} * i, {_ESS_WIN}))"
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    nw = wins.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = wins.groupBy("fp").agg(F.count("*").alias("nd"))
+    keep = freq.filter(
+        (F.col("nd") >= 2) & (F.col("nd") <= _ESS_DF_CAP)
+    ).select("fp")
+    w = wins.join(keep, "fp")
+    pairs = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= 2)
+    )
+    return (
+        pairs.join(nw.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(nw.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_windows",
+            F.col("x.n").alias("win_a"),
+            F.col("y.n").alias("win_b"),
+            F.round(
+                F.col("shared_windows") / F.least("x.n", "y.n"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("shared_windows").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+ORACLE_DEDUP_EXACT_SUBSTRING = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, 1 + {_ESS_STRIDE} * t.i, {_ESS_WIN})) AS fp
+  FROM documents CROSS JOIN range(0, {_ESS_MAX_STARTS}) t(i)
+  WHERE length(text) >= {_ESS_WIN} + {_ESS_STRIDE} * t.i
+),
+nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+freq AS (SELECT fp, count(*) AS nd FROM w GROUP BY 1),
+keep AS (SELECT fp FROM freq WHERE nd BETWEEN 2 AND {_ESS_DF_CAP}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_windows
+  FROM w a JOIN keep USING (fp) JOIN w b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b, shared_windows,
+       CAST(x.n AS BIGINT) AS win_a,
+       CAST(y.n AS BIGINT) AS win_b,
+       round(shared_windows * 1.0 / least(x.n, y.n), 6) AS containment
+FROM pairs
+JOIN nw x ON doc_a = x.doc_id
+JOIN nw y ON doc_b = y.doc_id
+ORDER BY shared_windows DESC, doc_a, doc_b
+LIMIT 100
+"""
+
+QUERIES["dedup_exact_substring"] = q_dedup_exact_substring
+ORACLE["dedup_exact_substring"] = ORACLE_DEDUP_EXACT_SUBSTRING

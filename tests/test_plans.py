@@ -891,3 +891,18 @@ def test_minhash_est_eval_no_corpus_broadcast(spark, sf_dir):
     df = q_dedup_minhash_est_eval(spark, sf_dir)
     assert I.broadcast_hint_count(df) == 0
     assert not I.has_cartesian_product(df)
+
+
+def test_exact_substring_capped_join_no_corpus_broadcast(spark, sf_dir):
+    """Exact-substring pairs follow the dedup-family rule: candidates come
+    from a frequency-capped fingerprint equi-join (never n², never a
+    cartesian), no broadcast HINT on any corpus-growing side, and the
+    shared window table is scope-cached so the text scan + md5 fan-out
+    materializes once for its five consumers."""
+    from jp_qcew_spark.queries.dedup import q_dedup_exact_substring
+
+    df = q_dedup_exact_substring(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan

@@ -57,11 +57,12 @@ _GROUPS = [
 #   profile_columns, regional_volume, sample_reservoir, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
 #   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (rank_global_twophase,
-#   stream_dedup, stream_session, stream_stateful_user_stats,
-#   stream_static_join, stream_stream_join, text_inverted_index, ts_ewma,
-#   ts_gapfill, ts_resample, ts_resample_yearly, udtf_tokenize,
-#   wages_series) plus the 49 r5 rows lead the round-8 window.
+#   50 slots reach; the remaining r4 rows (llm_prep_pipeline,
+#   rank_global_twophase, stream_dedup, stream_session,
+#   stream_stateful_user_stats, stream_static_join, stream_stream_join,
+#   text_inverted_index, ts_ewma, ts_gapfill, ts_resample,
+#   ts_resample_yearly, udtf_tokenize, wages_series) plus the 49 r5 rows
+#   lead the round-8 window.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
     # -- the r5/r6 red, oracle HUGEINT fix (must re-certify first)
@@ -83,6 +84,7 @@ _WINDOW_PRIORITY = [
     "text_pmi_assoc",
     "dedup_minhash_est_eval",
     "dedup_exact_substring",
+    "sketch_quantile_hist",
     # -- oldest driver evidence: the 17 r3-era rows
     "domain_mix",
     "events_rollup_reagg",
@@ -101,7 +103,7 @@ _WINDOW_PRIORITY = [
     "sketch_hll_rollup",
     "udf_vector_norm",
     "wages_label_domain",
-    # -- r4 cohort, alphabetical (27 of 34; the rest lead round 8)
+    # -- r4 cohort, alphabetical (26 of 34; the rest lead round 8)
     "agg_distinct_exact",
     "dedup_char_ngram",
     "dedup_components",
@@ -122,7 +124,6 @@ _WINDOW_PRIORITY = [
     "knn_ivf",
     "knn_multiprobe",
     "knn_signlsh",
-    "llm_prep_pipeline",
 ]
 
 

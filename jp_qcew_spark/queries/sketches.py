@@ -11,7 +11,7 @@ out-of-band estimate breaks the value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.io import load_table
@@ -364,3 +364,147 @@ ORACLE = {
     "sketch_hll_rollup": ORACLE_SKETCH_HLL_ROLLUP,
     "sketch_countmin_topk": ORACLE_SKETCH_COUNTMIN,
 }
+
+
+# --------------------------------------------------------------------------
+# sketch_quantile_hist — mergeable histogram quantile sketch (round 7)
+# --------------------------------------------------------------------------
+
+_QH_WIDTH = 1680   # bin width: 64 bins cover [0, 107520) ⊇ extendedprice
+_QH_QS = (0.5, 0.95)
+
+
+def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile sketch over
+    ``l_extendedprice`` per returnflag — the quantile member of the
+    sketch tier next to HLL (cardinality) and Count-Min (frequency).
+    The sketch is a fixed 64-cell additive vector: ``bin =
+    floor(price / 1680)``; per-partition histograms merge bin-wise in
+    the partial-aggregation combiner, which is the entire point at
+    100 TB — executors ship 64 counters, never values, and the estimate
+    runs on a ~190-row frame after ONE map-side-combined shuffle. The
+    rank-``r`` estimate linearly interpolates inside the bin holding
+    rank ``r = ceil(q·n)``: ``est = bin·1680 + 1680·(r − cumb)/cnt``.
+
+    Like ``sketch_countmin_topk``, every byte is deterministic, so the
+    oracle recomputes the WHOLE sketch and the driver hash-matches exact
+    values, not bands: the exact audit twin (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the ``quantiles_exact`` precedent) rides
+    along as ``exact_*`` and ``err_* = est − exact`` quantifies the
+    bin-width error the sketch trades for mergeability. Arithmetic is
+    identical expression text on both engines; all intermediates are
+    exact integers below 2^53, so the one division is the only rounding
+    site and lands identically."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    hist = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.expr(
+                f"CAST(floor(l_extendedprice / {_QH_WIDTH}.0) AS BIGINT)"
+            ).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    wq = Window.partitionBy("flag").orderBy("bin")
+    wn = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wq).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q")
+    tgt = cum.select("flag", "bin", "cnt", "cum", "n", qs).withColumn(
+        "r", F.expr("CAST(ceil(q * n) AS BIGINT)")
+    )
+    hit = tgt.filter(
+        (F.col("cum") - F.col("cnt") < F.col("r"))
+        & (F.col("r") <= F.col("cum"))
+    ).select(
+        "flag",
+        "q",
+        "n",
+        F.expr(
+            f"bin * {_QH_WIDTH} + {_QH_WIDTH} * (r - (cum - cnt)) / cnt"
+        ).alias("est"),
+    )
+    pct = F.expr(
+        "percentile(l_extendedprice, array("
+        + ", ".join(str(q) for q in _QH_QS)
+        + "))"
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        pct.alias("pcts")
+    )
+    est_wide = hit.groupBy("flag", "n").agg(
+        F.max(F.when(F.col("q") == _QH_QS[0], F.col("est"))).alias("e50"),
+        F.max(F.when(F.col("q") == _QH_QS[1], F.col("est"))).alias("e95"),
+    )
+    return (
+        est_wide.join(F.broadcast(exact), "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n"),
+            F.round("e50", 4).alias("est_p50"),
+            F.round(F.get("pcts", 0), 4).alias("exact_p50"),
+            (F.round("e50", 4) - F.round(F.get("pcts", 0), 4)).alias(
+                "err_p50"
+            ),
+            F.round("e95", 4).alias("est_p95"),
+            F.round(F.get("pcts", 1), 4).alias("exact_p95"),
+            (F.round("e95", 4) - F.round(F.get("pcts", 1), 4)).alias(
+                "err_p95"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SKETCH_QUANTILE_HIST = f"""
+WITH li AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), hist AS (
+  SELECT flag, CAST(floor(v / {_QH_WIDTH}.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM li GROUP BY 1, 2
+), cum AS (
+  SELECT flag, bin, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY flag) AS n
+  FROM hist
+), tgt AS (
+  SELECT flag, bin, cnt, cum, n, t.q,
+         CAST(ceil(t.q * n) AS BIGINT) AS r
+  FROM cum CROSS JOIN (VALUES ({_QH_QS[0]}), ({_QH_QS[1]})) t(q)
+), hit AS (
+  SELECT flag, q, n,
+         bin * {_QH_WIDTH} + {_QH_WIDTH} * (r - (cum - cnt)) / cnt AS est
+  FROM tgt WHERE cum - cnt < r AND r <= cum
+), ex AS (
+  SELECT flag,
+         quantile_cont(v, {_QH_QS[0]}) AS x50,
+         quantile_cont(v, {_QH_QS[1]}) AS x95
+  FROM li GROUP BY 1
+), wide AS (
+  SELECT flag, CAST(n AS BIGINT) AS n,
+         max(CASE WHEN q = {_QH_QS[0]} THEN est END) AS e50,
+         max(CASE WHEN q = {_QH_QS[1]} THEN est END) AS e95
+  FROM hit GROUP BY 1, 2
+)
+SELECT flag AS l_returnflag, n,
+       round(e50, 4) AS est_p50,
+       round(x50, 4) AS exact_p50,
+       round(e50, 4) - round(x50, 4) AS err_p50,
+       round(e95, 4) AS est_p95,
+       round(x95, 4) AS exact_p95,
+       round(e95, 4) - round(x95, 4) AS err_p95
+FROM wide JOIN ex USING (flag)
+ORDER BY l_returnflag
+"""
+
+QUERIES["sketch_quantile_hist"] = q_sketch_quantile_hist
+ORACLE["sketch_quantile_hist"] = ORACLE_SKETCH_QUANTILE_HIST

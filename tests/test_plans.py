@@ -906,3 +906,20 @@ def test_exact_substring_capped_join_no_corpus_broadcast(spark, sf_dir):
     assert I.broadcast_hint_count(df) == 0
     plan = I.formatted_plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_quantile_hist_mergeable_partials(spark, sf_dir):
+    """The histogram quantile sketch must be mergeable at the combiner:
+    the fact scan feeds a partial-aggregated (flag, bin) count — 64
+    additive counters per partition, never values — and the exact-audit
+    twin is a second partial-percentile scan joined by BROADCAST (3
+    rows). No cartesian anywhere, and the interpolation runs post-
+    shuffle on the tiny histogram frame."""
+    from jp_qcew_spark.queries.sketches import q_sketch_quantile_hist
+
+    df = q_sketch_quantile_hist(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan

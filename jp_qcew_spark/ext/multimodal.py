@@ -844,14 +844,13 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
     return out
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL PCM WAV decode — stdlib struct + numpy: verify the RIFF/WAVE
-    container, walk the chunk stream (skipping unknown chunks like LIST /
-    INFO, honoring the odd-size pad byte), parse ``fmt `` (PCM only,
-    16-bit only — compressed WAV formats such as ADPCM/mu-law would need a
-    codec and stay gated), then ``np.frombuffer`` the int16 sample plane
-    and compute real signal features: peak amplitude, RMS, and integer
-    duration."""
+def _wav_plane(payload: bytes) -> tuple:
+    """Shared RIFF walk for the WAV decoders: verify the container, walk
+    the chunk stream (skipping unknown chunks like LIST/INFO, honoring
+    the odd-size pad byte), parse ``fmt `` (PCM only, 16-bit only —
+    compressed WAV formats such as ADPCM/mu-law would need a codec and
+    stay gated), and return ``(sample_rate, channels, bits, samples)``
+    with the int16 plane widened to int64."""
     import struct
 
     import numpy as np
@@ -884,6 +883,16 @@ def decode_wav(payload: bytes) -> dict:
     s = np.frombuffer(data, dtype="<i2").astype(np.int64)
     if channels > 1:
         s = s.reshape(-1, channels)
+    return int(sample_rate), int(channels), int(bits), s
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL PCM WAV decode — stdlib struct + numpy over the shared
+    ``_wav_plane`` RIFF walk, computing whole-file signal features: peak
+    amplitude, RMS, and integer duration."""
+    import numpy as np
+
+    sample_rate, channels, bits, s = _wav_plane(payload)
     n = s.shape[0]
     # n and the sums are exact integers; rms is a sqrt of an exact
     # rational, irrational unless the mean square is a perfect square —
@@ -969,6 +978,78 @@ def wav_features(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, WAV_FEATURES_SCHEMA
+    )
+
+
+WAV_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame", LongType()),
+        StructField("peak", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", LongType()),
+    ]
+)
+
+
+def wav_frame_features(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       frame_len: int = 32) -> DataFrame:
+    """FRAME-level audio featurization over a binary WAV column — the
+    windowed-analysis stage a speech/audio curation pipeline runs after
+    whole-file stats (energy gating / VAD-style screening): decode the
+    PCM plane once per payload via the shared ``_wav_plane`` RIFF walk,
+    reshape to ``(n_frames, frame_len)`` and compute, fully vectorized
+    in numpy across the Arrow batch, per-frame peak, RMS energy and
+    zero-crossing count. One payload fans out to ``n // frame_len``
+    rows; the fan-out happens INSIDE the Arrow batch so the binary
+    column crosses the JVM↔Python boundary exactly once.
+
+    Determinism contract matches ``decode_wav``: peaks/ZCR are exact
+    integers; each frame RMS is sqrt of an exact dyadic mean
+    (frame_len = 2^5), irrational unless a perfect square, so
+    round(…, 6) cannot tie across engines."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            frames: list = []
+            peaks: list = []
+            rmss: list = []
+            zcrs: list = []
+            for did, p in zip(pdf[id_col].values, pdf[payload_col]):
+                _sr, channels, _bits, s = _wav_plane(bytes(p))
+                if channels > 1:
+                    s = s[:, 0]  # frame features on the first channel
+                nf = s.shape[0] // frame_len
+                fr = s[: nf * frame_len].reshape(nf, frame_len)
+                ff = fr.astype(np.float64)
+                nonneg = fr >= 0
+                ids.extend([did] * nf)
+                frames.extend(range(nf))
+                peaks.extend(np.abs(fr).max(axis=1).tolist())
+                rmss.extend(
+                    round(float(x), 6)
+                    for x in np.sqrt((ff * ff).mean(axis=1))
+                )
+                zcrs.extend(
+                    (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame": frames,
+                    "peak": peaks,
+                    "rms": rmss,
+                    "zcr": zcrs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, WAV_FRAME_SCHEMA
     )
 
 

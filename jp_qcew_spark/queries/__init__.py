@@ -57,8 +57,8 @@ _GROUPS = [
 #   profile_columns, regional_volume, sample_reservoir, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
 #   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (llm_prep_pipeline,
-#   rank_global_twophase, stream_dedup, stream_session,
+#   50 slots reach; the remaining r4 rows (knn_signlsh,
+#   llm_prep_pipeline, rank_global_twophase, stream_dedup, stream_session,
 #   stream_stateful_user_stats, stream_static_join, stream_stream_join,
 #   text_inverted_index, ts_ewma, ts_gapfill, ts_resample,
 #   ts_resample_yearly, udtf_tokenize, wages_series) plus the 49 r5 rows
@@ -77,7 +77,9 @@ _WINDOW_PRIORITY = [
     "embedding_quantize_int8",
     # -- new in round 7: real BMP (stride+flip+BGR) and RLE-TGA (third
     #    real compression family) codecs, URL-canonicalization dedup,
-    #    PMI collocations — first driver rows
+    #    PMI collocations, exact-substring dedup pairs, the mergeable
+    #    histogram quantile sketch, frame-level audio features — first
+    #    driver rows
     "mm_bmp_decode",
     "mm_tga_decode",
     "dedup_url_canonical",
@@ -85,6 +87,7 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_est_eval",
     "dedup_exact_substring",
     "sketch_quantile_hist",
+    "mm_audio_frames",
     # -- oldest driver evidence: the 17 r3-era rows
     "domain_mix",
     "events_rollup_reagg",
@@ -103,7 +106,7 @@ _WINDOW_PRIORITY = [
     "sketch_hll_rollup",
     "udf_vector_norm",
     "wages_label_domain",
-    # -- r4 cohort, alphabetical (26 of 34; the rest lead round 8)
+    # -- r4 cohort, alphabetical (25 of 34; the rest lead round 8)
     "agg_distinct_exact",
     "dedup_char_ngram",
     "dedup_components",
@@ -123,7 +126,6 @@ _WINDOW_PRIORITY = [
     "knn_hybrid",
     "knn_ivf",
     "knn_multiprobe",
-    "knn_signlsh",
 ]
 
 

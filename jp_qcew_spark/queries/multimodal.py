@@ -411,3 +411,62 @@ ORACLE = {
     "mm_bmp_decode": ORACLE_MM_BMP_DECODE,
     "mm_tga_decode": ORACLE_MM_TGA_DECODE,
 }
+
+
+def q_mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level audio features (round 7) — the windowed-analysis stage
+    after ``mm_wav_decode``'s whole-file stats: decode each synthesized
+    PCM WAV once and emit per-32-sample-frame peak, RMS energy and
+    zero-crossing count (the energy-gating / VAD-style screen an audio
+    curation pipeline runs before transcription). The 8× row fan-out
+    happens INSIDE the Arrow batch (``ext.multimodal.wav_frame_features``),
+    so the binary column crosses the JVM↔Python boundary exactly once
+    per payload, and the numpy math is vectorized over (n_frames, 32)
+    planes, not per-sample Python.
+
+    The SQL oracle recomputes every int16 sample with the same
+    positional-hex arithmetic as ``mm_wav_decode``, keeps the sample
+    index, and derives frame = s // 32, ZCR via lag() inside the frame —
+    a hash match proves frame boundaries, signs, and energies are all
+    sample-exact."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.wav_frame_features(M.synth_wav(d)).orderBy("doc_id", "frame")
+
+
+# Sample rule identical to ORACLE_MM_WAV_DECODE, with the sample index s
+# retained: frame = s // 32; ZCR counts sign boundary flips between
+# consecutive samples WITHIN the frame (31 comparisons per frame).
+ORACLE_MM_AUDIO_FRAMES = """
+WITH raw AS (
+  SELECT doc_id, t.s AS s,
+         md5(text || '-' || (t.s // 8)) AS h, ((2 * t.s) % 16) AS i
+  FROM documents CROSS JOIN range(0, 256) t(s)
+  WHERE doc_id < 200
+), u AS (
+  SELECT doc_id, s,
+         (instr('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1
+           + 256 * ((instr('0123456789abcdef', substr(h, 2 * i + 3, 1)) - 1) * 16
+                    + instr('0123456789abcdef', substr(h, 2 * i + 4, 1)) - 1)
+           AS uu
+  FROM raw
+), v AS (
+  SELECT doc_id, s, s // 32 AS frame,
+         CASE WHEN uu >= 32768 THEN uu - 65536 ELSE uu END AS v
+  FROM u
+), lagd AS (
+  SELECT doc_id, frame, v,
+         lag(v) OVER (PARTITION BY doc_id, frame ORDER BY s) AS pv
+  FROM v
+)
+SELECT doc_id,
+       CAST(frame AS BIGINT) AS frame,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) != (v >= 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+FROM lagd GROUP BY doc_id, frame ORDER BY doc_id, frame
+"""
+
+QUERIES["mm_audio_frames"] = q_mm_audio_frames
+ORACLE["mm_audio_frames"] = ORACLE_MM_AUDIO_FRAMES

@@ -451,3 +451,24 @@ def test_decode_media_real_dispatches_to_tga():
     px = np.full((2, 2, 3), 11, dtype=np.uint8)
     d = M.decode_media(M.encode_tga_rle(px), real=True)
     assert d["mean_px"] == 11.0 and d["n_packets"] == 2
+
+
+def test_wav_frame_features_math():
+    """Frame peak/RMS/ZCR on a hand-computable 64-sample signal (two
+    32-sample frames): frame 0 alternates +/-100 (31 crossings), frame 1
+    is the constant 7 (0 crossings, rms exactly 7.0)."""
+    import math
+
+    f0 = np.tile([100, -100], 16).astype("<i2")
+    f1 = np.full(32, 7, dtype="<i2")
+    payload = M.encode_wav(np.concatenate([f0, f1]), sample_rate=8000)
+    _sr, _ch, _bits, s = M._wav_plane(payload)
+    assert s.shape == (64,) and s.dtype == np.int64
+    fr = s.reshape(2, 32)
+    nonneg = fr >= 0
+    zcr = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+    assert list(zcr) == [31, 0]
+    assert int(np.abs(fr[0]).max()) == 100 and int(np.abs(fr[1]).max()) == 7
+    rms0 = round(float(np.sqrt((fr[0].astype("f8") ** 2).mean())), 6)
+    assert rms0 == round(math.sqrt(100.0 * 100.0), 6) == 100.0
+    assert round(float(np.sqrt((fr[1].astype("f8") ** 2).mean())), 6) == 7.0

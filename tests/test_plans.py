@@ -923,3 +923,20 @@ def test_quantile_hist_mergeable_partials(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 2
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+def test_mm_audio_frames_single_boundary_crossing(spark, sf_dir):
+    """Frame-level audio features must fan out INSIDE the Arrow batch:
+    two MapInPandas stages total (WAV synth + frame extract, so the
+    binary column crosses the JVM↔Python boundary once per payload),
+    a (doc_id, text)-pruned scan, and no joins — the 8× row fan-out
+    never becomes an explode+join on the JVM side."""
+    from jp_qcew_spark.queries.multimodal import q_mm_audio_frames
+
+    df = q_mm_audio_frames(spark, sf_dir)
+    schemas = I.read_schemas(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert not I.has_cartesian_product(df)
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2

@@ -606,3 +606,69 @@ FROM daily ORDER BY event_type, d
 
 QUERIES["ts_rolling_median"] = q_ts_rolling_median
 ORACLE["ts_rolling_median"] = ORACLE_TS_ROLLING_MEDIAN
+
+
+# --------------------------------------------------------------------------
+# events_markov_transitions — first-order behavior model (round 7)
+# --------------------------------------------------------------------------
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the sequence-model summary a behavioral pipeline feeds into next-event
+    prediction / anomaly scoring: P(dst | src) estimated from adjacent
+    event pairs in event-time order.
+
+    Spark-first: adjacency is the SAME one-``lead``-window pass as the CEP
+    query (user_id partition, (ts, event_id) deterministic order — never a
+    self-join), then the transition rollup groups the (src, dst) pairs and
+    row-normalizes with a window sum over src. Two shuffles end-to-end:
+    the user-keyed window pass, then the (src, dst) reduction whose output
+    is at most |event_type|² rows — at 100 TB the second shuffle carries a
+    25-row matrix per partial aggregate. ``p`` is the row-normalized
+    maximum-likelihood estimate; ``n_src`` makes the support auditable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        counts.withColumn("n_src", F.sum("n").over(wsrc))
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_src").cast("long").alias("n_src"),
+            F.round(F.col("n") / F.col("n_src"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst FROM nxt WHERE dst IS NOT NULL
+), counts AS (
+  SELECT src, dst, count(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT src, dst,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS n_src,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+FROM counts ORDER BY src, dst
+"""
+
+QUERIES["events_markov_transitions"] = q_events_markov_transitions
+ORACLE["events_markov_transitions"] = ORACLE_EVENTS_MARKOV

@@ -940,3 +940,18 @@ def test_mm_audio_frames_single_boundary_crossing(spark, sf_dir):
     assert not I.has_cartesian_product(df)
     plan = I.formatted_plan(df)
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
+
+
+def test_markov_transitions_two_shuffles(spark, sf_dir):
+    """The transition matrix must be a lead-window pass plus a (src, dst)
+    reduction — never a self-join for adjacency: zero join operators,
+    and the user-keyed window is the only fact-sized shuffle (the second
+    shuffle carries at most |event_type|^2 rows)."""
+    from jp_qcew_spark.queries.events import q_events_markov_transitions
+
+    df = q_events_markov_transitions(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(user_id#\d+", plan)
+    assert "partial_count" in plan

@@ -672,3 +672,101 @@ FROM counts ORDER BY src, dst
 
 QUERIES["events_markov_transitions"] = q_events_markov_transitions
 ORACLE["events_markov_transitions"] = ORACLE_EVENTS_MARKOV
+
+
+# --------------------------------------------------------------------------
+# ts_seasonal_dow — classical decomposition, integer-exact (round 7)
+# --------------------------------------------------------------------------
+
+
+def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event-count series —
+    trend = centered 7-observation moving window, seasonal = day-of-week
+    mean of the detrended series (the decompose step behind weekly-
+    seasonality anomaly baselines; STL's additive little sibling).
+
+    Arithmetic is INTEGER-EXACT until one final division — the
+    ``sketch_countmin_topk`` discipline applied to decomposition: instead
+    of ``v − avg7(v)`` (a float whose cross-partition summation order
+    could wobble), the detrended value is ``det7 = 7·v − sum7(v)``, an
+    exact BIGINT, and the seasonal index divides ONCE at the end:
+    ``seasonal = Σdet7 / (7·n_days)``. Day-of-week is the portable
+    epoch-day arithmetic ``(d − 1970-01-05) mod 7`` (0 = Monday) — never
+    the engines' 0-vs-1-based ``dayofweek`` builtins. Rows with an
+    incomplete centered window are dropped (count over the same frame
+    = 7), so edges never bias the seasonal means.
+
+    Scale: the heavy reduction is the daily partial agg; the window and
+    the (type, dow) rollup see one row per (type, day) — at 100 TB the
+    trend pass sorts days, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "event_type",
+            "d",
+            "n",
+            F.sum("n").over(w).alias("sum7"),
+            F.count("n").over(w).alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .select(
+            "event_type",
+            (7 * F.col("n") - F.col("sum7")).alias("det7"),
+            F.pmod(
+                F.datediff("d", F.lit("1970-01-05").cast("date")), F.lit(7)
+            ).cast("long").alias("dow"),
+        )
+    )
+    return (
+        det.groupBy("event_type", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("det7").cast("long").alias("det7_sum"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            "det7_sum",
+            F.round(
+                F.col("det7_sum") / (7.0 * F.col("n_days")), 4
+            ).alias("seasonal"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_TS_SEASONAL_DOW = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, d, n,
+         sum(n) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         ) AS sum7,
+         count(n) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         ) AS c7
+  FROM daily
+), det AS (
+  SELECT event_type,
+         7 * n - sum7 AS det7,
+         CAST((d - DATE '1970-01-05') % 7 AS BIGINT) AS dow
+  FROM win WHERE c7 = 7
+)
+SELECT event_type, dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(det7) AS BIGINT) AS det7_sum,
+       round(CAST(sum(det7) AS BIGINT) / (7.0 * count(*)), 4) AS seasonal
+FROM det GROUP BY 1, 2 ORDER BY event_type, dow
+"""
+
+QUERIES["ts_seasonal_dow"] = q_ts_seasonal_dow
+ORACLE["ts_seasonal_dow"] = ORACLE_TS_SEASONAL_DOW

@@ -955,3 +955,18 @@ def test_markov_transitions_two_shuffles(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(user_id#\d+", plan)
     assert "partial_count" in plan
+
+
+def test_seasonal_dow_daily_preagg_before_window(spark, sf_dir):
+    """Decomposition must reduce events to the daily series BEFORE any
+    window: the plan carries a partial-aggregated (event_type, date)
+    count feeding the trend window — the window sorts days, never raw
+    events — and there are no joins at all."""
+    from jp_qcew_spark.queries.events import q_ts_seasonal_dow
+
+    df = q_ts_seasonal_dow(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    plan = I.formatted_plan(df)
+    assert "partial_count" in plan
+    assert re.search(r"windowspecdefinition\(event_type#\d+", plan)

@@ -57,7 +57,7 @@ _GROUPS = [
 #   profile_columns, regional_volume, sample_reservoir, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
 #   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (knn_ivf, knn_multiprobe, knn_signlsh,
+#   50 slots reach; the remaining r4 rows (knn_hybrid, knn_ivf, knn_multiprobe, knn_signlsh,
 #   llm_prep_pipeline, rank_global_twophase, stream_dedup, stream_session,
 #   stream_stateful_user_stats, stream_static_join, stream_stream_join,
 #   text_inverted_index, ts_ewma, ts_gapfill, ts_resample,
@@ -90,6 +90,7 @@ _WINDOW_PRIORITY = [
     "mm_audio_frames",
     "events_markov_transitions",
     "ts_seasonal_dow",
+    "stream_quantile_hist",
     # -- oldest driver evidence: the 17 r3-era rows
     "domain_mix",
     "events_rollup_reagg",
@@ -108,7 +109,7 @@ _WINDOW_PRIORITY = [
     "sketch_hll_rollup",
     "udf_vector_norm",
     "wages_label_domain",
-    # -- r4 cohort, alphabetical (17 of 34; the remaining 17 lead round 8)
+    # -- r4 cohort, alphabetical (16 of 34; the remaining 18 lead round 8)
     "agg_distinct_exact",
     "dedup_char_ngram",
     "dedup_components",
@@ -125,7 +126,6 @@ _WINDOW_PRIORITY = [
     "kmeans_cluster",
     "knn_bruteforce",
     "knn_classify",
-    "knn_hybrid",
 ]
 
 

@@ -374,6 +374,44 @@ _QH_WIDTH = 1680   # bin width: 64 bins cover [0, 107520) ⊇ extendedprice
 _QH_QS = (0.5, 0.95)
 
 
+def hist_quantile_readout(hist: DataFrame, width: int | float) -> DataFrame:
+    """Rank-interpolation read-out of an additive (flag, bin, cnt)
+    histogram: returns one row per flag with ``(flag, n, e50, e95)``
+    where ``e_q`` linearly interpolates inside the bin holding rank
+    ``r = ceil(q·n)``. Shared by the batch sketch and its streaming twin
+    (the read-out runs on a ≤ |flags|·|bins| frame either way — after
+    the batch combiner merge or after the streaming state-store merge,
+    the sketch looks identical)."""
+    wq = Window.partitionBy("flag").orderBy("bin")
+    wn = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wq).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q")
+    tgt = cum.select("flag", "bin", "cnt", "cum", "n", qs).withColumn(
+        "r", F.expr("CAST(ceil(q * n) AS BIGINT)")
+    )
+    hit = tgt.filter(
+        (F.col("cum") - F.col("cnt") < F.col("r"))
+        & (F.col("r") <= F.col("cum"))
+    ).select(
+        "flag",
+        "q",
+        "n",
+        F.expr(
+            f"bin * {width} + {width} * (r - (cum - cnt)) / cnt"
+        ).alias("est"),
+    )
+    return hit.groupBy("flag", "n").agg(
+        F.max(F.when(F.col("q") == _QH_QS[0], F.col("est"))).alias("e50"),
+        F.max(F.when(F.col("q") == _QH_QS[1], F.col("est"))).alias("e95"),
+    )
+
+
 def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width-histogram quantile sketch over
     ``l_extendedprice`` per returnflag — the quantile member of the
@@ -407,30 +445,6 @@ def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    wq = Window.partitionBy("flag").orderBy("bin")
-    wn = Window.partitionBy("flag")
-    cum = hist.select(
-        "flag",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(wq).alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    qs = F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q")
-    tgt = cum.select("flag", "bin", "cnt", "cum", "n", qs).withColumn(
-        "r", F.expr("CAST(ceil(q * n) AS BIGINT)")
-    )
-    hit = tgt.filter(
-        (F.col("cum") - F.col("cnt") < F.col("r"))
-        & (F.col("r") <= F.col("cum"))
-    ).select(
-        "flag",
-        "q",
-        "n",
-        F.expr(
-            f"bin * {_QH_WIDTH} + {_QH_WIDTH} * (r - (cum - cnt)) / cnt"
-        ).alias("est"),
-    )
     pct = F.expr(
         "percentile(l_extendedprice, array("
         + ", ".join(str(q) for q in _QH_QS)
@@ -439,10 +453,7 @@ def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         pct.alias("pcts")
     )
-    est_wide = hit.groupBy("flag", "n").agg(
-        F.max(F.when(F.col("q") == _QH_QS[0], F.col("est"))).alias("e50"),
-        F.max(F.when(F.col("q") == _QH_QS[1], F.col("est"))).alias("e95"),
-    )
+    est_wide = hist_quantile_readout(hist, _QH_WIDTH)
     return (
         est_wide.join(F.broadcast(exact), "flag")
         .select(

@@ -345,3 +345,81 @@ FROM matched GROUP BY user_id ORDER BY user_id
 
 QUERIES["stream_cep_sequence"] = q_stream_cep_sequence
 ORACLE["stream_cep_sequence"] = ORACLE_STREAM_CEP
+
+
+def q_stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sketch_quantile_hist`` — the mergeable-sketch
+    property exercised where it matters: the additive (event_type, bin)
+    histogram accumulates in the STATE STORE across ~8 real micro-batches
+    of the Python replay source, and the quantile estimates are read out
+    of the drained sink batch-side with the SAME interpolation code
+    (``sketches.hist_quantile_readout``). Because the sketch is bounded
+    by construction (≤ |types|·|bins| counters), the stream needs no
+    watermark to bound state — the defining deployment advantage of a
+    mergeable sketch over exact quantiles in a stream.
+
+    Batch-oracle equality at quiescence proves the per-batch partial
+    histograms merged associatively: a dropped batch, a double-merged
+    bin, or an order-dependent merge diverges the counts and the
+    interpolated estimates with them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.queries.sketches import hist_quantile_readout
+    from jp_qcew_spark.sources.stream_replay import EventReplayDataSource
+    from jp_qcew_spark.streaming.pipelines import run_to_quiescence
+
+    spark.dataSource.register(EventReplayDataSource)
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "auto")  # ~8 micro-batches at any feed size
+        .load()
+    )
+    hist = stream.groupBy(
+        F.col("event_type").alias("flag"),
+        F.expr("CAST(floor(value / 10.0) AS BIGINT)").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    sink = run_to_quiescence(hist, "complete", "sink_qhist_replay")
+    return (
+        hist_quantile_readout(sink, 10)
+        .select(
+            F.col("flag").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+            F.round("e50", 4).alias("est_p50"),
+            F.round("e95", 4).alias("est_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_QUANTILE_HIST = """
+WITH ev AS (
+  SELECT event_type AS flag, value AS v FROM events
+), hist AS (
+  SELECT flag, CAST(floor(v / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT flag, bin, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY flag) AS n
+  FROM hist
+), tgt AS (
+  SELECT flag, bin, cnt, cum, n, t.q,
+         CAST(ceil(t.q * n) AS BIGINT) AS r
+  FROM cum CROSS JOIN (VALUES (0.5), (0.95)) t(q)
+), hit AS (
+  SELECT flag, q, n,
+         bin * 10 + 10 * (r - (cum - cnt)) / cnt AS est
+  FROM tgt WHERE cum - cnt < r AND r <= cum
+)
+SELECT flag AS event_type,
+       CAST(n AS BIGINT) AS n,
+       round(max(CASE WHEN q = 0.5 THEN est END), 4) AS est_p50,
+       round(max(CASE WHEN q = 0.95 THEN est END), 4) AS est_p95
+FROM hit GROUP BY 1, 2 ORDER BY event_type
+"""
+
+QUERIES["stream_quantile_hist"] = q_stream_quantile_hist
+ORACLE["stream_quantile_hist"] = ORACLE_STREAM_QUANTILE_HIST

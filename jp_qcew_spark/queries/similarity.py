@@ -1532,3 +1532,77 @@ ORDER BY q.query_id
 
 QUERIES["knn_recall_eval"] = q_knn_recall_eval
 ORACLE["knn_recall_eval"] = ORACLE_KNN_RECALL
+
+
+# --------------------------------------------------------------------------
+# embedding_gram_matrix — distributed X^T X (round 7)
+# --------------------------------------------------------------------------
+
+_GRAM_DIM = 64
+
+
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix ``G = Xᵀ X`` over the embedding corpus —
+    the mergeable linear-algebra primitive behind PCA / whitening /
+    OPQ rotation estimation (what ``RowMatrix.computeGramianMatrix``
+    does in mllib, re-expressed DataFrame-first). Each Arrow batch
+    computes its LOCAL 64×64 outer-product sum with one BLAS dgemm
+    (``X.T @ X`` in float64 — never a per-element Python loop), emits
+    the 2,080 upper-triangle cells, and a (i, j) groupBy SUM merges the
+    per-batch partials associatively.
+
+    This is the matrix version of the sketch-tier argument: shuffle
+    volume is ``n_batches × d(d+1)/2`` — INDEPENDENT of corpus size —
+    so at 100 TB the executors stream the embedding column once and
+    ship 16 KB of partial sums per batch. float32 inputs are exactly
+    representable in float64 and each product is exact (24×24 ≤ 53
+    mantissa bits); only the final summation order differs between
+    numpy/Spark/DuckDB, so both engines round the MERGED cell to 4
+    decimals (the repo's float-aggregate convention; wobble ~1e-10
+    against a 1e-4 grid)."""
+    import numpy as np
+
+    e = widen_scan(
+        load_table(spark, sf_dir, "embeddings").select("embedding")
+    ).filter(F.col("embedding").isNotNull())
+
+    iu, ju = np.triu_indices(_GRAM_DIM)
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].values).astype(np.float64)
+            G = X.T @ X
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "g": G[iu, ju]}
+            )
+
+    partials = e.mapInPandas(gram_partials, "i long, j long, g double")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.round(F.sum("g"), 4).alias("g"))
+        .orderBy("i", "j")
+    )
+
+
+ORACLE_EMBEDDING_GRAM = f"""
+WITH cells AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(embedding[i.i] AS DOUBLE) * CAST(embedding[j.j] AS DOUBLE)
+           AS p
+  FROM embeddings
+  CROSS JOIN range(1, {_GRAM_DIM + 1}) i(i)
+  CROSS JOIN range(1, {_GRAM_DIM + 1}) j(j)
+  WHERE embedding IS NOT NULL AND i.i <= j.j
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       round(sum(p), 4) AS g
+FROM cells GROUP BY 1, 2 ORDER BY i, j
+"""
+
+QUERIES["embedding_gram_matrix"] = q_embedding_gram_matrix
+ORACLE["embedding_gram_matrix"] = ORACLE_EMBEDDING_GRAM

@@ -970,3 +970,20 @@ def test_seasonal_dow_daily_preagg_before_window(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert "partial_count" in plan
     assert re.search(r"windowspecdefinition\(event_type#\d+", plan)
+
+
+def test_gram_matrix_batch_local_partials(spark, sf_dir):
+    """The Gram matrix must be per-batch BLAS partials merged by a keyed
+    sum — ONE MapInPandas stage over a pruned (embedding-only) scan, a
+    partial-aggregated (i, j) reduction, and no joins: shuffle volume is
+    batches x 2,080 cells, independent of corpus size."""
+    from jp_qcew_spark.queries.similarity import q_embedding_gram_matrix
+
+    df = q_embedding_gram_matrix(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+    assert "partial_sum" in plan
+    schemas = I.read_schemas(df)
+    assert schemas and all(set(s) <= {"embedding"} for s in schemas)

@@ -126,6 +126,19 @@ HEADLINERS = [
      "CEP adjacency (r6): one lead-window pass per user, pattern "
      "predicate map-side, rollup reuses the window partitioning — no "
      "self-join, no range blowup."),
+    ("dedup_exact_substring",
+     "Verbatim-run pairs (r7): half-overlapping window fingerprints, "
+     "df-capped equi-join, the shared window table scope-cached once for "
+     "its five consumers — never n², only 32-byte fingerprints shuffle."),
+    ("sketch_quantile_hist",
+     "Histogram quantile sketch (r7): the fact scan reduces to 64 "
+     "additive counters in the partial-agg combiner; interpolation runs "
+     "on the ~190-row merged frame; the exact-audit percentile twin "
+     "joins by broadcast."),
+    ("embedding_gram_matrix",
+     "Distributed Gram matrix (r7): one BLAS dgemm per Arrow batch, "
+     "2,080 upper-triangle partials per batch merged by keyed sum — "
+     "shuffle volume independent of corpus size."),
 ]
 
 

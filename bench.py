@@ -29,7 +29,14 @@ QCEW_LINES = int(os.environ.get("SPARK_GRAFT_QCEW_LINES", "100000"))
 ONLY = {
     s for s in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if s
 }
-LOCAL_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+# Subset runs (isolated anchors, scaling studies) default to a scratch
+# file: the committed BENCH_LOCAL.json must always be the latest FULL
+# suite run, and an isolated re-time that silently overwrote it with a
+# one-entry dict cost a restore-from-git twice in round 7.
+LOCAL_OUT = os.environ.get(
+    "SPARK_GRAFT_BENCH_OUT",
+    "BENCH_SUBSET.json" if ONLY else "BENCH_LOCAL.json",
+)
 
 
 def compact_result_line(result: dict, timings: dict[str, float]) -> str:
@@ -51,7 +58,7 @@ def compact_result_line(result: dict, timings: dict[str, float]) -> str:
         line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
         result["n_queries"] = len(timings)
-        result["more_in"] = "BENCH_LOCAL.json"
+        result["more_in"] = LOCAL_OUT
         by_cost = sorted(timings, key=timings.get, reverse=True)
         kept: dict[str, float] = {}
         for name in by_cost:

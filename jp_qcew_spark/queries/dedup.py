@@ -1054,9 +1054,7 @@ ORACLE["dedup_minhash_est_eval"] = _oracle_minhash_est_eval()
 # --------------------------------------------------------------------------
 
 _ESS_WIN = 40      # chars per window — a "verbatim run" is >= one window
-_ESS_STRIDE = 20   # half-overlapping starts so a run can't fall between
-_ESS_DF_CAP = 32   # windows in more docs than this are corpus boilerplate
-_ESS_MAX_STARTS = 64  # oracle range() bound; binds only past 1,320 chars
+_ESS_DF_CAP = 32   # anchors in more docs than this are corpus boilerplate
 
 
 def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,55 +1063,73 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     this finds literally identical character runs, the signal behind
     suffix-array training-data dedup a la Lee et al., "Deduplicating
     Training Data Makes Language Models Better", re-expressed as a
-    distributed windowed-hash join). Character-aligned, so it catches
-    verbatim quotation/mirror content that word-shingle Jaccard dilutes
-    and that ``dedup_passages`` (word-stride, per-source rollup) counts
-    but does not attribute to PAIRS.
+    distributed content-defined-anchor join).
 
-    Every half-overlapping 40-char window (stride 20 — an exactly shared
-    run of >= 60 chars must contain a shared full window regardless of
-    alignment) collapses to its md5 fingerprint; pairs come from the
-    fingerprint equi-join, never n². Scale guards, same discipline as
-    the shingle tier: (1) windows are DISTINCT per doc before anything
-    shuffles, (2) fingerprints present in more than ``_ESS_DF_CAP`` docs
-    are dropped as boilerplate (caps any join fan-out at DF_CAP² per
-    fingerprint), (3) only the 32-byte fingerprint ever shuffles, not
-    window text (~50% of corpus bytes at stride 20, vs 2,000% for raw
-    windows). Three keyed shuffles end-to-end: distinct windows, df
-    counts, pair aggregation. ``containment`` = shared / min(win_a,
-    win_b) over the same distinct-window universe, so a short doc fully
-    embedded in a long one scores 1.0."""
+    Anchor selection is CONTENT-DEFINED, not grid-aligned: every 40-char
+    window is hashed (one codegen'd md5 per position), and a window is an
+    ANCHOR iff its hash is a strict local minimum of the per-document
+    hash sequence (the winnowing/local-extremum selection family —
+    Schleimer, Wilkerson & Aiken's MOSS fingerprinting). Because
+    anchor positions depend only on the BYTES around them, two documents
+    sharing a verbatim run select the SAME in-run anchors no matter
+    where the run sits in either document. The first cut of this
+    operator used stride-20 grid windows; the hypothesis property sweep
+    (tests/test_round7_ops.py) immediately found the flaw — a shared run
+    is only detected when both copies land at offsets congruent mod the
+    stride — and this selection replaces it. Expected anchor density is
+    1/3 of positions; for any shared run the in-run anchor set is
+    deterministic and identical on both sides.
+
+    Scale guards, same discipline as the shingle tier: (1) anchors are
+    DISTINCT per doc before anything fingerprint-keyed shuffles, (2)
+    fingerprints present in more than ``_ESS_DF_CAP`` docs are dropped
+    as boilerplate (caps join fan-out at DF_CAP² per fingerprint), (3)
+    only the 32-byte fingerprint ever shuffles, never window text. Four
+    keyed shuffles end-to-end: the per-doc position window (doc_id), the
+    distinct, df counts, pair aggregation. ``containment`` = shared /
+    min(anchors_a, anchors_b) over the same distinct-anchor universe, so
+    a short doc fully embedded in a long one scores 1.0."""
     d = widen_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    # Same expression text as the oracle: full windows only (the guard
-    # 20*i + 40 <= length(text) makes substr() total on both engines).
-    # The window table feeds FIVE consumers (df counts, both join sides,
-    # both per-doc sizes) — scope-cached so the text scan + md5 fan-out
-    # runs once, not five times.
-    wins = cache_parallel(
-        d.filter(F.length("text") >= _ESS_WIN)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor(
-                        (F.length("text") - F.lit(_ESS_WIN))
-                        / F.lit(_ESS_STRIDE)
-                    ).cast("int"),
-                )
-            ).alias("i"),
-            "text",
-        )
+    # Anchor extraction is ONE codegen projection per document — the hash
+    # array and the local-min filter are higher-order functions (transform
+    # / filter over sequence), so each md5 is computed once, non-anchor
+    # positions never materialize as rows, and there is NO per-position
+    # window shuffle (the first lag/lead formulation sorted every position
+    # row per doc: 2.53x wall at 10x data; this form is scan-parallel).
+    # Spark array subscripts are 0-based; the guard length >= 42 makes
+    # every hs[j-1]/hs[j+1] access total. The local-min test compares md5
+    # hex strings lexicographically — identical ASCII collation on both
+    # engines.
+    anchors = (
+        d.filter(F.length("text") >= _ESS_WIN + 2)
         .select(
             "doc_id",
             F.expr(
-                f"md5(substr(text, 1 + {_ESS_STRIDE} * i, {_ESS_WIN}))"
+                f"transform(sequence(0, length(text) - {_ESS_WIN}),"
+                f" i -> md5(substr(text, i + 1, {_ESS_WIN})))"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(filter("
+                    "  transform(sequence(1, size(hs) - 2),"
+                    "    j -> CASE WHEN hs[j] < hs[j - 1]"
+                    "               AND hs[j] < hs[j + 1]"
+                    "          THEN hs[j] END),"
+                    "  x -> x IS NOT NULL))"
+                )
             ).alias("fp"),
         )
-        .distinct()
     )
+    # array_distinct already dedupes per doc, so the exploded frame IS
+    # the distinct (doc_id, fp) table — no extra shuffle. It feeds FIVE
+    # consumers (df counts, both join sides, both per-doc sizes) —
+    # scope-cached so the hash pass runs once, not five times.
+    wins = cache_parallel(anchors)
     nw = wins.groupBy("doc_id").agg(F.count("*").alias("n"))
     freq = wins.groupBy("fp").agg(F.count("*").alias("nd"))
     keep = freq.filter(
@@ -1152,11 +1168,22 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EXACT_SUBSTRING = f"""
-WITH w AS (
-  SELECT DISTINCT doc_id,
-         md5(substr(text, 1 + {_ESS_STRIDE} * t.i, {_ESS_WIN})) AS fp
-  FROM documents CROSS JOIN range(0, {_ESS_MAX_STARTS}) t(i)
-  WHERE length(text) >= {_ESS_WIN} + {_ESS_STRIDE} * t.i
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(range(0, length(text) - {_ESS_WIN - 1}),
+                        i -> md5(substr(text, i + 1, {_ESS_WIN}))) AS hs
+  FROM documents WHERE length(text) >= {_ESS_WIN + 2}
+), anch AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, len(hs) - 1),
+             j -> CASE WHEN hs[j + 1] < hs[j]
+                        AND hs[j + 1] < hs[j + 2]
+                  THEN hs[j + 1] END),
+           x -> x IS NOT NULL)) AS fps
+  FROM hs
+), w AS (
+  SELECT doc_id, unnest(fps) AS fp FROM anch
 ),
 nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
 freq AS (SELECT fp, count(*) AS nd FROM w GROUP BY 1),

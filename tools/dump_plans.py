@@ -127,9 +127,11 @@ HEADLINERS = [
      "predicate map-side, rollup reuses the window partitioning — no "
      "self-join, no range blowup."),
     ("dedup_exact_substring",
-     "Verbatim-run pairs (r7): half-overlapping window fingerprints, "
-     "df-capped equi-join, the shared window table scope-cached once for "
-     "its five consumers — never n², only 32-byte fingerprints shuffle."),
+     "Verbatim-run pairs (r7): content-defined local-min anchors over "
+     "every-position window hashes, computed in ONE codegen HOF "
+     "projection (no per-position shuffle); df-capped equi-join, the "
+     "anchor table scope-cached once for its five consumers — never n², "
+     "only 32-byte fingerprints shuffle."),
     ("sketch_quantile_hist",
      "Histogram quantile sketch (r7): the fact scan reduces to 64 "
      "additive counters in the partial-agg combiner; interpolation runs "

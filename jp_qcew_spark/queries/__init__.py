@@ -57,7 +57,7 @@ _GROUPS = [
 #   profile_columns, regional_volume, sample_reservoir, scd2_history,
 #   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
 #   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (knn_classify, knn_hybrid, knn_ivf,
+#   50 slots reach; the remaining r4 rows (knn_bruteforce, knn_classify, knn_hybrid, knn_ivf,
 #   knn_multiprobe, knn_signlsh,
 #   llm_prep_pipeline, rank_global_twophase, stream_dedup, stream_session,
 #   stream_stateful_user_stats, stream_static_join, stream_stream_join,
@@ -93,6 +93,7 @@ _WINDOW_PRIORITY = [
     "ts_seasonal_dow",
     "stream_quantile_hist",
     "embedding_gram_matrix",
+    "knn_graph_mutual",
     # -- oldest driver evidence: the 17 r3-era rows
     "domain_mix",
     "events_rollup_reagg",
@@ -111,7 +112,7 @@ _WINDOW_PRIORITY = [
     "sketch_hll_rollup",
     "udf_vector_norm",
     "wages_label_domain",
-    # -- r4 cohort, alphabetical (15 of 34; the remaining 19 lead round 8)
+    # -- r4 cohort, alphabetical (14 of 34; the remaining 20 lead round 8)
     "agg_distinct_exact",
     "dedup_char_ngram",
     "dedup_components",
@@ -126,7 +127,6 @@ _WINDOW_PRIORITY = [
     "events_variant",
     "graph_pagerank",
     "kmeans_cluster",
-    "knn_bruteforce",
 ]
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import similarity as S
-from jp_qcew_spark.io import load_table, track_cache, widen_scan
+from jp_qcew_spark.io import cache_parallel, load_table, track_cache, widen_scan
 
 _N_QUERIES = 10
 _COS_SQL = (
@@ -1606,3 +1606,105 @@ FROM cells GROUP BY 1, 2 ORDER BY i, j
 
 QUERIES["embedding_gram_matrix"] = q_embedding_gram_matrix
 ORACLE["embedding_gram_matrix"] = ORACLE_EMBEDDING_GRAM
+
+
+# --------------------------------------------------------------------------
+# knn_graph_mutual — mutual-kNN graph construction (round 7)
+# --------------------------------------------------------------------------
+
+
+def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the WHOLE embedding corpus — the structure
+    semantic-dedup clustering (SemDeDup), graph-based label propagation
+    and UMAP-style manifold methods are built on: node pairs where EACH
+    is in the other's in-bucket top-3. Mutuality is the standard noise
+    filter — an asymmetric edge (a hub attracting distant points) is
+    dropped because the far point does not reciprocate.
+
+    Unlike the ``knn_*`` serving queries (a bounded broadcast query set
+    against the corpus), this builds edges for EVERY node, so the plan
+    follows the dedup-family discipline instead: the candidate generator
+    is the sign-LSH bucket SELF-join (both sides corpus-sized → keyed
+    shuffle join, NO broadcast hint — the r1/r2 rule), per-source top-3
+    is a bucket-local window, and the directed edge list is scope-cached
+    once for the mutual join of itself against its own reverse. Cosine
+    is bit-symmetric (products commute, zip order is identical), so the
+    reciprocal edge carries the identical rounded score and the mutual
+    join never drops a pair to a half-ulp.
+
+    At 100 TB: bucket width (8 sign planes here, pinned for the oracle)
+    scales with log₂(corpus/target-bucket-size) exactly as the
+    ``semdedup_lsh``/``knn_multiprobe`` plans document; everything else
+    is keyed on src or (src, dst)."""
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "bucket", S.sign_bucket(F.col("v"), 8)
+    )
+    q = vecs.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("cbucket"),
+    )
+    scored = q.join(
+        c,
+        (F.col("bucket") == F.col("cbucket")) & (F.col("src") != F.col("dst")),
+    ).select(
+        "src",
+        "dst",
+        S.cosine(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    edges = cache_parallel(
+        scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+            F.col("rank") <= 3
+        )
+    )
+    fwd = edges.select("src", "dst", "score", F.col("rank").alias("rank_ab"))
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "score", "rank_ab", "rank_ba")
+        .orderBy("src", "dst")
+    )
+
+
+def _oracle_knn_graph_mutual() -> str:
+    bucket = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst, {_COS_SQL} AS score
+  FROM vecs q JOIN vecs c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY src ORDER BY score DESC, dst ASC) AS BIGINT) AS rank
+  FROM scored
+),
+e AS (SELECT * FROM ranked WHERE rank <= 3)
+SELECT a.src, a.dst, a.score,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+ORDER BY a.src, a.dst
+"""
+
+
+QUERIES["knn_graph_mutual"] = q_knn_graph_mutual
+ORACLE["knn_graph_mutual"] = _oracle_knn_graph_mutual()

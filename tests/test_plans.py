@@ -987,3 +987,19 @@ def test_gram_matrix_batch_local_partials(spark, sf_dir):
     assert "partial_sum" in plan
     schemas = I.read_schemas(df)
     assert schemas and all(set(s) <= {"embedding"} for s in schemas)
+
+
+def test_knn_graph_mutual_no_corpus_broadcast(spark, sf_dir):
+    """The all-node mutual-kNN build follows the dedup-family rule, not
+    the serving-query rule: BOTH self-join sides are corpus-sized, so no
+    broadcast hint anywhere, no cartesian, the top-3 window partitions
+    by src, and the directed edge list is scope-cached for the mutual
+    join against its own reverse."""
+    from jp_qcew_spark.queries.similarity import q_knn_graph_mutual
+
+    df = q_knn_graph_mutual(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(src#\d+", plan)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan

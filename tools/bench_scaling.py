@@ -95,6 +95,15 @@ QUERIES = [
     "dedup_url_canonical",
     "text_pmi_assoc",
     "dedup_minhash_est_eval",
+    # r7 back-half additions
+    "dedup_exact_substring",
+    "sketch_quantile_hist",
+    "mm_audio_frames",
+    "events_markov_transitions",
+    "ts_seasonal_dow",
+    "stream_quantile_hist",
+    "embedding_gram_matrix",
+    "knn_graph_mutual",
 ]
 
 

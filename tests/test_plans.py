@@ -989,13 +989,28 @@ def test_gram_matrix_batch_local_partials(spark, sf_dir):
     assert schemas and all(set(s) <= {"embedding"} for s in schemas)
 
 
+def _lsh_plan_bits(plan: str) -> int:
+    """Bit width of the sign-LSH bucket concat in a formatted plan: the
+    bucket projection indexes the vector as ``v#N[i]`` for i in
+    [0, bits) and nothing else in these plans indexes the array (cosine
+    is fold-based), so width = max index + 1."""
+    idxs = [int(m) for m in re.findall(r"v#\d+\[(\d+)\]", plan)]
+    assert idxs, "no sign-bucket array indexing found in plan"
+    return max(idxs) + 1
+
+
 def test_knn_graph_mutual_no_corpus_broadcast(spark, sf_dir):
     """The all-node mutual-kNN build follows the dedup-family rule, not
     the serving-query rule: BOTH self-join sides are corpus-sized, so no
     broadcast hint anywhere, no cartesian, the top-3 window partitions
     by src, and the directed edge list is scope-cached for the mutual
-    join against its own reverse."""
-    from jp_qcew_spark.queries.similarity import q_knn_graph_mutual
+    join against its own reverse. The bucket width must be
+    CORPUS-DERIVED (VERDICT r7 #1): a fixed literal (the killed 8-plane
+    first cut) makes per-bucket pairs quadratic in corpus size."""
+    from jp_qcew_spark.queries.similarity import (
+        _lsh_bits,
+        q_knn_graph_mutual,
+    )
 
     df = q_knn_graph_mutual(spark, sf_dir)
     assert not I.has_cartesian_product(df)
@@ -1003,3 +1018,23 @@ def test_knn_graph_mutual_no_corpus_broadcast(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(src#\d+", plan)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert _lsh_plan_bits(plan) == _lsh_bits(n)
+
+
+def test_serving_ann_adaptive_width(spark, sf_dir):
+    """The serving-side LSH queries share the corpus-adaptive width rule
+    (VERDICT r7 #3): fixed width means per-query candidates LINEAR in
+    corpus size. knn_signlsh buckets at _lsh_bits(n); knn_multiprobe
+    probes exactly bits+1 buckets (home + one per flipped bit)."""
+    from jp_qcew_spark.queries.similarity import (
+        _lsh_bits,
+        q_knn_multiprobe,
+        q_knn_signlsh,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    bits = _lsh_bits(n)
+    assert _lsh_plan_bits(I.formatted_plan(q_knn_signlsh(spark, sf_dir))) == bits
+    mp_plan = I.formatted_plan(q_knn_multiprobe(spark, sf_dir))
+    assert _lsh_plan_bits(mp_plan) == bits

@@ -39,6 +39,19 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), decimals)
 
 
+def idot(a: Column, b: Column) -> Column:
+    """EXACT integer dot product over two array<long> columns (long
+    accumulator fold). Quantized-vector math: every partial value is an
+    integer, so the result is identical regardless of engine, partition
+    order, or fold direction — the determinism device the float dot can't
+    provide when values cross an aggregation (see semdedup_mutual)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2sq(a: Column, b: Column) -> Column:
     """Squared L2 distance, left-fold accumulated (bit-identical to DuckDB's
     list_sum over list_transform(list_zip(...)))."""

@@ -38,96 +38,79 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-7 window (VERDICT r6 #1/#3):
+# evidence policy. This list pins the ROUND-8 window (VERDICT r7 #1-#3/#5/#6):
 #
-# - sketch_countmin_topk FIRST — hash-red in r5 AND r6. Root cause
-#   (confirmed r6 verdict): DuckDB widens the oracle's integer sum() to
-#   HUGEINT, so n_est/overcount surfaced as Arrow decimal128 vs Spark's
-#   long; fixed with CAST(... AS BIGINT) on both output columns, and the
-#   class is now caught locally (tests/harness.py logical-type check +
-#   tests/test_oracle_portability.py HUGEINT lint over all oracles).
-# - the 4 queries registered after the r6 window froze, which have never
-#   had a driver row (events_attribution, ts_rolling_median,
-#   knn_recall_eval, skyline_orders) — a FIRST driver row outranks any
-#   oldest-evidence refresh — plus any query NEW this round.
-# - then strictly OLDEST-driver-evidence first (computed from the
-#   CORRECTNESS_r01..r06 union): all 17 queries whose latest row is r3
-#   (domain_mix, events_rollup_reagg, funnel_steps, grouped_zscore,
-#   mm_decode_features, mm_frame_sample, mm_metadata, mm_ppm_decode,
-#   profile_columns, regional_volume, sample_reservoir, scd2_history,
-#   seq_pack, sketch_approx, sketch_hll_rollup, udf_vector_norm,
-#   wages_label_domain), then the r4 cohort alphabetically as far as the
-#   50 slots reach; the remaining r4 rows (knn_bruteforce, knn_classify, knn_hybrid, knn_ivf,
-#   knn_multiprobe, knn_signlsh,
-#   llm_prep_pipeline, rank_global_twophase, stream_dedup, stream_session,
-#   stream_stateful_user_stats, stream_static_join, stream_stream_join,
-#   text_inverted_index, ts_ewma, ts_gapfill, ts_resample,
-#   ts_resample_yearly, udtf_tokenize, wages_series) plus the 49 r5 rows
-#   lead the round-8 window.
+# - the 2 queries NEW this round (semdedup_mutual — the SemDeDup consumer on
+#   the mutual-kNN substrate; stream_countmin_topk — the CMS merge law on
+#   the wire) need FIRST driver rows;
+# - the 4 queries whose RESULTS CHANGED this round: the sign-LSH bucket
+#   width went corpus-adaptive (knn_graph_mutual — the r7 scale-killer fix;
+#   knn_signlsh and knn_multiprobe — the serving-side policy; and
+#   knn_recall_eval, which composes signlsh so its recall numbers moved) —
+#   their older green rows no longer cover the shipped expressions;
+# - then the ENTIRE r4-era evidence cohort (VERDICT r7 #2): the 18 queries
+#   whose latest driver row is still round 4 (signlsh/multiprobe already
+#   appear above) — after this window no query's evidence is older than r5;
+# - the remaining 26 slots take the r5 cohort alphabetically
+#   (argmax_funcs .. quantiles_exact); the other 23 r5 rows lead round 9.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
-    # -- the r5/r6 red, oracle HUGEINT fix (must re-certify first)
-    "sketch_countmin_topk",
-    # -- registered after the r6 window froze: first driver rows
-    "events_attribution",
-    "ts_rolling_median",
-    "knn_recall_eval",
-    "skyline_orders",
-    # -- changed this round (zero-scale nullif guard, ADVICE r6): its r6
-    #    row no longer covers the shipped expression — re-certify
-    "embedding_quantize_int8",
-    # -- new in round 7: real BMP (stride+flip+BGR) and RLE-TGA (third
-    #    real compression family) codecs, URL-canonicalization dedup,
-    #    PMI collocations, exact-substring dedup pairs, the mergeable
-    #    histogram quantile sketch, frame-level audio features — first
-    #    driver rows
-    "mm_bmp_decode",
-    "mm_tga_decode",
-    "dedup_url_canonical",
-    "text_pmi_assoc",
-    "dedup_minhash_est_eval",
-    "dedup_exact_substring",
-    "sketch_quantile_hist",
-    "mm_audio_frames",
-    "events_markov_transitions",
-    "ts_seasonal_dow",
-    "stream_quantile_hist",
-    "embedding_gram_matrix",
+    # -- new in round 8: first driver rows
+    "semdedup_mutual",
+    "stream_countmin_topk",
+    # -- changed in round 8 (adaptive LSH width): re-certify
     "knn_graph_mutual",
-    # -- oldest driver evidence: the 17 r3-era rows
-    "domain_mix",
-    "events_rollup_reagg",
-    "funnel_steps",
-    "grouped_zscore",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_metadata",
-    "mm_ppm_decode",
-    "profile_columns",
-    "regional_volume",
-    "sample_reservoir",
-    "scd2_history",
-    "seq_pack",
-    "sketch_approx",
-    "sketch_hll_rollup",
-    "udf_vector_norm",
-    "wages_label_domain",
-    # -- r4 cohort, alphabetical (14 of 34; the remaining 20 lead round 8)
-    "agg_distinct_exact",
-    "dedup_char_ngram",
-    "dedup_components",
-    "dedup_embedding_cos",
-    "dedup_exact",
-    "dedup_fuzzy",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_session",
-    "events_session_gaps",
-    "events_variant",
-    "graph_pagerank",
-    "kmeans_cluster",
+    "knn_signlsh",
+    "knn_multiprobe",
+    "knn_recall_eval",
+    # -- the r4-era evidence cohort (oldest rows in the book)
+    "knn_bruteforce",
+    "knn_classify",
+    "knn_hybrid",
+    "knn_ivf",
+    "llm_prep_pipeline",
+    "rank_global_twophase",
+    "stream_dedup",
+    "stream_session",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "stream_stream_join",
+    "text_inverted_index",
+    "ts_ewma",
+    "ts_gapfill",
+    "ts_resample",
+    "ts_resample_yearly",
+    "udtf_tokenize",
+    "wages_series",
+    # -- r5 cohort, alphabetical (26 of 49; the remaining 23 lead round 9)
+    "argmax_funcs",
+    "array_map_funcs",
+    "bucketed_colocated_join",
+    "cast_nullsafe",
+    "cdc_apply",
+    "cube_agg",
+    "date_funcs",
+    "dedup_passages",
+    "dedup_sorted_neighborhood",
+    "geo_bbox_join",
+    "geo_grid_join",
+    "geo_nearest",
+    "graph_triangles",
+    "grouping_sets",
+    "histogram_bins",
+    "join_asof_nearest",
+    "join_pit_scd2",
+    "knn_ivfpq",
+    "knn_pq_adc",
+    "math_funcs",
+    "merge_upsert",
+    "mm_png_decode",
+    "null_semantics",
+    "outlier_mad",
+    "quality_percentile_band",
+    "quantiles_exact",
 ]
+
 
 
 # Scoped caching (VERDICT r5 #3): builders persist hot intermediates (LSH

@@ -423,3 +423,126 @@ FROM hit GROUP BY 1, 2 ORDER BY event_type
 
 QUERIES["stream_quantile_hist"] = q_stream_quantile_hist
 ORACLE["stream_quantile_hist"] = ORACLE_STREAM_QUANTILE_HIST
+
+
+def q_stream_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sketch_countmin_topk`` — the sketch tier's
+    second merge law on the wire (VERDICT r7 #6). Count-Min counters are
+    plain sums, so a CMS accumulates in the state store as an additive
+    (j, b)-cell aggregation: each micro-batch of the Python replay source
+    explodes its events into d=4 hash probes and increments the matching
+    cells; complete mode + no watermark because the sketch is bounded by
+    construction (≤ d·w counters, the whole point of a mergeable sketch —
+    state never grows with the stream).
+
+    The read-out runs batch-side on the drained sink, exactly like the
+    batch query reads its own sketch table: exact per-user counts (a
+    sketch cannot enumerate its keys — the candidate set always comes
+    from outside) probe the STREAMED sketch, estimate = min over the
+    key's d cells, top-20 by exact count. Batch-oracle equality at
+    quiescence is the associative-merge proof: a dropped micro-batch, a
+    double-counted cell, or an order-dependent merge shifts at least one
+    min-cell estimate.
+
+    Hashing is the batch query's deterministic md5 positional-hex scheme
+    (sketches.py) — same expression text on both engines, no cast to
+    disagree on; the BIGINT casts pin the oracle's sum() below HUGEINT
+    (the r5/r6 red class)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.sketches import _CMS_D
+    from jp_qcew_spark.sources.stream_replay import EventReplayDataSource
+    from jp_qcew_spark.streaming.pipelines import run_to_quiescence
+
+    def probes(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(key).alias("k"),
+                *[c for c in df.columns if c == "c"],
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(_CMS_D)])
+                ).alias("j"),
+            )
+            .withColumn(
+                "h",
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit("-"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+            )
+            .withColumn(
+                "b",
+                F.expr(
+                    "(instr('0123456789abcdef', substr(h, 31, 1)) - 1) * 16"
+                    " + instr('0123456789abcdef', substr(h, 32, 1)) - 1"
+                ).cast("long"),
+            )
+            .drop("h")
+        )
+
+    spark.dataSource.register(EventReplayDataSource)
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "auto")  # ~8 micro-batches at any feed size
+        .load()
+    )
+    cms_stream = probes(stream, "user_id").groupBy("j", "b").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    sink = run_to_quiescence(cms_stream, "complete", "sink_cms_replay")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        probes(exact, "k")
+        .join(F.broadcast(sink), ["j", "b"])
+        .groupBy("k", "c")
+        .agg(F.min("total").alias("est"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("user_id"),
+            F.col("c").alias("n_exact"),
+            F.col("est").alias("n_est"),
+            (F.col("est") - F.col("c")).alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_STREAM_COUNTMIN = """
+WITH freq AS (
+  SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+), hashed AS (
+  SELECT k, c, j, md5(j || '-' || k) AS h
+  FROM freq CROSS JOIN range(0, 4) t(j)
+), probes AS (
+  SELECT k, c, j,
+         (instr('0123456789abcdef', substr(h, 31, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(h, 32, 1)) - 1 AS b
+  FROM hashed
+), cms AS (
+  SELECT j, b, CAST(sum(c) AS BIGINT) AS total FROM probes GROUP BY 1, 2
+)
+SELECT p.k AS user_id,
+       p.c AS n_exact,
+       CAST(min(cms.total) AS BIGINT) AS n_est,
+       CAST(min(cms.total) - p.c AS BIGINT) AS overcount
+FROM probes p JOIN cms USING (j, b)
+GROUP BY p.k, p.c
+ORDER BY n_exact DESC, user_id ASC
+LIMIT 20
+"""
+
+QUERIES["stream_countmin_topk"] = q_stream_countmin_topk
+ORACLE["stream_countmin_topk"] = ORACLE_STREAM_COUNTMIN

@@ -1022,6 +1022,24 @@ def test_knn_graph_mutual_no_corpus_broadcast(spark, sf_dir):
     assert _lsh_plan_bits(plan) == _lsh_bits(n)
 
 
+def test_semdedup_mutual_no_corpus_broadcast(spark, sf_dir):
+    """SemDeDup keep decision on the mutual-kNN graph: no broadcast hint
+    anywhere (edges, labels, and centroids all grow with the corpus), no
+    cartesian, the centroid reduction is a keyed partial aggregation, and
+    the per-cluster ranking windows on comp. The quantized integer plane
+    shows up as floor(x * 65536) in the projection — the determinism
+    device (exact integer sums) the docstring pins."""
+    from jp_qcew_spark.queries.similarity import q_semdedup_mutual
+
+    df = q_semdedup_mutual(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(comp#\d+", plan)
+    assert "partial_sum" in plan
+    assert "65536" in plan and "FLOOR" in plan.upper()
+
+
 def test_serving_ann_adaptive_width(spark, sf_dir):
     """The serving-side LSH queries share the corpus-adaptive width rule
     (VERDICT r7 #3): fixed width means per-query candidates LINEAR in

@@ -1292,12 +1292,17 @@ def decode_tga(payload: bytes) -> dict:
         row = np.empty((w, 3), dtype=np.uint8)
         c = 0
         while c < w:
+            if pos >= len(body):
+                raise ValueError("truncated TGA packet stream")
             hdr = body[pos]
             pos += 1
             n = (hdr & 0x7F) + 1
             n_packets += 1
             if c + n > w:
                 raise ValueError("TGA packet crosses a scan line")
+            need = 3 if hdr & 0x80 else 3 * n
+            if pos + need > len(body):
+                raise ValueError("truncated TGA packet stream")
             if hdr & 0x80:
                 row[c : c + n] = np.frombuffer(
                     body[pos : pos + 3], dtype=np.uint8

@@ -36,13 +36,15 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: app_id -> (catalog tables, external-layout directory) awaiting cleanup.
+#: app_id -> (catalog tables, external-layout directories) awaiting cleanup.
 #: Per-application layouts fixed the round-6 concurrent-overwrite race, but
 #: left every session's /tmp directory and bco_* catalog entries behind
-#: (ADVICE r6) — this registry deletes THIS application's layout at
+#: (ADVICE r6) — this registry deletes THIS application's layouts at
 #: interpreter exit (or eagerly via cleanup_bucketed_layouts), keeping the
 #: race fix while bounding /tmp growth at one live session's working set.
-_PENDING_CLEANUPS: dict[str, tuple[set[str], str]] = {}
+#: Directories are a SET: a second registration under the same app with a
+#: different base path must not orphan the first (ADVICE r7).
+_PENDING_CLEANUPS: dict[str, tuple[set[str], set[str]]] = {}
 _ATEXIT_ARMED = False
 
 
@@ -53,8 +55,8 @@ def register_layout_cleanup(
     be removed at interpreter exit (idempotent per application)."""
     global _ATEXIT_ARMED
     app = spark.sparkContext.applicationId
-    known, _ = _PENDING_CLEANUPS.get(app, (set(), path))
-    _PENDING_CLEANUPS[app] = (known | set(tables), path)
+    known, paths = _PENDING_CLEANUPS.get(app, (set(), set()))
+    _PENDING_CLEANUPS[app] = (known | set(tables), paths | {path})
     if not _ATEXIT_ARMED:
         atexit.register(cleanup_bucketed_layouts)
         _ATEXIT_ARMED = True
@@ -66,14 +68,15 @@ def cleanup_bucketed_layouts() -> None:
     eagerly once no pending DataFrame still reads the layout; atexit calls
     it as a backstop for normal interpreter shutdown."""
     spark = SparkSession.getActiveSession()
-    for app, (tables, path) in list(_PENDING_CLEANUPS.items()):
+    for app, (tables, paths) in list(_PENDING_CLEANUPS.items()):
         if spark is not None:
             for t in sorted(tables):
                 try:
                     spark.sql(f"DROP TABLE IF EXISTS {t}")
                 except Exception:
                     pass  # session already stopped mid-shutdown
-        shutil.rmtree(path, ignore_errors=True)
+        for path in sorted(paths):
+            shutil.rmtree(path, ignore_errors=True)
         _PENDING_CLEANUPS.pop(app, None)
 
 

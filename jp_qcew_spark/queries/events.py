@@ -758,7 +758,7 @@ WITH daily AS (
 ), det AS (
   SELECT event_type,
          7 * n - sum7 AS det7,
-         CAST((d - DATE '1970-01-05') % 7 AS BIGINT) AS dow
+         CAST(((d - DATE '1970-01-05') % 7 + 7) % 7 AS BIGINT) AS dow
   FROM win WHERE c7 = 7
 )
 SELECT event_type, dow,

@@ -122,6 +122,16 @@ class TestScopedCaching:
         cp = track_local_checkpoint(df)
         assert cp.count() == 1000  # blocks live: checkpoint serves reads
         release_caches()
-        time.sleep(2)  # unpersist(blocking=False): let block removal land
-        with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND"):
-            cp.count()
+        # unpersist(blocking=False): poll until async block removal lands
+        # (a single fixed sleep flaked on loaded machines — ADVICE r7)
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                cp.count()
+            except Exception as exc:  # noqa: BLE001 — asserting on message
+                assert "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in str(exc)
+                break
+            assert time.time() < deadline, (
+                "released checkpoint still serving reads after 30s"
+            )
+            time.sleep(0.2)

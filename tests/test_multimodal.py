@@ -447,6 +447,20 @@ def test_tga_rejects_uncompressed_and_footerless():
         M.decode_tga(bytes(M.encode_tga_rle(px))[: -len(M.TGA_FOOTER)])
 
 
+def test_tga_truncated_packet_stream_raises_valueerror():
+    """A packet stream cut mid-packet must raise the malformed-input
+    ValueError like every other decoder path, not an IndexError from the
+    bytes indexing (ADVICE r7): truncate the body both mid-header and
+    mid-pixel and keep the footer intact so only the packet walk trips."""
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = M.encode_tga_rle(np.ascontiguousarray(px))
+    body_len = len(payload) - 18 - len(M.TGA_FOOTER)
+    for cut in (1, body_len // 2, body_len - 1):
+        clipped = payload[: 18 + cut] + M.TGA_FOOTER
+        with pytest.raises(ValueError, match="truncated TGA|ends at pixel"):
+            M.decode_tga(clipped)
+
+
 def test_decode_media_real_dispatches_to_tga():
     px = np.full((2, 2, 3), 11, dtype=np.uint8)
     d = M.decode_media(M.encode_tga_rle(px), real=True)

@@ -955,3 +955,166 @@ LIMIT 50
 
 QUERIES["dedup_url_canonical"] = q_dedup_url_canonical
 ORACLE["dedup_url_canonical"] = ORACLE_DEDUP_URL_CANONICAL
+
+
+# --------------------------------------------------------------------------
+# dsir_importance — hashed-n-gram importance resampling (round 8)
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets (DSIR uses 10k; 256 keeps the oracle
+#                relation small while exercising the identical plan shape)
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR) —
+    the published recipe for picking pretraining documents that LOOK like
+    a target domain: featurize every document into a FIXED hashed-n-gram
+    bucket space, fit target and raw unigram-over-buckets distributions,
+    and weight each raw document by its log-likelihood ratio
+    ``sum_b f_b · log(p_target[b] / p_raw[b])``.  Here the features are
+    word bigrams hashed into 256 buckets (md5 positional-hex, the CMS
+    scheme from sketches.py), the target sample is the ``lang = 'en'``
+    slice, the raw pool is the whole corpus, and both distributions are
+    add-one smoothed.  Output: the top-25 documents by importance weight
+    — the head of the resampling distribution.
+
+    Determinism by construction: the per-bucket log-ratio is quantized to
+    an integer (``floor(ln(ratio) · 1e6)``) BEFORE any per-document
+    reduction, so document weights are exact BIGINT sums — the float
+    summation-order hazard of a distributed weighted reduce (the
+    ``embedding_gram_matrix`` band risk) never arises.  The only float in
+    the pipeline is 2·256 scalar ``ln`` calls whose inputs are identical
+    exact-integer-valued doubles on both engines; a ULP flip across the
+    floor boundary needs the product to land within ~1e-9 of an integer.
+
+    100 TB: the feature space is FIXED at 256 buckets, so the statistics
+    pass is a combiner-friendly 256-key aggregation whose output —
+    however large the corpus — is a 256-row broadcast; the scoring pass
+    attaches weights map-side and reduces by doc_id (one keyed shuffle);
+    top-25 is Spark's two-phase TakeOrdered.  Two corpus scans total,
+    the same discipline as ``text_lm_score``'s model/score passes.
+    Reference parity: extends the reference's filter/derive curation
+    surface (data_process/clean_data.py) to the published
+    distribution-matching selector; no reference counterpart."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.trim("text") != "")
+        .withColumn("toks", F.split(F.lower(F.trim("text")), r"\s+"))
+    )
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("bg")).alias("h"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(instr('0123456789abcdef', substr(h, 31, 1)) - 1) * 16"
+            " + instr('0123456789abcdef', substr(h, 32, 1)) - 1"
+        ).cast("long").alias("b"),
+    )
+    stats = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = stats.agg(
+        F.sum("cs").alias("s_tot"), F.sum("ct").alias("t_tot")
+    )
+    qlog = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                (
+                    (F.col("ct") + 1).cast("double")
+                    * (F.col("s_tot") + _DSIR_B).cast("double")
+                )
+                / (
+                    (F.col("cs") + 1).cast("double")
+                    * (F.col("t_tot") + _DSIR_B).cast("double")
+                )
+            )
+            * 1000000
+        ).cast("long").alias("q"),
+    )
+    scored = (
+        bg.join(F.broadcast(qlog), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("qweight"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("qweight").cast("long").alias("qweight"),
+            F.round(
+                F.col("qweight").cast("double")
+                / 1000000
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ).alias("avg_logratio"),
+        )
+        .orderBy(F.col("qweight").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+ORACLE_DSIR_IMPORTANCE = rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), bgr AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM d
+), probes AS (
+  SELECT doc_id, lang,
+         (instr('0123456789abcdef', substr(md5(bg), 31, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(md5(bg), 32, 1)) - 1 AS b
+  FROM bgr
+), stats AS (
+  SELECT b, count(*) AS cs,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM probes GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cs) AS BIGINT) AS s_tot, CAST(sum(ct) AS BIGINT) AS t_tot
+  FROM stats
+), qlog AS (
+  SELECT b,
+         CAST(floor(ln(
+             (CAST(ct + 1 AS DOUBLE) * CAST(s_tot + {_DSIR_B} AS DOUBLE))
+             / (CAST(cs + 1 AS DOUBLE) * CAST(t_tot + {_DSIR_B} AS DOUBLE))
+           ) * 1000000) AS BIGINT) AS q
+  FROM stats CROSS JOIN tot
+), scored AS (
+  SELECT p.doc_id, p.lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(q.q) AS BIGINT) AS qweight
+  FROM probes p JOIN qlog q USING (b)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_bigrams, qweight,
+       round(CAST(qweight AS DOUBLE) / 1000000
+             / CAST(n_bigrams AS DOUBLE), 4) AS avg_logratio
+FROM scored
+ORDER BY qweight DESC, doc_id ASC
+LIMIT 25
+"""
+
+QUERIES["dsir_importance"] = q_dsir_importance
+ORACLE["dsir_importance"] = ORACLE_DSIR_IMPORTANCE

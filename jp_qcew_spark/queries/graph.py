@@ -224,3 +224,116 @@ FROM nodes GROUP BY node ORDER BY n_tri DESC, node ASC LIMIT 20
 
 QUERIES["graph_triangles"] = q_graph_triangles
 ORACLE["graph_triangles"] = ORACLE_GRAPH_TRIANGLES
+
+
+# --------------------------------------------------------------------------
+# graph_label_prop — label propagation over the mutual-kNN graph (round 8)
+# --------------------------------------------------------------------------
+
+_LP_ITERS = 2
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    mutual-kNN embedding graph — the semi-supervised consumer the
+    ``knn_graph_mutual`` substrate was built for (alongside
+    ``semdedup_mutual``'s unsupervised keep decision): every node starts
+    from its ``embeddings.label`` seed and, for ``_LP_ITERS`` synchronous
+    supersteps, adopts the MAJORITY label among itself and its mutual
+    neighbors (tie → smallest label — the deterministic tie rule; naive
+    LPA's random tie-break is irreproducible by design, which is exactly
+    what an oracle-checked engine cannot ship).  The self-vote keeps
+    isolated nodes fixed at their seed and damps the 2-cycle oscillation
+    synchronous LPA is known for.
+
+    Each superstep is one keyed equi-join (undirected edges ⋈ current
+    labels on dst — both corpus-sized, NO broadcast hint) plus one
+    (node, label) count shuffle and a per-node window top-1; the same
+    join+aggregate superstep shape as PageRank above, with the edge list
+    scope-cached once across iterations.  Votes per superstep = 2·|mutual
+    edges| + |nodes| ≤ 7n (top-3 mutual), so the superstep cost is linear
+    in the corpus at any scale; the oracle unrolls the identical two
+    supersteps as chained CTEs.  Engine-extension tier: the reference has
+    no graph surface."""
+    from jp_qcew_spark.queries.similarity import _mutual_edges
+
+    edges = _mutual_edges(spark, sf_dir).select("src", "dst")
+    und = track_cache(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    seeds = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    cur = seeds
+    for _ in range(_LP_ITERS):
+        nbr = und.join(
+            cur.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        votes = (
+            nbr.union(cur.select("node", "lbl"))
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cur = track_cache(
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        cur.join(
+            seeds.withColumnRenamed("lbl", "seed_lbl"), "node"
+        )
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("seed_lbl").alias("seed_label"),
+            F.col("lbl").alias("final_label"),
+            (F.col("lbl") != F.col("seed_lbl")).cast("long").alias("changed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _lp_round(prev: str, out: str) -> str:
+    """One unrolled superstep: votes from ``prev`` → top-1 labels ``out``."""
+    return f"""v_{out} AS (
+  SELECT node, lbl, count(*) AS n FROM (
+    SELECT u.src AS node, l.lbl FROM und u JOIN {prev} l ON l.node = u.dst
+    UNION ALL SELECT node, lbl FROM {prev}
+  ) GROUP BY 1, 2
+),
+{out} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+        PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+    FROM v_{out}
+  ) WHERE rn = 1
+)"""
+
+
+def _oracle_label_prop() -> str:
+    from jp_qcew_spark.queries.similarity import _mutual_edges_ctes
+
+    return f"""
+WITH {_mutual_edges_ctes()},
+und AS (SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
+l0 AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lbl FROM embeddings),
+{_lp_round("l0", "l1")},
+{_lp_round("l1", "l2")}
+SELECT l2.node AS vec_id,
+       l0.lbl AS seed_label,
+       l2.lbl AS final_label,
+       CAST(CASE WHEN l2.lbl <> l0.lbl THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM l2 JOIN l0 ON l2.node = l0.node
+ORDER BY vec_id
+"""
+
+
+QUERIES["graph_label_prop"] = q_graph_label_prop
+ORACLE["graph_label_prop"] = _oracle_label_prop()

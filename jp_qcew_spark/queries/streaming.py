@@ -546,3 +546,177 @@ LIMIT 20
 
 QUERIES["stream_countmin_topk"] = q_stream_countmin_topk
 ORACLE["stream_countmin_topk"] = ORACLE_STREAM_COUNTMIN
+
+
+# --------------------------------------------------------------------------
+# stream_hll_distinct — HLL register max-merge on the wire (round 8)
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (first 2 md5 hex chars)
+# rho source: 24 bits parsed positionally from md5 hex chars 3..8
+_HLL_W_EXPR = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {3 + k}, 1)) - 1)"
+    f" * {16 ** (5 - k)}"
+    for k in range(6)
+)
+# rho = leading-zero count of the 24-bit word + 1 (1..25) — an exact
+# integer CASE ladder, NOT floor(log2(w)): log2 of a power of two is not
+# guaranteed correctly rounded on either engine, the ladder is.
+_HLL_RHO_EXPR = (
+    "CASE "
+    + " ".join(f"WHEN w >= {1 << (23 - k)} THEN {k + 1}" for k in range(24))
+    + " ELSE 25 END"
+)
+# alpha_256 * m^2 * 2^32 — one double literal shared verbatim by both
+# engines, so the raw estimate is a single IEEE division from exact ints.
+_HLL_K = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 4294967296.0)
+
+
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sketch_hll_rollup`` — the sketch tier's THIRD
+    merge law on the wire, and the one the other two don't cover: the
+    histogram and Count-Min twins accumulate by SUM (additive counters),
+    HyperLogLog registers merge by MAX (idempotent), so this query proves
+    the state store's max-aggregation is associative AND duplicate-
+    insensitive — replaying an element into a register a second time must
+    not move it, which no sum-based sketch can witness.
+
+    The sketch is an EXPLICIT deterministic HLL (Flajolet et al. 2007):
+    register = first 2 md5 hex chars of the user id (m=256), rho =
+    leading-zero count of the next 24 hash bits + 1 via an exact integer
+    CASE ladder. Unlike the batch query's DataSketches binding (opaque
+    binary, bounded-error oracle contract), every register value here is
+    reproducible in SQL, so the oracle checks the streamed sketch
+    CELL-FOR-CELL through the estimator — exact hash equality, the
+    strongest form of the merge-law proof.  Complete mode, no watermark:
+    state is ≤ |types|·m rows by construction, the defining property of
+    a sketch in a stream.
+
+    Read-out (batch-side, on the drained sink): the standard estimator
+    with integer-exact internals — ``sum(2^(32-M_j))`` is a BIGINT (every
+    term a dyadic integer), the raw estimate is ONE IEEE division of the
+    shared alpha·m²·2³² literal by that integer, and the small-range
+    branch (raw ≤ 2.5m with empty registers — live at sf0.001/0.01,
+    where ~150 users can't fill 256 registers; the raw branch takes over
+    once the corpus saturates the sketch) is linear counting
+    ``m·ln(m/V)`` on exact integer inputs.  Exact distincts from the
+    batch table sit alongside for the error report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.sources.stream_replay import EventReplayDataSource
+    from jp_qcew_spark.streaming.pipelines import run_to_quiescence
+
+    spark.dataSource.register(EventReplayDataSource)
+    stream = (
+        spark.readStream.format("eventreplay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "auto")  # ~8 micro-batches at any feed size
+        .load()
+    )
+    regs = (
+        stream.select(
+            "event_type",
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+                " + instr('0123456789abcdef', substr(h, 2, 1)) - 1"
+            ).cast("long").alias("r"),
+            F.expr(_HLL_W_EXPR).cast("long").alias("w"),
+        )
+        .select(
+            "event_type",
+            "r",
+            F.expr(_HLL_RHO_EXPR).cast("long").alias("rho"),
+        )
+        .groupBy("event_type", "r")
+        .agg(F.max("rho").alias("m"))
+    )
+    sink = run_to_quiescence(regs, "complete", "sink_hll_replay")
+    agg = sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum(F.expr("CAST(pow(2, 32 - m) AS BIGINT)")).alias("sp"),
+    )
+    est = agg.select(
+        "event_type",
+        F.col("nreg").cast("long").alias("n_registers"),
+        (F.lit(_HLL_M) - F.col("nreg")).cast("long").alias("v_zero"),
+        (
+            F.lit(float(_HLL_K))
+            / (
+                F.col("sp")
+                + (F.lit(_HLL_M) - F.col("nreg")) * F.lit(4294967296)
+            ).cast("double")
+        ).alias("raw"),
+    ).select(
+        "event_type",
+        "n_registers",
+        "v_zero",
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")),
+            ).otherwise(F.col("raw")),
+            4,
+        ).alias("est_hll"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_exact", "n_registers", "v_zero", "est_hll")
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_HLL = f"""
+WITH hashed AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), parsed AS (
+  SELECT event_type,
+         (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS r,
+         {_HLL_W_EXPR} AS w
+  FROM hashed
+), rho AS (
+  SELECT event_type, r, {_HLL_RHO_EXPR} AS rho FROM parsed
+), regs AS (
+  SELECT event_type, r, max(rho) AS m FROM rho GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nreg,
+         CAST(sum(CAST(pow(2, 32 - m) AS BIGINT)) AS BIGINT) AS sp
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, nreg,
+         {_HLL_M} - nreg AS v_zero,
+         {_HLL_K}
+           / CAST(sp + ({_HLL_M} - nreg) * 4294967296 AS DOUBLE) AS raw
+  FROM agg
+), ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       x.n_exact,
+       e.nreg AS n_registers,
+       CAST(e.v_zero AS BIGINT) AS v_zero,
+       round(CASE WHEN e.raw <= {2.5 * _HLL_M} AND e.v_zero > 0
+                  THEN {float(_HLL_M)}
+                       * ln({float(_HLL_M)} / CAST(e.v_zero AS DOUBLE))
+                  ELSE e.raw END, 4) AS est_hll
+FROM est e JOIN ex x ON e.event_type = x.event_type
+ORDER BY e.event_type
+"""
+
+QUERIES["stream_hll_distinct"] = q_stream_hll_distinct
+ORACLE["stream_hll_distinct"] = ORACLE_STREAM_HLL

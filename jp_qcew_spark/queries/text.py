@@ -743,3 +743,90 @@ LIMIT 30
 
 QUERIES["text_pmi_assoc"] = q_text_pmi_assoc
 ORACLE["text_pmi_assoc"] = ORACLE_TEXT_PMI_ASSOC
+
+
+# --------------------------------------------------------------------------
+# text_chunk_overlap — overlapping-window RAG chunking (round 8)
+# --------------------------------------------------------------------------
+
+_CHUNK_LEN = 32   # tokens per chunk
+_CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = 8)
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the retrieval/embedding-prep
+    step every RAG and long-context training pipeline runs before
+    vectorizing: split each document into 32-token windows starting every
+    24 tokens (8-token overlap so no sentence is cut at both sides),
+    one output row per chunk with its token count and an 8-hex content
+    signature (the chunk-level dedup / cache key).
+
+    Chunk starts are ``0, 24, 48, …`` while < n_tokens, i.e.
+    ``floor((n-1)/24) + 1`` chunks for an n-token document — the grid is
+    derived per-row with ``sequence`` + ``slice`` inside ONE whole-stage-
+    codegen projection: no UDF, no window shuffle, no self-join; the only
+    exchange in the plan is the final presentation sort.  Fan-out is
+    ~n/24 rows per document regardless of corpus size, so the operator
+    is embarrassingly parallel at 100 TB (chunking is a map).  The
+    signature is md5 over the space-rejoined window (same digest text
+    both engines).  Reference parity: extension tier — the reference
+    tokenizes whole documents only (SURVEY §2 F-tier)."""
+    d = (
+        _docs(spark, sf_dir, "doc_id", "text")
+        .filter(F.trim("text") != "")
+        .withColumn("toks", F.split(F.lower(F.trim("text")), r"\s+"))
+    )
+    chunks = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(floor((size(toks) - 1) / {_CHUNK_STRIDE})"
+                " AS INT))"
+            )
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.expr(f"slice(toks, k * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN})").alias(
+            "c"
+        ),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.size("c").cast("long").alias("n_tokens"),
+            F.substring(F.md5(F.concat_ws(" ", "c")), 1, 8).alias(
+                "chunk_sig"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_TEXT_CHUNK_OVERLAP = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+), grid AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(floor((len(toks) - 1) / {_CHUNK_STRIDE})
+                              AS BIGINT) + 1)) AS k
+  FROM d
+), ch AS (
+  SELECT doc_id, k AS chunk_id,
+         list_slice(toks, k * {_CHUNK_STRIDE} + 1,
+                    k * {_CHUNK_STRIDE} + {_CHUNK_LEN}) AS c
+  FROM grid
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(c) AS BIGINT) AS n_tokens,
+       substr(md5(array_to_string(c, ' ')), 1, 8) AS chunk_sig
+FROM ch
+ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["text_chunk_overlap"] = q_text_chunk_overlap
+ORACLE["text_chunk_overlap"] = ORACLE_TEXT_CHUNK_OVERLAP

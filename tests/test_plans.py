@@ -1056,3 +1056,60 @@ def test_serving_ann_adaptive_width(spark, sf_dir):
     assert _lsh_plan_bits(I.formatted_plan(q_knn_signlsh(spark, sf_dir))) == bits
     mp_plan = I.formatted_plan(q_knn_multiprobe(spark, sf_dir))
     assert _lsh_plan_bits(mp_plan) == bits
+
+
+def test_dsir_bounded_broadcast_stats(spark, sf_dir):
+    """DSIR's two distributions live in a FIXED 256-bucket space, so the
+    plan must attach them map-side: the bucket log-ratio table and the
+    1-row totals both join by BROADCAST (the only joins in the plan),
+    the statistics pass is a combiner-friendly partial aggregation, and
+    the scan reads only (doc_id, lang, text). A shuffle join on bucket
+    here would re-shuffle the whole bigram fan-out for a 256-row dim."""
+    from jp_qcew_spark.queries.curation import q_dsir_importance
+
+    df = q_dsir_importance(spark, sf_dir)
+    assert I.broadcast_hint_count(df) == 2
+    assert I.sort_merge_joins(df) == 0
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    schemas = I.read_schemas(df)
+    assert schemas and all(
+        set(s) <= {"doc_id", "lang", "text"} for s in schemas
+    ), schemas
+
+
+def test_label_prop_superstep_no_corpus_broadcast(spark, sf_dir):
+    """LPA supersteps follow the PageRank discipline: labels and edges
+    are BOTH corpus-sized, so every superstep join is a keyed shuffle
+    join with NO broadcast hint, votes reduce with a map-side partial
+    count, the top-1 vote windows on node, and the undirected edge list
+    is scope-cached once across both iterations."""
+    from jp_qcew_spark.queries.graph import q_graph_label_prop
+
+    df = q_graph_label_prop(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(node#\d+", plan)
+    assert "partial_count" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_chunk_overlap_is_a_map(spark, sf_dir):
+    """Chunking must stay embarrassingly parallel: the window grid comes
+    from sequence+slice inside one codegen projection — zero joins, zero
+    aggregations, no UDF — and the ONLY exchange in the plan is the final
+    presentation sort. Any join or window here means the operator stopped
+    being a map and won't scale as one."""
+    from jp_qcew_spark.queries.text import q_text_chunk_overlap
+
+    df = q_text_chunk_overlap(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert I.count_exchanges(df) == 1
+    plan = I.formatted_plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "windowspecdefinition" not in plan
+    schemas = I.read_schemas(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)

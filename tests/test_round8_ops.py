@@ -1,0 +1,249 @@
+"""Independent invariants for the round-8 operators — a third
+implementation or a mathematical identity per op, beyond the shared-logic
+DuckDB oracle:
+
+- DSIR importance: a planted target-only document must outrank every
+  organic document (synthetic-corpus monotonicity), and on the real
+  corpus the selected head must lean toward the target domain,
+- label propagation: the label domain is closed, isolated nodes are
+  fixed points, and majority self-agreement is stable,
+- chunk overlap: pure-Python hashlib re-chunking reproduces every
+  (chunk_id, n_tokens, signature) row exactly,
+- streaming HLL: pure-Python hashlib registers reproduce the streamed
+  sketch's estimates, the estimate respects the published 1.04/sqrt(m)
+  error envelope, and register max-merge is duplicate-insensitive.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pyspark.sql.functions as F
+
+_HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_planted_target_doc_ranks_first(spark, tmp_path_factory):
+    """Monotonicity: a document made ENTIRELY of bigrams that occur only
+    in the target slice must get the top importance weight — its every
+    bucket probe hits a bucket where ct is high relative to cs, so its
+    avg log-ratio dominates any document sharing mass with the raw
+    pool."""
+    from jp_qcew_spark.queries.curation import q_dsir_importance
+
+    target_text = "alpha beta gamma delta " * 6
+    rows = [(0, target_text.strip(), "en")]
+    # raw-pool-only documents (never appear in target slice lang='en')
+    for i in range(1, 9):
+        rows.append((i, f"noise{i} filler{i} junk{i} pad{i} " * 6, "de"))
+    # one more en doc that shares the raw pool's vocabulary: its buckets
+    # carry raw mass, so it must rank below the pure-target doc
+    rows.append((9, "noise1 filler1 junk1 pad1 " * 6, "en"))
+    d = tmp_path_factory.mktemp("dsir")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = q_dsir_importance(spark, str(d)).collect()
+    assert out[0].doc_id == 0, [(r.doc_id, r.qweight) for r in out]
+    assert out[0].avg_logratio > 0
+
+
+def test_dsir_head_leans_target_on_real_corpus(spark, sf_dir):
+    """On the organic corpus the selected head must lean toward the
+    target domain (that is DSIR's entire point): strictly more 'en' docs
+    in the top-25 than the corpus base rate would put there."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.curation import q_dsir_importance
+
+    out = q_dsir_importance(spark, sf_dir).collect()
+    assert len(out) == 25
+    n_en = sum(1 for r in out if r.lang == "en")
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("lang") == "en").count() / docs.count()
+    )
+    assert n_en / 25 > base, (n_en, base)
+
+
+# ---------------------------------------------------------------------------
+# graph_label_prop
+# ---------------------------------------------------------------------------
+
+
+def test_label_prop_domain_closed_and_isolated_fixed(spark, sf_dir):
+    """Propagation can only ever assign a label that some seed carries
+    (domain closure), and a node with no mutual edges has only its
+    self-vote — it must keep its seed exactly."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.graph import q_graph_label_prop
+    from jp_qcew_spark.queries.similarity import _mutual_edges
+
+    out = q_graph_label_prop(spark, sf_dir).collect()
+    seeds = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    domain = set(seeds.values())
+    assert {r.final_label for r in out} <= domain
+    assert all(r.seed_label == seeds[r.vec_id] for r in out)
+    edges = _mutual_edges(spark, sf_dir).select("src", "dst").collect()
+    connected = {r.src for r in edges} | {r.dst for r in edges}
+    for r in out:
+        if r.vec_id not in connected:
+            assert r.changed == 0 and r.final_label == r.seed_label
+
+
+def test_label_prop_every_node_reported_once(spark, sf_dir):
+    """One row per embedding — propagation must not drop isolated nodes
+    or duplicate contested ones."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.graph import q_graph_label_prop
+
+    out = q_graph_label_prop(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n
+    assert len({r.vec_id for r in out}) == n
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_matches_pure_python(spark, sf_dir):
+    """Third implementation: hashlib + list slicing over the collected
+    corpus reproduces every (doc_id, chunk_id, n_tokens, chunk_sig) row
+    the query emits — grid arithmetic, clamped tail, and signature."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.text import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        q_text_chunk_overlap,
+    )
+
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_sig)
+        for r in q_text_chunk_overlap(spark, sf_dir).collect()
+    }
+    want = {}
+    for r in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        if r.text is None or not r.text.strip():
+            continue
+        toks = re.split(r"\s+", r.text.strip().lower())
+        k = 0
+        while k * _CHUNK_STRIDE < len(toks):
+            c = toks[k * _CHUNK_STRIDE : k * _CHUNK_STRIDE + _CHUNK_LEN]
+            sig = hashlib.md5(" ".join(c).encode()).hexdigest()[:8]
+            want[(r.doc_id, k)] = (len(c), sig)
+            k += 1
+    assert got == want
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    """Coverage identity: chunk token counts, corrected for the fixed
+    8-token overlap between consecutive chunks, sum back to each
+    document's token count — no token dropped, none double-dropped."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.text import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        q_text_chunk_overlap,
+    )
+
+    per_doc: dict[int, list] = {}
+    for r in q_text_chunk_overlap(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    ov = _CHUNK_LEN - _CHUNK_STRIDE
+    for d in docs:
+        if d.text is None or not d.text.strip():
+            continue
+        n = len(re.split(r"\s+", d.text.strip().lower()))
+        chunks = sorted(per_doc[d.doc_id])
+        total = sum(c for _, c in chunks)
+        # consecutive chunks overlap by (prev_len - stride); full chunks
+        # give the designed overlap of 8, the clamped tail gives less
+        assert all(
+            chunks[i][1] - _CHUNK_STRIDE <= ov
+            for i in range(len(chunks) - 1)
+        )
+        covered = total - sum(
+            max(0, chunks[i][1] - _CHUNK_STRIDE)
+            for i in range(len(chunks) - 1)
+        )
+        assert covered == n, (d.doc_id, covered, n)
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_distinct
+# ---------------------------------------------------------------------------
+
+
+def _py_hll(users) -> tuple[dict, float]:
+    """Pure-Python mirror of the explicit HLL: registers + estimate."""
+    regs: dict[int, int] = {}
+    for u in users:
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        r = _HEX.index(h[0]) * 16 + _HEX.index(h[1])
+        w = int(h[2:8], 16)
+        rho = 25 if w == 0 else 24 - w.bit_length() + 1
+        regs[r] = max(regs.get(r, 0), rho)
+    sp = sum(2 ** (32 - m) for m in regs.values())
+    vz = 256 - len(regs)
+    k = 0.7213 / (1 + 1.079 / 256) * 256 * 256 * 4294967296.0
+    raw = k / float(sp + vz * 4294967296)
+    if raw <= 2.5 * 256 and vz > 0:
+        return regs, 256.0 * math.log(256.0 / vz)
+    return regs, raw
+
+
+def test_stream_hll_matches_pure_python(spark, sf_dir):
+    """Third implementation: hashlib-built registers over the raw event
+    feed reproduce the streamed sketch's estimate for every event type
+    (to the query's 4-decimal rounding)."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.streaming import q_stream_hll_distinct
+
+    out = {r.event_type: r for r in q_stream_hll_distinct(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for e in events:
+        by_type.setdefault(e.event_type, []).append(e.user_id)
+    assert set(out) == set(by_type)
+    for t, users in by_type.items():
+        regs, est = _py_hll(users)
+        assert out[t].n_registers == len(regs)
+        assert out[t].v_zero == 256 - len(regs)
+        assert abs(out[t].est_hll - est) <= 1e-4, (t, out[t].est_hll, est)
+        # published error envelope: 3 sigma of 1.04/sqrt(m)
+        n_exact = len(set(users))
+        assert abs(out[t].est_hll - n_exact) / n_exact <= 3 * 1.04 / math.sqrt(
+            256
+        ), (t, out[t].est_hll, n_exact)
+
+
+def test_hll_max_merge_duplicate_insensitive():
+    """The law the streaming twin exists to prove, stated directly:
+    replaying the whole feed a second time (worst-case duplication)
+    cannot move a single register, because max is idempotent — unlike
+    the sum-merged histogram/CMS sketches, which would double."""
+    users = list(range(137))
+    once, est_once = _py_hll(users)
+    twice, est_twice = _py_hll(users + users)
+    assert once == twice
+    assert est_once == est_twice

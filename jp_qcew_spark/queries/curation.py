@@ -992,13 +992,19 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     however large the corpus — is a 256-row broadcast; the scoring pass
     attaches weights map-side and reduces by doc_id (one keyed shuffle);
     top-25 is Spark's two-phase TakeOrdered.  Two corpus scans total,
-    the same discipline as ``text_lm_score``'s model/score passes.
-    Reference parity: extends the reference's filter/derive curation
-    surface (data_process/clean_data.py) to the published
+    the same discipline as ``text_lm_score``'s model/score passes.  The
+    scan is widened (io.widen_scan): both passes re-tokenize + md5 the
+    corpus — compute-dense map work a few-split compressed file must not
+    pin to 1-2 cores (measured at sf1: 24.4 → ~6 s; no-op on many-file
+    corpora).  Reference parity: extends the reference's filter/derive
+    curation surface (data_process/clean_data.py) to the published
     distribution-matching selector; no reference counterpart."""
     d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "text")
+        widen_scan(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "text"
+            )
+        )
         .filter(F.trim("text") != "")
         .withColumn("toks", F.split(F.lower(F.trim("text")), r"\s+"))
     )

@@ -897,3 +897,171 @@ ORDER BY price, o_orderkey
 
 QUERIES["skyline_orders"] = q_skyline_orders
 ORACLE["skyline_orders"] = ORACLE_SKYLINE
+
+
+# --------------------------------------------------------------------------
+# layout_zorder_stats — z-order vs linear layout pruning audit (round 8)
+# --------------------------------------------------------------------------
+
+# bit-interleave via engine-portable integer arithmetic (floor-div + mod —
+# Spark's `div` and DuckDB's `//` spell integer division differently, this
+# text runs verbatim on both)
+_Z_BITS = 8
+_Z_FILE_CELLS = 1024  # z-cells per file -> 64 files over the 16-bit space
+_Z_RECT = (64, 191, 32, 95)  # d1_lo, d1_hi, d2_lo, d2_hi
+
+
+def _interleave_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(
+            f"(CAST(floor({a} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"(CAST(floor({b} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}"
+        )
+    return " + ".join(terms)
+
+
+def q_layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-key layout pruning audit — the SELECT-side proof
+    of why multi-dimensional clustering (Delta/Iceberg ``ZORDER BY``,
+    Hudi space-filling curves) matters at 100 TB: assign every event to a
+    64-file layout twice — once by Morton/z-key ranges over
+    (user-bucket, value-bucket), once by the row-major single-key order
+    (user-bucket major) — and report, for one 2-D rectangle predicate,
+    how many files each layout's per-file min/max zone maps would scan
+    and how many scanned rows actually match.
+
+    1024 consecutive z-cells form an ALIGNED 32x32 TILE in dimension
+    space, so the rectangle touches ~(span1/32)·(span2/32) z-files but
+    span1/4 linear files (a linear file spans 4 full d1 values and ALL
+    of d2 — its d2 zone map is always [0,255] and prunes nothing). The
+    audit computes both from the same zone-map statistics a real
+    writer's footer would carry.
+
+    Spark-first: the z-key is a pure-integer bit interleave (floor-div +
+    mod, whole-stage codegen — the identical expression text runs in the
+    oracle); each row emits its two (layout, file) assignments through
+    one inline-table explode, so ONE corpus scan feeds a 128-key partial
+    aggregation (the per-file zone maps) and a 2-row rollup. No joins,
+    no windows, no global sort — at any corpus size the shuffle carries
+    128 zone-map rows."""
+    d1_lo, d1_hi, d2_lo, d2_hi = _Z_RECT
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("user_id % 256").cast("long").alias("d1"),
+        F.expr("least(255, CAST(floor(value / 2.0) AS BIGINT))").alias("d2"),
+    )
+    keyed = ev.select(
+        "d1",
+        "d2",
+        F.expr(_interleave_sql("d1", "d2")).alias("z"),
+        (F.col("d1") * 256 + F.col("d2")).alias("lin"),
+        (
+            F.col("d1").between(d1_lo, d1_hi)
+            & F.col("d2").between(d2_lo, d2_hi)
+        ).cast("long").alias("hit"),
+    )
+    tagged = keyed.select(
+        "d1",
+        "d2",
+        "hit",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.floor(F.col("z") / _Z_FILE_CELLS).cast("long").alias(
+                        "file_id"
+                    ),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.floor(F.col("lin") / _Z_FILE_CELLS).cast("long").alias(
+                        "file_id"
+                    ),
+                ),
+            )
+        ).alias("a"),
+    ).select("d1", "d2", "hit", F.col("a.layout"), F.col("a.file_id"))
+    zones = tagged.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d1").alias("min1"),
+        F.max("d1").alias("max1"),
+        F.min("d2").alias("min2"),
+        F.max("d2").alias("max2"),
+        F.sum("hit").alias("nhit"),
+    )
+    scanned = (
+        (F.col("max1") >= d1_lo)
+        & (F.col("min1") <= d1_hi)
+        & (F.col("max2") >= d2_lo)
+        & (F.col("min2") <= d2_hi)
+    ).cast("long")
+    return (
+        zones.withColumn("sc", scanned)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("sc").cast("long").alias("n_files_scanned"),
+            F.sum(F.col("sc") * F.col("n")).cast("long").alias(
+                "n_rows_scanned"
+            ),
+            F.sum("nhit").cast("long").alias("n_rows_matched"),
+            F.round(
+                F.sum(F.col("sc") * F.col("n")).cast("double")
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _oracle_zorder() -> str:
+    d1_lo, d1_hi, d2_lo, d2_hi = _Z_RECT
+    return f"""
+WITH ev AS (
+  SELECT CAST(user_id % 256 AS BIGINT) AS d1,
+         least(255, CAST(floor(value / 2.0) AS BIGINT)) AS d2
+  FROM events
+), keyed AS (
+  SELECT d1, d2,
+         {_interleave_sql("d1", "d2")} AS z,
+         d1 * 256 + d2 AS lin,
+         CASE WHEN d1 BETWEEN {d1_lo} AND {d1_hi}
+               AND d2 BETWEEN {d2_lo} AND {d2_hi}
+              THEN 1 ELSE 0 END AS hit
+  FROM ev
+), tagged AS (
+  SELECT d1, d2, hit, 'zorder' AS layout,
+         CAST(floor(z / {_Z_FILE_CELLS}) AS BIGINT) AS file_id
+  FROM keyed
+  UNION ALL
+  SELECT d1, d2, hit, 'linear',
+         CAST(floor(lin / {_Z_FILE_CELLS}) AS BIGINT)
+  FROM keyed
+), zones AS (
+  SELECT layout, file_id, count(*) AS n,
+         min(d1) AS min1, max(d1) AS max1,
+         min(d2) AS min2, max(d2) AS max2,
+         CAST(sum(hit) AS BIGINT) AS nhit
+  FROM tagged GROUP BY 1, 2
+), flagged AS (
+  SELECT *, CASE WHEN max1 >= {d1_lo} AND min1 <= {d1_hi}
+                  AND max2 >= {d2_lo} AND min2 <= {d2_hi}
+                 THEN 1 ELSE 0 END AS sc
+  FROM zones
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sc) AS BIGINT) AS n_files_scanned,
+       CAST(sum(sc * n) AS BIGINT) AS n_rows_scanned,
+       CAST(sum(nhit) AS BIGINT) AS n_rows_matched,
+       round(CAST(sum(sc * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         AS scan_fraction
+FROM flagged GROUP BY layout ORDER BY layout
+"""
+
+
+QUERIES["layout_zorder_stats"] = q_layout_zorder_stats
+ORACLE["layout_zorder_stats"] = _oracle_zorder()

@@ -1113,3 +1113,23 @@ def test_chunk_overlap_is_a_map(spark, sf_dir):
     assert "windowspecdefinition" not in plan
     schemas = I.read_schemas(df)
     assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
+
+
+def test_zorder_stats_single_scan_no_joins(spark, sf_dir):
+    """The layout audit must stay one corpus scan + a 128-key zone-map
+    aggregation: the two layout assignments fan out through an inline
+    explode (never a self-union that rescans parquet), the z-key is pure
+    codegen integer arithmetic, and there are no joins or windows — the
+    shuffle carries zone-map partials only."""
+    from jp_qcew_spark.queries.warehouse import q_layout_zorder_stats
+
+    df = q_layout_zorder_stats(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.sort_merge_joins(df) + I.broadcast_hash_joins(df) == 0
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "windowspecdefinition" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    schemas = I.read_schemas(df)
+    assert schemas and all(set(s) <= {"user_id", "value"} for s in schemas)

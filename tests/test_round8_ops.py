@@ -247,3 +247,77 @@ def test_hll_max_merge_duplicate_insensitive():
     twice, est_twice = _py_hll(users + users)
     assert once == twice
     assert est_once == est_twice
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_stats
+# ---------------------------------------------------------------------------
+
+
+def _py_interleave(a: int, b: int) -> int:
+    z = 0
+    for i in range(8):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_matches_pure_python_zone_maps(spark, sf_dir):
+    """Third implementation: bit-shift interleaving + dict zone maps over
+    the collected events reproduce both layouts' file/scan/match counts
+    exactly (the query's floor-div+mod arithmetic is just a portable
+    spelling of the shifts)."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.warehouse import (
+        _Z_FILE_CELLS,
+        _Z_RECT,
+        q_layout_zorder_stats,
+    )
+
+    d1_lo, d1_hi, d2_lo, d2_hi = _Z_RECT
+    got = {r.layout: r for r in q_layout_zorder_stats(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "value"
+    ).collect()
+    zones: dict[tuple, list] = {}
+    for r in rows:
+        d1 = r.user_id % 256
+        d2 = min(255, int(r.value // 2.0))
+        hit = d1_lo <= d1 <= d1_hi and d2_lo <= d2 <= d2_hi
+        for layout, key in (
+            ("zorder", _py_interleave(d1, d2)),
+            ("linear", d1 * 256 + d2),
+        ):
+            z = zones.setdefault(
+                (layout, key // _Z_FILE_CELLS), [0, 256, -1, 256, -1, 0]
+            )
+            z[0] += 1
+            z[1] = min(z[1], d1)
+            z[2] = max(z[2], d1)
+            z[3] = min(z[3], d2)
+            z[4] = max(z[4], d2)
+            z[5] += hit
+    for layout in ("zorder", "linear"):
+        files = {k[1]: v for k, v in zones.items() if k[0] == layout}
+        scanned = {
+            f: v
+            for f, v in files.items()
+            if v[2] >= d1_lo and v[1] <= d1_hi and v[4] >= d2_lo and v[3] <= d2_hi
+        }
+        assert got[layout].n_files == len(files)
+        assert got[layout].n_files_scanned == len(scanned)
+        assert got[layout].n_rows_scanned == sum(v[0] for v in scanned.values())
+        assert got[layout].n_rows_matched == sum(v[5] for v in files.values())
+
+
+def test_zorder_beats_linear_on_the_2d_rect(spark, sf_dir):
+    """The reason the operator exists: for a 2-D rectangle, z-order zone
+    maps must scan no more rows than the single-key layout, and every
+    matching row must be inside scanned files in both layouts."""
+    from jp_qcew_spark.queries.warehouse import q_layout_zorder_stats
+
+    got = {r.layout: r for r in q_layout_zorder_stats(spark, sf_dir).collect()}
+    assert got["zorder"].n_rows_scanned <= got["linear"].n_rows_scanned
+    for r in got.values():
+        assert r.n_rows_matched <= r.n_rows_scanned
+    assert got["zorder"].n_rows_matched == got["linear"].n_rows_matched

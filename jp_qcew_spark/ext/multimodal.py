@@ -311,12 +311,14 @@ def decode_media(payload: bytes, real: bool = False) -> dict:
             return decode_bmp(payload)
         if len(payload) >= 18 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
             return decode_tga(payload)
+        if payload[:4] == b"II\x2a\x00" or payload[:2] == b"MM":
+            return decode_tiff(payload)
         raise NotImplementedError(
             "real codecs for JPEG/MPEG (PIL/ffmpeg) are not available in "
-            "this environment; PNG (DEFLATE), GIF (LZW), RLE TGA, BMP and "
-            "PCM WAV decode for real via decode_png/decode_gif/decode_tga/"
-            "decode_bmp/decode_wav, deterministic fake decode covers the "
-            "rest"
+            "this environment; PNG (DEFLATE), GIF (LZW), RLE TGA, BMP, "
+            "baseline TIFF and PCM WAV decode for real via decode_png/"
+            "decode_gif/decode_tga/decode_bmp/decode_tiff/decode_wav, "
+            "deterministic fake decode covers the rest"
         )
     width = (payload[4] << 8) | payload[5]
     height = (payload[6] << 8) | payload[7]
@@ -1406,4 +1408,235 @@ def tga_features(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, TGA_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF codec (round 8) — uncompressed multi-strip grayscale baseline
+# TIFF: a FIFTH real container family, and the first TAG-DIRECTORY one.
+# Where BMP/TGA/WAV are fixed-layout headers, TIFF is a self-describing
+# IFD walk: 12-byte (tag, type, count, value-or-offset) entries, type-aware
+# value decoding (SHORT inline vs LONG arrays behind offset indirection),
+# and multi-strip pixel reassembly via the StripOffsets/StripByteCounts
+# arrays — the structure every footer/zone-map-bearing format (and parquet
+# itself) shares. Stdlib struct + numpy only.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG — the two types baseline needs
+
+
+def encode_tiff(pixels: "np.ndarray", rows_per_strip: int = 4) -> bytes:
+    """REAL little-endian baseline TIFF encoder: ``pixels`` is (h, w)
+    uint8 grayscale, written as ``ceil(h / rows_per_strip)`` uncompressed
+    strips whose offsets/byte-counts live in LONG arrays BEHIND the IFD
+    (count > 1 ⇒ the entry's value field is a file offset) — so a decoder
+    must do the indirection for real."""
+    import struct
+
+    h, w = pixels.shape
+    assert pixels.dtype.itemsize == 1
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    ifd_off = 8
+    n_entries = 9
+    arrays_off = ifd_off + 2 + n_entries * 12 + 4
+    # per spec, a value whose bytes fit the 4-byte value field is INLINE;
+    # only count > 1 LONG arrays live behind the offset indirection
+    inline = n_strips == 1
+    counts_off = arrays_off + (0 if inline else 4 * n_strips)
+    data_off = counts_off + (0 if inline else 4 * n_strips)
+    strips = [
+        pixels[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+        for s in range(n_strips)
+    ]
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            return struct.pack("<HHIHH", tag, typ, count, value, 0)
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", n_entries) + b"".join(
+        (
+            entry(256, 3, 1, w),                 # ImageWidth
+            entry(257, 3, 1, h),                 # ImageLength
+            entry(258, 3, 1, 8),                 # BitsPerSample
+            entry(259, 3, 1, 1),                 # Compression = none
+            entry(262, 3, 1, 1),                 # Photometric = BlackIsZero
+            entry(273, 4, n_strips,              # StripOffsets
+                  offs[0] if inline else arrays_off),
+            entry(277, 3, 1, 1),                 # SamplesPerPixel
+            entry(278, 3, 1, rows_per_strip),    # RowsPerStrip
+            entry(279, 4, n_strips,              # StripByteCounts
+                  len(strips[0]) if inline else counts_off),
+        )
+    ) + struct.pack("<I", 0)
+    head = struct.pack("<2sHI", b"II", 42, ifd_off)
+    arrays = b"" if inline else struct.pack(
+        f"<{n_strips}I", *offs
+    ) + struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    return head + ifd + arrays + b"".join(strips)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """REAL baseline-TIFF decode — the tag-directory walk: verify the
+    ``II*\\0`` header (big-endian ``MM`` TIFFs are refused loudly, not
+    byte-swapped wrongly), walk the first IFD's 12-byte entries with
+    type-aware value decoding (SHORT count-1 values are INLINE in the
+    value field; LONG arrays with count > 1 sit at a file OFFSET the
+    entry points to), then reassemble the pixel plane strip by strip
+    from the StripOffsets/StripByteCounts arrays. Features are strip-
+    and position-sensitive: a wrong strip order or a missed offset
+    indirection breaks ``top_mean``/``bot_mean``; a stride mistake
+    shears ``mean_px``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"MM":
+        raise ValueError(
+            "big-endian (MM) TIFF: this baseline decoder is little-endian "
+            "only and refuses rather than byte-swap wrongly"
+        )
+    if payload[:4] != b"II\x2a\x00":
+        raise ValueError(f"not a little-endian TIFF: {payload[:4]!r}")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF: header shorter than 8 bytes")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past payload end")
+    (n_entries,) = struct.unpack_from("<H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + i * 12
+        if base + 12 > len(payload):
+            raise ValueError("truncated TIFF: IFD entry past payload end")
+        tag, typ, count = struct.unpack_from("<HHI", payload, base)
+        if typ not in _TIFF_TYPE_SIZE:
+            raise ValueError(f"unsupported TIFF field type {typ} (tag {tag})")
+        width = _TIFF_TYPE_SIZE[typ]
+        fmt = "<H" if typ == 3 else "<I"
+        if count * width <= 4:
+            vals = [
+                struct.unpack_from(fmt, payload, base + 8 + k * width)[0]
+                for k in range(count)
+            ]
+        else:  # value field is an offset to the array — the indirection
+            (off,) = struct.unpack_from("<I", payload, base + 8)
+            if off + count * width > len(payload):
+                raise ValueError("truncated TIFF: value array past end")
+            vals = [
+                struct.unpack_from(fmt, payload, off + k * width)[0]
+                for k in range(count)
+            ]
+        tags[tag] = vals
+    for required in (256, 257, 273, 279):
+        if required not in tags:
+            raise ValueError(f"TIFF missing required tag {required}")
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError(
+            f"only uncompressed TIFF decodes for real "
+            f"(compression={tags[259][0]}); LZW/PackBits need expanders"
+        )
+    if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+        raise ValueError("only 8-bit single-sample grayscale supported")
+    w, h = tags[256][0], tags[257][0]
+    offs, counts = tags[273], tags[279]
+    if len(offs) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    parts = []
+    for off, cnt in zip(offs, counts):
+        if off + cnt > len(payload):
+            raise ValueError("truncated TIFF: strip past payload end")
+        parts.append(payload[off : off + cnt])
+    plane = b"".join(parts)
+    if len(plane) != w * h:
+        raise ValueError(
+            f"strip bytes {len(plane)} != width*height {w * h}"
+        )
+    px = np.frombuffer(plane, dtype=np.uint8).reshape(h, w).astype(np.float64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_strips": len(offs),
+        "n_bytes": len(payload),
+        "mean_px": float(px.mean()),
+        "top_mean": float(px[0].mean()),
+        "bot_mean": float(px[-1].mean()),
+    }
+
+
+TIFF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_strips", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("top_mean", DoubleType()),
+        StructField("bot_mean", DoubleType()),
+    ]
+)
+
+
+def synth_tiff(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               w: int = 15, h: int = 16) -> DataFrame:
+    """Encode a REAL multi-strip baseline TIFF per document in Arrow
+    batches. Pixel rule (SQL-recomputable, the indexed-md5 stream shared
+    with synth_gif/synth_bmp): grayscale pixel (r, c) is stream byte
+    ``r*w + c`` — 240 bytes = 15 md5 blocks exactly; rows_per_strip=4
+    splits the default 15x16 plane into 4 strips whose offset/count
+    arrays exercise the IFD's offset indirection for real."""
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as H
+
+        import numpy as np
+        import pandas as pd
+
+        n = w * h
+        n_blocks = (n + 15) // 16
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = b"".join(
+                    H.md5(f"{t}-{k}".encode()).digest()
+                    for k in range(n_blocks)
+                )[:n]
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+                payloads.append(encode_tiff(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, PNG_PAYLOAD_SCHEMA)
+
+
+def tiff_features(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Real TIFF feature extraction over a binary column — second Arrow
+    stage, same contract as ``png_features``/``bmp_features``."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ("width", "height", "n_strips", "n_bytes",
+                "mean_px", "top_mean", "bot_mean")
+        for pdf in batches:
+            feats = [
+                {k: d[k] for k in cols}
+                for d in (
+                    decode_media(bytes(p), real=True)
+                    for p in pdf[payload_col]
+                )
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, TIFF_FEATURES_SCHEMA
     )

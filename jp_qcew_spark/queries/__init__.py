@@ -40,13 +40,13 @@ _GROUPS = [
 # covers only the FIRST 50 registry entries, so registration order is
 # evidence policy. This list pins the ROUND-8 window (VERDICT r7 #1-#3/#5/#6):
 #
-# - the 7 queries NEW this round (semdedup_mutual — the SemDeDup consumer on
+# - the 8 queries NEW this round (semdedup_mutual — the SemDeDup consumer on
 #   the mutual-kNN substrate; stream_countmin_topk — the CMS merge law on
 #   the wire; dsir_importance — DSIR distribution-matching selection;
 #   graph_label_prop — LPA on the mutual-kNN graph; text_chunk_overlap —
 #   RAG window chunking; stream_hll_distinct — the HLL max-merge law;
-#   layout_zorder_stats — the z-order zone-map pruning audit) need FIRST
-#   driver rows;
+#   layout_zorder_stats — the z-order zone-map pruning audit;
+#   mm_tiff_decode — the tag-directory TIFF codec) need FIRST driver rows;
 # - the 4 queries whose RESULTS CHANGED this round: the sign-LSH bucket
 #   width went corpus-adaptive (knn_graph_mutual — the r7 scale-killer fix;
 #   knn_signlsh and knn_multiprobe — the serving-side policy; and
@@ -55,8 +55,8 @@ _GROUPS = [
 # - then the ENTIRE r4-era evidence cohort (VERDICT r7 #2): the 18 queries
 #   whose latest driver row is still round 4 (signlsh/multiprobe already
 #   appear above) — after this window no query's evidence is older than r5;
-# - the remaining 21 slots take the r5 cohort alphabetically
-#   (argmax_funcs .. merge_upsert); the other 28 r5 rows lead round 9.
+# - the remaining 20 slots take the r5 cohort alphabetically
+#   (argmax_funcs .. math_funcs); the other 29 r5 rows lead round 9.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
     # -- new in round 8: first driver rows
@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = [
     "text_chunk_overlap",
     "stream_hll_distinct",
     "layout_zorder_stats",
+    "mm_tiff_decode",
     # -- changed in round 8 (adaptive LSH width): re-certify
     "knn_graph_mutual",
     "knn_signlsh",
@@ -91,7 +92,7 @@ _WINDOW_PRIORITY = [
     "ts_resample_yearly",
     "udtf_tokenize",
     "wages_series",
-    # -- r5 cohort, alphabetical (21 of 49; the remaining 28 lead round 9)
+    # -- r5 cohort, alphabetical (20 of 49; the remaining 29 lead round 9)
     "argmax_funcs",
     "array_map_funcs",
     "bucketed_colocated_join",
@@ -112,7 +113,6 @@ _WINDOW_PRIORITY = [
     "knn_ivfpq",
     "knn_pq_adc",
     "math_funcs",
-    "merge_upsert",
 ]
 
 

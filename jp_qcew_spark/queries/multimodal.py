@@ -470,3 +470,55 @@ FROM lagd GROUP BY doc_id, frame ORDER BY doc_id, frame
 
 QUERIES["mm_audio_frames"] = q_mm_audio_frames
 ORACLE["mm_audio_frames"] = ORACLE_MM_AUDIO_FRAMES
+
+
+def q_mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFTH real image container, and the first TAG-DIRECTORY one
+    (round 8): synthesize a genuine multi-strip little-endian baseline
+    TIFF per document, then decode it in a second Arrow stage via
+    ``decode_media(real=True)`` -> ``decode_tiff`` — the self-describing
+    IFD walk (type-aware 12-byte entries, SHORT values inline, the
+    4-strip LONG StripOffsets/StripByteCounts arrays fetched through
+    OFFSET INDIRECTION) followed by strip-by-strip pixel reassembly.
+    That directory-then-indirection shape is what parquet footers and
+    every zone-map format share; BMP/TGA/WAV never exercise it.
+
+    Grayscale pixel (r, c) is indexed-md5 stream byte ``r*15 + c`` (240
+    bytes = 15 exact md5 blocks), so the SQL oracle recomputes every
+    pixel with the portable positional-hex arithmetic. ``top_mean`` and
+    ``bot_mean`` break if the 4 strips reassemble out of order;
+    ``n_bytes`` pins the whole 394-byte layout (8 header + 118 IFD +
+    2x16 arrays + 240 pixels) byte-for-byte. Means are unrounded doubles:
+    exact integer sums divided once, identical on numpy and both
+    engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return M.tiff_features(M.synth_tiff(d)).orderBy("doc_id")
+
+
+# byte j of the stream = hex chars (2(j%16)+1, 2(j%16)+2) of
+# md5(text || '-' || j//16); j maps to row r = j // 15. The layout is
+# constant: 8 (header) + 2 + 9*12 + 4 (IFD) + 4*4 + 4*4 (strip arrays)
+# + 240 (pixels) = 394 bytes, 4 strips of 4 rows.
+ORACLE_MM_TIFF_DECODE = """
+WITH b AS (
+  SELECT doc_id, j // 15 AS r,
+         (instr('0123456789abcdef',
+                substr(md5(text || '-' || (j // 16)), (j % 16) * 2 + 1, 1)) - 1) * 16
+           + instr('0123456789abcdef',
+                   substr(md5(text || '-' || (j // 16)), (j % 16) * 2 + 2, 1)) - 1 AS v
+  FROM documents CROSS JOIN range(0, 240) t(j)
+  WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(15 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS n_strips,
+       CAST(394 AS BIGINT) AS n_bytes,
+       avg(v) AS mean_px,
+       avg(v) FILTER (r = 0) AS top_mean,
+       avg(v) FILTER (r = 15) AS bot_mean
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["mm_tiff_decode"] = q_mm_tiff_decode
+ORACLE["mm_tiff_decode"] = ORACLE_MM_TIFF_DECODE

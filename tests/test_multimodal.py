@@ -486,3 +486,51 @@ def test_wav_frame_features_math():
     rms0 = round(float(np.sqrt((fr[0].astype("f8") ** 2).mean())), 6)
     assert rms0 == round(math.sqrt(100.0 * 100.0), 6) == 100.0
     assert round(float(np.sqrt((fr[1].astype("f8") ** 2).mean())), 6) == 7.0
+
+
+def test_tiff_roundtrip_multistrip_indirection():
+    """Encode/decode a 15x16 grayscale baseline TIFF: 4 strips whose
+    LONG offset/count arrays live BEHIND the IFD (count*4 > 4 forces the
+    offset indirection), bot/top means pin the strip reassembly order."""
+    px = np.arange(240, dtype=np.uint8).reshape(16, 15)
+    d = M.decode_tiff(M.encode_tiff(px))
+    assert (d["width"], d["height"], d["n_strips"]) == (15, 16, 4)
+    assert d["n_bytes"] == 394
+    assert d["mean_px"] == px.astype(float).mean()
+    assert d["top_mean"] == px[0].astype(float).mean()
+    assert d["bot_mean"] == px[-1].astype(float).mean()
+
+
+def test_tiff_inline_short_values_no_indirection():
+    """A 2-row single-strip image keeps StripOffsets/Counts at count 1
+    (4 bytes, inline in the value field) — both value paths decode."""
+    px = np.full((2, 3), 9, dtype=np.uint8)
+    d = M.decode_tiff(M.encode_tiff(px, rows_per_strip=2))
+    assert d["n_strips"] == 1 and d["mean_px"] == 9.0
+
+
+def test_tiff_rejects_bigendian_compressed_truncated():
+    """Malformed-input discipline: big-endian MM refused loudly (not
+    byte-swapped wrongly), non-1 compression refused, strip or IFD
+    truncation raises the malformed-input ValueError, never IndexError."""
+    px = np.arange(240, dtype=np.uint8).reshape(16, 15)
+    payload = M.encode_tiff(px)
+    with pytest.raises(ValueError, match="big-endian"):
+        M.decode_tiff(b"MM" + payload[2:])
+    with pytest.raises(ValueError, match="not a little-endian TIFF"):
+        M.decode_tiff(b"IIxx" + payload[4:])
+    # flip the Compression entry's inline SHORT value (entry 3 of the IFD)
+    comp_entry_val = 8 + 2 + 3 * 12 + 8
+    bad = bytearray(payload)
+    bad[comp_entry_val] = 5  # LZW
+    with pytest.raises(ValueError, match="compression=5"):
+        M.decode_tiff(bytes(bad))
+    for cut in (6, 100, 150, len(payload) - 1):
+        with pytest.raises(ValueError, match="truncated TIFF|strip bytes"):
+            M.decode_tiff(payload[:cut])
+
+
+def test_decode_media_real_dispatches_to_tiff():
+    px = np.full((4, 4), 13, dtype=np.uint8)
+    d = M.decode_media(M.encode_tiff(px), real=True)
+    assert d["mean_px"] == 13.0 and d["n_strips"] == 1

@@ -749,8 +749,8 @@ ORACLE["text_pmi_assoc"] = ORACLE_TEXT_PMI_ASSOC
 # text_chunk_overlap — overlapping-window RAG chunking (round 8)
 # --------------------------------------------------------------------------
 
-_CHUNK_LEN = 32   # tokens per chunk
-_CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = 8)
+_OVL_LEN = 32   # tokens per chunk
+_OVL_STRIDE = 24  # tokens between chunk starts (overlap = 8)
 
 
 def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,14 +781,14 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.explode(
             F.expr(
-                f"sequence(0, CAST(floor((size(toks) - 1) / {_CHUNK_STRIDE})"
+                f"sequence(0, CAST(floor((size(toks) - 1) / {_OVL_STRIDE})"
                 " AS INT))"
             )
         ).alias("k"),
     ).select(
         "doc_id",
         F.col("k").cast("long").alias("chunk_id"),
-        F.expr(f"slice(toks, k * {_CHUNK_STRIDE} + 1, {_CHUNK_LEN})").alias(
+        F.expr(f"slice(toks, k * {_OVL_STRIDE} + 1, {_OVL_LEN})").alias(
             "c"
         ),
     )
@@ -811,13 +811,13 @@ WITH d AS (
   FROM documents WHERE trim(text) <> ''
 ), grid AS (
   SELECT doc_id, toks,
-         unnest(range(0, CAST(floor((len(toks) - 1) / {_CHUNK_STRIDE})
+         unnest(range(0, CAST(floor((len(toks) - 1) / {_OVL_STRIDE})
                               AS BIGINT) + 1)) AS k
   FROM d
 ), ch AS (
   SELECT doc_id, k AS chunk_id,
-         list_slice(toks, k * {_CHUNK_STRIDE} + 1,
-                    k * {_CHUNK_STRIDE} + {_CHUNK_LEN}) AS c
+         list_slice(toks, k * {_OVL_STRIDE} + 1,
+                    k * {_OVL_STRIDE} + {_OVL_LEN}) AS c
   FROM grid
 )
 SELECT doc_id,

@@ -125,8 +125,8 @@ def test_chunk_overlap_matches_pure_python(spark, sf_dir):
     the query emits — grid arithmetic, clamped tail, and signature."""
     from jp_qcew_spark.io import load_table
     from jp_qcew_spark.queries.text import (
-        _CHUNK_LEN,
-        _CHUNK_STRIDE,
+        _OVL_LEN,
+        _OVL_STRIDE,
         q_text_chunk_overlap,
     )
 
@@ -142,8 +142,8 @@ def test_chunk_overlap_matches_pure_python(spark, sf_dir):
             continue
         toks = re.split(r"\s+", r.text.strip().lower())
         k = 0
-        while k * _CHUNK_STRIDE < len(toks):
-            c = toks[k * _CHUNK_STRIDE : k * _CHUNK_STRIDE + _CHUNK_LEN]
+        while k * _OVL_STRIDE < len(toks):
+            c = toks[k * _OVL_STRIDE : k * _OVL_STRIDE + _OVL_LEN]
             sig = hashlib.md5(" ".join(c).encode()).hexdigest()[:8]
             want[(r.doc_id, k)] = (len(c), sig)
             k += 1
@@ -156,8 +156,8 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     document's token count — no token dropped, none double-dropped."""
     from jp_qcew_spark.io import load_table
     from jp_qcew_spark.queries.text import (
-        _CHUNK_LEN,
-        _CHUNK_STRIDE,
+        _OVL_LEN,
+        _OVL_STRIDE,
         q_text_chunk_overlap,
     )
 
@@ -167,7 +167,7 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).collect()
-    ov = _CHUNK_LEN - _CHUNK_STRIDE
+    ov = _OVL_LEN - _OVL_STRIDE
     for d in docs:
         if d.text is None or not d.text.strip():
             continue
@@ -177,11 +177,11 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
         # consecutive chunks overlap by (prev_len - stride); full chunks
         # give the designed overlap of 8, the clamped tail gives less
         assert all(
-            chunks[i][1] - _CHUNK_STRIDE <= ov
+            chunks[i][1] - _OVL_STRIDE <= ov
             for i in range(len(chunks) - 1)
         )
         covered = total - sum(
-            max(0, chunks[i][1] - _CHUNK_STRIDE)
+            max(0, chunks[i][1] - _OVL_STRIDE)
             for i in range(len(chunks) - 1)
         )
         assert covered == n, (d.doc_id, covered, n)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jp_qcew_spark.io import load_table, widen_scan
+from jp_qcew_spark.io import load_table, track_cache, widen_scan
 
 # Presentation sorts pin NULLS LAST explicitly: Spark's ASC default is
 # NULLS FIRST while DuckDB's is NULLS LAST, so any nullable sort key
@@ -285,3 +285,205 @@ ORACLE = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_tfidf": ORACLE_TEXT_TFIDF,
 }
+
+
+# --------------------------------------------------------------------------
+# tokenizer_bpe_merges — BPE merge-rule learning (round 8)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+
+
+def _bpe_positions(words: DataFrame) -> DataFrame:
+    """(word, freq, seq) → one row per symbol position with its successor:
+    the working table BOTH the pair-count and the merge pass read."""
+    pos = words.select(
+        "word", "freq", F.posexplode("seq").alias("i", "sym")
+    )
+    wo = Window.partitionBy("word").orderBy("i")
+    return pos.withColumn("nxt", F.lead("sym").over(wo))
+
+
+def _bpe_round(pos: DataFrame, rnd: int):
+    """One BPE training round: pick the max-frequency adjacent symbol
+    pair (ties → lexicographically smallest, the deterministic rule),
+    apply it greedily LEFT-TO-RIGHT (within a run of overlapping matches
+    only the 1st, 3rd, … merge — the gaps-and-islands parity), rebuild
+    each type's symbol sequence. Returns (stats 1-row DF, new words DF).
+    """
+    top = (
+        pos.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("lft"), F.col("nxt").alias("rgt"))
+        .agg(F.sum("freq").alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("lft").asc(), F.col("rgt").asc())
+        .limit(1)
+    )
+    f = pos.crossJoin(F.broadcast(top)).withColumn(
+        "mt",
+        (F.col("sym") == F.col("lft")) & (F.col("nxt") == F.col("rgt")),
+    )
+    wm = Window.partitionBy("word").orderBy("i")
+    isl = f.filter("mt").select(
+        "word", "i", (F.col("i") - F.row_number().over(wm)).alias("grp")
+    )
+    wg = Window.partitionBy("word", "grp").orderBy("i")
+    st = (
+        isl.withColumn("rin", F.row_number().over(wg))
+        .filter(F.col("rin") % 2 == 1)
+        .select("word", "i")
+    )
+    merged = (
+        f.join(st.withColumn("s", F.lit(1)), ["word", "i"], "left")
+        .join(
+            st.select("word", (F.col("i") + 1).alias("i")).withColumn(
+                "c", F.lit(1)
+            ),
+            ["word", "i"],
+            "left",
+        )
+        .filter(F.col("c").isNull())
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.when(F.col("s") == 1, F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    new_words = merged.groupBy("word", "freq").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, sym))), t -> t.sym)"
+        ).alias("seq")
+    )
+    nsym = new_words.agg(
+        F.sum(F.size("seq")).cast("long").alias("n_symbols_after")
+    )
+    stats = top.select(
+        F.lit(rnd).cast("long").alias("merge_round"),
+        F.col("lft").alias("left_sym"),
+        F.col("rgt").alias("right_sym"),
+        F.col("pc").cast("long").alias("pair_freq"),
+    ).crossJoin(F.broadcast(nsym))
+    return stats, new_words
+
+
+def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016) —
+    the tokenizer-TRAINING stage of a pretraining pipeline, run the way
+    the published algorithm actually scales: statistics live on WORD
+    TYPES weighted by corpus frequency, so after the one corpus-wide
+    shuffle (the word count) every round works a Heaps-law-sublinear
+    vocabulary table, exactly like ``text_pmi_assoc``'s margins.
+
+    Two unrolled rounds, each: (1) adjacent-pair frequencies from ONE
+    lead-window pass over the symbol positions (no self-join for
+    adjacency — the ``events_markov_transitions`` rule); (2) the argmax
+    pair, ties broken lexicographically (naive BPE's arbitrary tie is
+    irreproducible by design — same adjudication as ``graph_label_prop``
+    's min-label rule); (3) GREEDY LEFT-TO-RIGHT application: inside a
+    run of overlapping matches (``aaaa`` under the ``a+a`` merge) only
+    the 1st, 3rd, … merge — the gaps-and-islands parity (group =
+    ``i - row_number()`` over matches, keep odd ranks), which both
+    engines express with the identical two windows; (4) sequence rebuild
+    via the ``array_sort(collect_list(struct(i, sym)))`` determinism
+    device from ``semdedup_mutual``. A regex-replace "apply" would be
+    WRONG here: left-to-right regex replacement consumes the separator
+    between back-to-back matches and silently skips every second
+    overlapping occurrence differently than BPE's scan does.
+
+    Output: the learned merge table — (round, left, right, weighted pair
+    frequency, total symbols across types after the merge). 100 TB: one
+    corpus shuffle + per-round type-table windows; the argmax pair is a
+    1-row broadcast."""
+    d = widen_scan(load_table(spark, sf_dir, "documents").select("text"))
+    toks = d.filter(F.trim("text") != "").select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.withColumn(
+        "seq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+    )
+    stats = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        words = track_cache(words)
+        s, words = _bpe_round(_bpe_positions(words), rnd)
+        stats.append(s)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("merge_round")
+
+
+def _bpe_oracle_round(prev: str, rnd: int) -> str:
+    """Unrolled oracle twin of one ``_bpe_round``: identical lead window,
+    identical argmax tie-break, identical islands parity."""
+    return f"""m{rnd} AS (
+  SELECT word, freq, i, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM {prev}
+),
+t{rnd} AS (
+  SELECT sym AS lft, nxt AS rgt, CAST(sum(freq) AS BIGINT) AS pc
+  FROM m{rnd} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY pc DESC, lft ASC, rgt ASC LIMIT 1
+),
+f{rnd} AS (
+  SELECT m.*, t.lft, t.rgt, t.pc,
+         CASE WHEN m.sym = t.lft AND m.nxt = t.rgt THEN 1 ELSE 0 END AS mt
+  FROM m{rnd} m CROSS JOIN t{rnd} t
+),
+isl{rnd} AS (
+  SELECT word, i,
+         i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+  FROM f{rnd} WHERE mt = 1
+),
+st{rnd} AS (
+  SELECT word, i FROM (
+    SELECT word, i, row_number() OVER (
+        PARTITION BY word, grp ORDER BY i) AS rin
+    FROM isl{rnd}
+  ) WHERE rin % 2 = 1
+),
+s{rnd + 1} AS (
+  SELECT f.word, f.freq,
+         row_number() OVER (PARTITION BY f.word ORDER BY f.i) - 1 AS i,
+         CASE WHEN s.i IS NOT NULL THEN f.sym || f.nxt ELSE f.sym END AS sym
+  FROM f{rnd} f
+  LEFT JOIN st{rnd} s ON f.word = s.word AND f.i = s.i
+  LEFT JOIN st{rnd} c ON f.word = c.word AND f.i = c.i + 1
+  WHERE c.i IS NULL
+),
+res{rnd} AS (
+  SELECT CAST({rnd} AS BIGINT) AS merge_round,
+         lft AS left_sym, rgt AS right_sym, pc AS pair_freq,
+         (SELECT CAST(count(*) AS BIGINT) FROM s{rnd + 1})
+           AS n_symbols_after
+  FROM t{rnd}
+)"""
+
+
+ORACLE_TOKENIZER_BPE = rf"""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE word <> '' GROUP BY word
+),
+s1 AS (
+  SELECT word, freq,
+         unnest(range(0, length(word))) AS i,
+         unnest(list_transform(range(0, length(word)),
+                k -> substr(word, CAST(k + 1 AS INT), 1))) AS sym
+  FROM w
+),
+{_bpe_oracle_round("s1", 1)},
+{_bpe_oracle_round("s2", 2)}
+SELECT * FROM res1 UNION ALL SELECT * FROM res2 ORDER BY merge_round
+"""
+
+QUERIES["tokenizer_bpe_merges"] = q_tokenizer_bpe_merges
+ORACLE["tokenizer_bpe_merges"] = ORACLE_TOKENIZER_BPE

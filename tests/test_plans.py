@@ -1137,3 +1137,25 @@ def test_zorder_stats_single_scan_no_joins(spark, sf_dir):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     schemas = I.read_schemas(df)
     assert schemas and all(set(s) <= {"user_id", "value"} for s in schemas)
+
+
+def test_bpe_type_table_windows_and_broadcast_argmax(spark, sf_dir):
+    """BPE statistics must live on the word-TYPE table: adjacency comes
+    from a lead window partitioned by word (never a positions self-join),
+    the argmax pair and the symbol-total are 1-row BROADCASTs onto their
+    consumers (the hint count exceeds 4 only because the unrolled lineage
+    repeats those 1-row subtrees, never because a corpus-sized side is
+    hinted), the corpus-wide word count is a combiner-friendly partial
+    aggregation, and the merge application's islands windows partition by
+    word — no global sort anywhere before the 2-row presentation
+    orderBy."""
+    from jp_qcew_spark.queries.training import q_tokenizer_bpe_merges
+
+    df = q_tokenizer_bpe_merges(spark, sf_dir)
+    assert I.broadcast_hint_count(df) >= 4
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(word#\d+", plan)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    schemas = I.read_schemas(df)
+    assert schemas and all(set(s) <= {"text"} for s in schemas)

@@ -321,3 +321,86 @@ def test_zorder_beats_linear_on_the_2d_rect(spark, sf_dir):
     for r in got.values():
         assert r.n_rows_matched <= r.n_rows_scanned
     assert got["zorder"].n_rows_matched == got["linear"].n_rows_matched
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_merges
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_freqs: dict, rounds: int = 2):
+    """Pure-Python reference BPE (Sennrich et al. 2016): pair stats on
+    word types weighted by frequency, lexicographic tie-break, greedy
+    left-to-right merge application."""
+    seqs = {w: list(w) for w in word_freqs}
+    out = []
+    for _ in range(rounds):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        (l, r), pc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in seqs:
+            s, new, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            seqs[w] = new
+        out.append((l, r, pc, sum(len(s) for s in seqs.values())))
+    return out
+
+
+def test_bpe_matches_pure_python(spark, sf_dir):
+    """Third implementation: the scan-based reference BPE over the
+    collected word frequencies reproduces the query's merge table exactly
+    — argmax pair, tie-break, weighted counts, and the post-merge symbol
+    totals (which only agree if the islands-parity application matches
+    the left-to-right scan on every overlapping run)."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.training import q_tokenizer_bpe_merges
+
+    got = [
+        (r.left_sym, r.right_sym, r.pair_freq, r.n_symbols_after)
+        for r in q_tokenizer_bpe_merges(spark, sf_dir).collect()
+    ]
+    freqs: dict = {}
+    for row in load_table(spark, sf_dir, "documents").select("text").collect():
+        if row.text is None or not row.text.strip():
+            continue
+        for w in re.split(r"\s+", row.text.strip().lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    assert got == _py_bpe(freqs)
+
+
+def test_bpe_islands_parity_on_overlapping_runs(spark, tmp_path_factory):
+    """The case that breaks a regex-replace 'apply': back-to-back
+    matches. A corpus of 'aaaa' (3 overlapping 'a a' matches) must merge
+    positions (0,1) and (2,3) — greedy left-to-right — leaving 2 symbols,
+    and 'aaa' leaves 2 ('aa','a'), so the post-merge total across the two
+    types is 4."""
+    from jp_qcew_spark.queries.training import q_tokenizer_bpe_merges
+
+    d = tmp_path_factory.mktemp("bpe")
+    spark.createDataFrame(
+        [(0, "aaaa aaa aaaa"), (1, "aaaa")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = q_tokenizer_bpe_merges(spark, str(d)).collect()
+    r1 = rows[0]
+    assert (r1.left_sym, r1.right_sym) == ("a", "a")
+    # types: 'aaaa' (freq 3 -> 3 pair occurrences each) and 'aaa' (freq 1)
+    assert r1.pair_freq == 3 * 3 + 1 * 2
+    # after round 1: 'aaaa' -> [aa, aa] (2), 'aaa' -> [aa, a] (2)
+    assert r1.n_symbols_after == 4
+    r2 = rows[1]
+    assert (r2.left_sym, r2.right_sym) == ("aa", "aa")
+    # 'aaaa' -> [aaaa] (1), 'aaa' unchanged (2)
+    assert r2.n_symbols_after == 3

@@ -1939,3 +1939,115 @@ FROM rk GROUP BY comp ORDER BY comp
 
 QUERIES["semdedup_mutual"] = q_semdedup_mutual
 ORACLE["semdedup_mutual"] = ORACLE_SEMDEDUP_MUTUAL
+
+
+# --------------------------------------------------------------------------
+# sample_kcenter — greedy k-center coreset selection (round 8)
+# --------------------------------------------------------------------------
+
+_KC_ROUNDS = 3  # selections after the seed -> 4 centers out
+
+
+def _kc_cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+        f" / (sqrt(list_sum(list_transform(list_zip({a}, {a}), x -> x[1] * x[2])))"
+        f" * sqrt(list_sum(list_transform(list_zip({b}, {b}), x -> x[1] * x[2])))), 6)"
+    )
+
+
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    DIVERSITY-sampling complement to the distribution-matching selectors
+    (``dsir_importance`` picks what looks like the target; k-center picks
+    what covers the space — the Gonzalez 2-approximation every
+    active-learning / coreset pipeline starts from). Seed = smallest
+    vec_id (published k-center seeds arbitrarily; an arbitrary seed is
+    irreproducible, so the engine pins the deterministic choice), then 3
+    rounds of: distance of every vector to its NEAREST chosen center
+    (cosine distance on the rounded-6 cosine, the tier's comparison
+    contract), pick the farthest (ties → min vec_id). The selection
+    distance of round k is exactly the k-center coverage radius after
+    k−1 centers — so the output doubles as the coverage-decay curve.
+
+    Plan: per round ONE corpus pass — the chosen set (≤ 4 rows) joins by
+    broadcast, the per-vector nearest-center reduce is a keyed min, and
+    the argmax is Spark's two-phase TakeOrdered; nothing corpus-sized is
+    ever collected or broadcast. The oracle unrolls the identical three
+    rounds as chained CTEs."""
+    vecs = track_cache(
+        _vecs(spark, sf_dir).filter(F.col("v").isNotNull())
+    )
+    chosen = (
+        vecs.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.lit(0).cast("long").alias("sel_round"),
+            F.lit(0.0).alias("sel_dist"),
+        )
+    )
+    for rnd in range(1, _KC_ROUNDS + 1):
+        dmin = (
+            vecs.crossJoin(F.broadcast(chosen.select("cid", "cv")))
+            .select(
+                "vec_id",
+                (F.lit(1.0) - S.cosine(F.col("v"), F.col("cv"))).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"))
+        )
+        far = dmin.orderBy(
+            F.col("dmin").desc(), F.col("vec_id").asc()
+        ).limit(1)
+        newc = far.join(vecs, "vec_id").select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.lit(rnd).cast("long").alias("sel_round"),
+            F.col("dmin").alias("sel_dist"),
+        )
+        chosen = chosen.unionByName(newc)
+    return chosen.select(
+        "sel_round",
+        F.col("cid").alias("vec_id"),
+        F.round("sel_dist", 6).alias("sel_dist"),
+    ).orderBy("sel_round")
+
+
+def _kc_oracle() -> str:
+    cos_rc = _kc_cos_sql("r.v", "c.cv")
+    rounds = []
+    prev = "c0"
+    for k in (1, 2, 3):
+        rounds.append(f"""d{k} AS (
+  SELECT r.vec_id, min(1.0 - {cos_rc}) AS dmin
+  FROM raw r CROSS JOIN {prev} c GROUP BY r.vec_id
+),
+f{k} AS (SELECT vec_id, dmin FROM d{k}
+         ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+c{k} AS (
+  SELECT cid, cv FROM {prev}
+  UNION ALL
+  SELECT f.vec_id, r.v FROM f{k} f JOIN raw r ON r.vec_id = f.vec_id
+)""")
+        prev = f"c{k}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM raw ORDER BY vec_id LIMIT 1),
+{body}
+SELECT CAST(0 AS BIGINT) AS sel_round, cid AS vec_id, 0.0 AS sel_dist
+FROM c0
+UNION ALL SELECT 1, vec_id, round(dmin, 6) FROM f1
+UNION ALL SELECT 2, vec_id, round(dmin, 6) FROM f2
+UNION ALL SELECT 3, vec_id, round(dmin, 6) FROM f3
+ORDER BY sel_round
+"""
+
+
+QUERIES["sample_kcenter"] = q_sample_kcenter
+ORACLE["sample_kcenter"] = _kc_oracle()

@@ -1159,3 +1159,19 @@ def test_bpe_type_table_windows_and_broadcast_argmax(spark, sf_dir):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     schemas = I.read_schemas(df)
     assert schemas and all(set(s) <= {"text"} for s in schemas)
+
+
+def test_kcenter_broadcast_chosen_never_corpus(spark, sf_dir):
+    """Every k-center round joins the ≤4-row chosen set by BROADCAST onto
+    one corpus pass (3 hints, one per round) — a shuffle join or a
+    corpus-side hint here is the failure mode; the per-vector nearest-
+    center reduce must be a partial-aggregated keyed min, and nothing
+    windows globally (the argmax is a two-phase TakeOrdered limit)."""
+    from jp_qcew_spark.queries.similarity import q_sample_kcenter
+
+    df = q_sample_kcenter(spark, sf_dir)
+    assert I.broadcast_hint_count(df) >= 3
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

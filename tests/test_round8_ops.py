@@ -404,3 +404,57 @@ def test_bpe_islands_parity_on_overlapping_runs(spark, tmp_path_factory):
     assert (r2.left_sym, r2.right_sym) == ("aa", "aa")
     # 'aaaa' -> [aaaa] (1), 'aaa' unchanged (2)
     assert r2.n_symbols_after == 3
+
+
+# ---------------------------------------------------------------------------
+# sample_kcenter
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_pure_python(spark, sf_dir):
+    """Third implementation: numpy farthest-point-first over the collected
+    embeddings reproduces the selected centers and their coverage radii
+    (on the same rounded-6 cosine contract)."""
+    import numpy as np
+
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.similarity import q_sample_kcenter
+
+    got = [
+        (r.sel_round, r.vec_id, r.sel_dist)
+        for r in q_sample_kcenter(spark, sf_dir).collect()
+    ]
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    norm = np.sqrt((X * X).sum(axis=1))
+
+    def cos(i, j):
+        return round(float(X[i] @ X[j] / (norm[i] * norm[j])), 6)
+
+    chosen = [0]  # min vec_id is first after the sort
+    want = [(0, ids[0], 0.0)]
+    for rnd in (1, 2, 3):
+        dmin = [
+            min(1.0 - cos(i, c) for c in chosen) for i in range(len(ids))
+        ]
+        far = min(range(len(ids)), key=lambda i: (-dmin[i], ids[i]))
+        want.append((rnd, ids[far], round(dmin[far], 6)))
+        chosen.append(far)
+    assert got == want
+
+
+def test_kcenter_radii_decrease(spark, sf_dir):
+    """Coverage radii are non-increasing by construction: each added
+    center can only shrink every vector's nearest-center distance."""
+    from jp_qcew_spark.queries.similarity import q_sample_kcenter
+
+    rows = q_sample_kcenter(spark, sf_dir).collect()
+    radii = [r.sel_dist for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({r.vec_id for r in rows}) == len(rows)

@@ -104,6 +104,17 @@ QUERIES = [
     "stream_quantile_hist",
     "embedding_gram_matrix",
     "knn_graph_mutual",
+    # r8 additions
+    "semdedup_mutual",
+    "stream_countmin_topk",
+    "dsir_importance",
+    "graph_label_prop",
+    "text_chunk_overlap",
+    "stream_hll_distinct",
+    "layout_zorder_stats",
+    "mm_tiff_decode",
+    "tokenizer_bpe_merges",
+    "sample_kcenter",
 ]
 
 

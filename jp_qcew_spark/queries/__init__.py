@@ -40,15 +40,16 @@ _GROUPS = [
 # covers only the FIRST 50 registry entries, so registration order is
 # evidence policy. This list pins the ROUND-8 window (VERDICT r7 #1-#3/#5/#6):
 #
-# - the 10 queries NEW this round (semdedup_mutual — the SemDeDup consumer on
+# - the 11 queries NEW this round (semdedup_mutual — the SemDeDup consumer on
 #   the mutual-kNN substrate; stream_countmin_topk — the CMS merge law on
 #   the wire; dsir_importance — DSIR distribution-matching selection;
 #   graph_label_prop — LPA on the mutual-kNN graph; text_chunk_overlap —
 #   RAG window chunking; stream_hll_distinct — the HLL max-merge law;
 #   layout_zorder_stats — the z-order zone-map pruning audit;
 #   mm_tiff_decode — the tag-directory TIFF codec; tokenizer_bpe_merges —
-#   BPE merge-rule learning on the word-type table; sample_kcenter —
-#   greedy k-center coreset selection) need FIRST driver rows;
+#   BPE merge-rule learning on the word-type table; tokenizer_bpe_apply —
+#   its inference side; sample_kcenter — greedy k-center coreset
+#   selection) need FIRST driver rows;
 # - the 4 queries whose RESULTS CHANGED this round: the sign-LSH bucket
 #   width went corpus-adaptive (knn_graph_mutual — the r7 scale-killer fix;
 #   knn_signlsh and knn_multiprobe — the serving-side policy; and
@@ -57,8 +58,8 @@ _GROUPS = [
 # - then the ENTIRE r4-era evidence cohort (VERDICT r7 #2): the 18 queries
 #   whose latest driver row is still round 4 (signlsh/multiprobe already
 #   appear above) — after this window no query's evidence is older than r5;
-# - the remaining 18 slots take the r5 cohort alphabetically
-#   (argmax_funcs .. knn_ivfpq); the other 31 r5 rows lead round 9.
+# - the remaining 17 slots take the r5 cohort alphabetically
+#   (argmax_funcs .. join_pit_scd2); the other 32 r5 rows lead round 9.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
     # -- new in round 8: first driver rows
@@ -71,6 +72,7 @@ _WINDOW_PRIORITY = [
     "layout_zorder_stats",
     "mm_tiff_decode",
     "tokenizer_bpe_merges",
+    "tokenizer_bpe_apply",
     "sample_kcenter",
     # -- changed in round 8 (adaptive LSH width): re-certify
     "knn_graph_mutual",
@@ -96,7 +98,7 @@ _WINDOW_PRIORITY = [
     "ts_resample_yearly",
     "udtf_tokenize",
     "wages_series",
-    # -- r5 cohort, alphabetical (18 of 49; the remaining 31 lead round 9)
+    # -- r5 cohort, alphabetical (17 of 49; the remaining 32 lead round 9)
     "argmax_funcs",
     "array_map_funcs",
     "bucketed_colocated_join",
@@ -114,7 +116,6 @@ _WINDOW_PRIORITY = [
     "histogram_bins",
     "join_asof_nearest",
     "join_pit_scd2",
-    "knn_ivfpq",
 ]
 
 

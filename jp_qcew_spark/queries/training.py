@@ -487,3 +487,100 @@ SELECT * FROM res1 UNION ALL SELECT * FROM res2 ORDER BY merge_round
 
 QUERIES["tokenizer_bpe_merges"] = q_tokenizer_bpe_merges
 ORACLE["tokenizer_bpe_merges"] = ORACLE_TOKENIZER_BPE
+
+
+def q_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE side of BPE — apply the merges
+    ``tokenizer_bpe_merges`` learns to the corpus and report each
+    document's tokenized size, closing the tokenizer train→apply loop a
+    training pipeline actually runs (token counts are what seq-packing,
+    budget accounting, and price estimation consume downstream).
+
+    The trick that makes apply CHEAP at 100 TB is the same one that
+    makes training cheap: merges act on WORDS, so segmentation is
+    computed once per word TYPE (the same two-round greedy-left
+    machinery, on the Heaps-law type table) and documents just join
+    their word instances to the type's post-merge symbol count — a
+    keyed equi-join of corpus word instances against the type table,
+    exactly ``text_lm_score``'s model/score shape. Per document:
+    word count, character total, BPE symbol total, and the compression
+    ratio (symbols/chars, the metric tokenizer quality is judged by).
+    Top-30 most-compressed documents (ties → doc_id) keep the result
+    bounded."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    inst = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    words = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.withColumn(
+        "seq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+    )
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        words = track_cache(words)
+        _, words = _bpe_round(_bpe_positions(words), rnd)
+    sizes = words.select(
+        "word",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size("seq").cast("long").alias("n_syms"),
+    )
+    return (
+        inst.join(sizes, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens_bpe"),
+            F.round(
+                F.sum("n_syms").cast("double")
+                / F.sum("n_chars").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy(F.col("compression").asc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
+
+ORACLE_TOKENIZER_BPE_APPLY = rf"""
+WITH inst AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE word <> ''
+),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM inst GROUP BY word),
+s1 AS (
+  SELECT word, freq,
+         unnest(range(0, length(word))) AS i,
+         unnest(list_transform(range(0, length(word)),
+                k -> substr(word, CAST(k + 1 AS INT), 1))) AS sym
+  FROM w
+),
+{_bpe_oracle_round("s1", 1)},
+{_bpe_oracle_round("s2", 2)},
+sizes AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_syms
+  FROM s3 GROUP BY word
+)
+SELECT i.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(z.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(z.n_syms) AS BIGINT) AS n_tokens_bpe,
+       round(CAST(sum(z.n_syms) AS DOUBLE)
+             / CAST(sum(z.n_chars) AS DOUBLE), 6) AS compression
+FROM inst i JOIN sizes z USING (word)
+GROUP BY i.doc_id
+ORDER BY compression ASC, doc_id ASC
+LIMIT 30
+"""
+
+QUERIES["tokenizer_bpe_apply"] = q_tokenizer_bpe_apply
+ORACLE["tokenizer_bpe_apply"] = ORACLE_TOKENIZER_BPE_APPLY

@@ -1175,3 +1175,19 @@ def test_kcenter_broadcast_chosen_never_corpus(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_apply_type_table_join(spark, sf_dir):
+    """Apply must segment once per word TYPE and attach sizes to word
+    INSTANCES through a keyed equi-join (the text_lm_score model/score
+    shape) — never re-segment per instance: the plan joins on word, the
+    per-doc rollup is partial-aggregated, and the top-30 is a two-phase
+    TakeOrdered, not a global sort."""
+    from jp_qcew_spark.queries.training import q_tokenizer_bpe_apply
+
+    df = q_tokenizer_bpe_apply(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.has_partial_aggregation(df)
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -458,3 +458,58 @@ def test_kcenter_radii_decrease(spark, sf_dir):
     radii = [r.sel_dist for r in rows[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_bpe_apply_matches_pure_python(spark, sf_dir):
+    """Third implementation: run the reference scan-based BPE (train on
+    word types, apply greedily) and recompute every document's word /
+    char / BPE-symbol totals and compression ratio from the final type
+    segmentation — must reproduce the query's top-30 exactly."""
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.training import q_tokenizer_bpe_apply
+
+    got = [
+        (r.doc_id, r.n_words, r.n_chars, r.n_tokens_bpe, r.compression)
+        for r in q_tokenizer_bpe_apply(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    inst: dict[int, list] = {}
+    freqs: dict = {}
+    for row in docs:
+        if row.text is None or not row.text.strip():
+            continue
+        ws = [w for w in re.split(r"\s+", row.text.strip().lower()) if w]
+        inst[row.doc_id] = ws
+        for w in ws:
+            freqs[w] = freqs.get(w, 0) + 1
+    # reuse the reference trainer, then take the FINAL segmentation
+    seqs = {w: list(w) for w in freqs}
+    for _ in range(2):
+        counts: dict = {}
+        for w, f in freqs.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        (l, r), _pc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in seqs:
+            s, new, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            seqs[w] = new
+    want = []
+    for doc_id, ws in inst.items():
+        nw = len(ws)
+        nc = sum(len(w) for w in ws)
+        ns = sum(len(seqs[w]) for w in ws)
+        want.append((doc_id, nw, nc, ns, round(ns / nc, 6)))
+    want.sort(key=lambda t: (t[4], t[0]))
+    assert got == want[:30]

@@ -114,6 +114,7 @@ QUERIES = [
     "layout_zorder_stats",
     "mm_tiff_decode",
     "tokenizer_bpe_merges",
+    "tokenizer_bpe_apply",
     "sample_kcenter",
 ]
 

@@ -141,6 +141,22 @@ HEADLINERS = [
      "Distributed Gram matrix (r7): one BLAS dgemm per Arrow batch, "
      "2,080 upper-triangle partials per batch merged by keyed sum — "
      "shuffle volume independent of corpus size."),
+    ("dsir_importance",
+     "DSIR selection (r8): 256-bucket feature stats come back as a "
+     "broadcast, per-doc weights attach map-side and reduce by doc_id — "
+     "two corpus passes, one keyed shuffle, integer-exact weights."),
+    ("layout_zorder_stats",
+     "Z-order pruning audit (r8): one corpus scan fans out both layout "
+     "assignments through an inline explode into a 128-key zone-map "
+     "partial aggregation — no joins, no windows, no global sort."),
+    ("tokenizer_bpe_merges",
+     "BPE training (r8): pair stats via a lead window over the word-TYPE "
+     "table; argmax pair broadcast; greedy left-to-right application via "
+     "gaps-and-islands parity windows — corpus touched once."),
+    ("sample_kcenter",
+     "k-center coreset (r8): each round broadcasts the <=4-row chosen "
+     "set over one corpus pass, keyed partial-agg min, two-phase "
+     "TakeOrdered argmax — nothing corpus-sized collected."),
 ]
 
 

@@ -1,34 +1,44 @@
 """Connected components over a pair graph — the clustering step between
 "LSH found near-dup pairs" and "keep one canonical doc per cluster" in a
-dedup pipeline. Spark has no graph operator; this is the standard hash-min
-label-propagation expressed in DataFrame ops.
+dedup pipeline. Spark has no graph operator; this is the alternating
+LARGE-STAR / SMALL-STAR algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+Vassilvitskii: "Connected Components in MapReduce and Beyond", SOCC 2014)
+expressed in DataFrame ops.
 
-Algorithm: every node starts labeled with its own id; each round, labels
-flow across edges and every node keeps the minimum label it has seen; at
-fixpoint all nodes in a component carry the component's minimum id — a
-deterministic canonical label.
+Why not hash-min label propagation (rounds 1-8)? Hash-min converges in
+O(diameter) rounds, which was fine while every consumer graph was a
+near-clique of LSH pairs. The round-9 banded mutual-kNN graph
+(similarity._banded_cand) produces SPARSE, chain-like components whose
+random node ids carve each path into many single-step "basins" around
+local minima — neighbor propagation crosses one basin boundary per round,
+and even forward pointer-jumping stalls there (once a node's pointer is
+compressed onto its basin root, only neighbor steps bring a smaller
+label in; measured: a 500-node banded graph still unconverged at 20
+rounds). Large/small-star instead REWRITES THE EDGE SET each round:
+
+- large-star(u): emit (v, m) for every neighbor v > u, m = min(Γ(u)∪{u})
+  — strictly larger nodes re-hang under the local minimum;
+- small-star(u): emit (v, m) for every neighbor v ≤ u plus (u, m)
+  — each node and its smaller neighbors re-hang under the minimum.
+
+Both are one groupBy-min plus one keyed join; alternating them reaches
+the unique fixpoint — every component a STAR rooted at its minimum id —
+in O(log² n) rounds worst case (Theorem 1 of the paper; ~log n observed),
+independent of diameter. Fixpoint is detected by edge-set stability (the
+paper's criterion), which costs two anti-join probes per round on the
+already-checkpointed sets.
 
 Scale notes:
-- Rounds are bounded by component DIAMETER, not corpus size. Dedup
-  components are near-cliques of a few documents (LSH pairs), so 2-4
-  rounds converge even at 100 TB; ``max_iter`` is a safety rail, and hitting
-  it raises rather than silently returning partial labels.
-- Each round is one shuffle (edge ⋈ label on src) + one partial-agg
-  shuffle (min per node) — both keyed, no quadratic step anywhere.
-- ``localCheckpoint`` after every round truncates the lineage so the
-  iterative plan doesn't grow unboundedly (the classic iterative-DataFrame
-  failure mode: round N replays rounds 1..N-1).
-- Convergence is detected from the LABEL SUM: hash-min labels only ever
-  decrease, so sum(comp) strictly decreases until fixpoint and equality
-  with the previous round's sum == "no label changed". One 1-row partial
-  aggregate over the already-checkpointed labels — no join, no extra
-  shuffle (the old new⋈old + limit(1).count() check shuffled both label
-  sets every round). decimal(38,0) keeps the sum exact far beyond any
-  realistic node-id mass (10^38 ≫ 10^9 docs × 10^18 max id).
-- For billion-edge graphs with LONG chains (not the dedup shape), swap in
-  large-star/small-star (Kiveris et al., "Connected Components in
-  MapReduce"), which converges in O(log n) rounds with the same
-  join+min building blocks.
+- Each round is a constant number of keyed shuffles (symmetrize, min-agg,
+  join, distinct) — no broadcast, nothing quadratic, degree skew bounded
+  because every emission list is one edge per (node, neighbor).
+- ``localCheckpoint`` after every round truncates lineage so the
+  iterative plan doesn't replay rounds 1..N-1 (the classic iterative-
+  DataFrame failure mode).
+- ``max_iter`` is a safety rail on PAIR-rounds; with O(log² n) convergence
+  the default 20 covers any graph a real corpus produces (2^20 ≈ 10^6
+  would need log² n > 20 → n beyond any storable graph), and hitting it
+  raises rather than silently returning partial labels.
 """
 
 from __future__ import annotations
@@ -38,75 +48,111 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over the (hi > lo canonical) edge set: for
+    each node u and m = min(Γ(u) ∪ {u}), re-hang every STRICTLY LARGER
+    neighbor v under m. Output edges all satisfy left > right."""
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = adj.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
+    )
+    return (
+        adj.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: key each edge by its LARGER endpoint u, take
+    m = min of u's smaller neighbors (≤ all of Γ⁻(u) ∪ {u}), re-hang u and
+    every smaller neighbor except m itself under m."""
+    d = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    rehung = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    self_edge = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return rehung.union(self_edge).distinct()
+
+
+def _is_star_set(e: DataFrame) -> bool:
+    """True iff every component is a star: no right endpoint (root) ever
+    appears as a left endpoint (member), and every member hangs under
+    exactly one root. Two limit(1) probes on the checkpointed set."""
+    mixed = e.join(
+        e.select(F.col("a").alias("b")).distinct(), "b", "semi"
+    )
+    if mixed.limit(1).count() > 0:
+        return False
+    multi = e.groupBy("a").agg(F.count("*").alias("c")).filter("c > 1")
+    return multi.limit(1).count() == 0
+
+
+def _differs(x: DataFrame, y: DataFrame) -> bool:
+    """True iff the two DISTINCT edge sets differ — two left-anti probes,
+    each short-circuited by limit(1)."""
+    if x.join(y, ["a", "b"], "left_anti").limit(1).count() > 0:
+        return True
+    return y.join(x, ["a", "b"], "left_anti").limit(1).count() > 0
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-    two_hop_init: bool = False,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node
-    id reachable from it. Returns (id, comp).
-
-    ``two_hop_init`` seeds every node with the minimum id over its CLOSED
-    2-hop neighborhood (self ∪ neighbors ∪ neighbors-of-neighbors) before
-    the propagation loop. Dedup components are near-cliques of diameter
-    ≤ 2, so the seed already IS the fixpoint and the loop's first round
-    merely confirms convergence — one fewer join+agg+checkpoint superstep
-    than the 1-hop init. Cost: one extra edge⋈edge join at init whose
-    message volume is Σ deg(v)². Measured on the sf1 dedup graph (round-4
-    warm A/B, identical 4850-row output): two-hop 11.0 s vs one-hop
-    10.3 s — the seed join costs slightly MORE than the superstep it
-    saves, because the near-clique Σ deg(v)² messages exceed one round's
-    |E| messages. Default is therefore False; the option stays for graphs
-    whose diameter (not degree) is the bottleneck. Either init reaches the
-    same unique fixpoint."""
-    und = edges.select(
+    id reachable from it. Returns (id, comp). Deterministic: the fixpoint
+    (min-rooted stars) is unique, so the labeling does not depend on round
+    count or partitioning."""
+    raw = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # materialize the edge list once: it joins into EVERY round, and leaving
-    # it lazy re-executes the caller's (possibly expensive) pair-generation
-    # pipeline per iteration — measured 8.2 s → 2-3 s on the dedup graph
-    und = track_local_checkpoint(und)
-    # init fused with the first propagation: min(self, neighbors) — one
-    # groupBy instead of a distinct plus a full propagation round
-    seed = und.select("a", F.least("a", "b").alias("comp"))
-    if two_hop_init:
-        seed = seed.union(
-            und.alias("x")
-            .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
-            .select(
-                F.col("x.a").alias("a"),
-                F.least(F.col("x.a"), F.col("y.b")).alias("comp"),
-            )
-        )
-    labels = track_local_checkpoint(
-        seed.groupBy(F.col("a").alias("id"))
-        .agg(F.min("comp").alias("comp"))
+    # node universe BEFORE dropping self-loops: an isolated node that
+    # arrives as (x, x) must still come back labeled (x, x)
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
+        .distinct()
     )
-
-    def _label_mass(lbl: DataFrame):
-        return lbl.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("m")
-        ).collect()[0]["m"]
-
-    mass = _label_mass(labels)
+    e = track_local_checkpoint(
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+    )
+    converged = e.limit(1).count() == 0
     for _ in range(max_iter):
-        msgs = und.join(labels, und.a == labels.id).select(
-            F.col("b").alias("id"), "comp"
+        if converged:
+            break
+        e2 = track_local_checkpoint(_small_star(_large_star(e)))
+        # stability of the composite round + an explicit star-shape probe
+        # (roots never appear as members, one root per member): the pair
+        # is exactly the paper's fixpoint characterization, so a stable
+        #-but-non-star state keeps iterating and trips the rail instead
+        # of silently mislabeling
+        converged = not _differs(e, e2) and _is_star_set(e2)
+        e = e2
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds — rounds grow O(log² n), so this "
+            "indicates an edge-generation blowup upstream, not a graph "
+            "shape the algorithm can't handle"
         )
-        labels = track_local_checkpoint(
-            labels.union(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
-        new_mass = _label_mass(labels)
-        if new_mass == mass:
-            return labels
-        mass = new_mass
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds the dedup-graph assumption; use a "
-        "star-contraction algorithm for this graph"
+    # fixpoint edges are (member, root) stars; roots and isolated nodes
+    # label themselves
+    pointers = e.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("comp")
+    )
+    return nodes.join(pointers, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
     )

@@ -71,3 +71,24 @@ def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
             for i in range(n_planes)
         ]
     )
+
+
+def sign_bands(vec: Column, bands: int, row_bits: int) -> Column:
+    """Multi-band sign-LSH keys: ``bands`` bucket strings, band ``k`` built
+    from the ``row_bits`` coordinate-sign planes [k*row_bits, (k+1)*row_bits).
+    Plane sets are DISJOINT across bands (band independence is what makes
+    the any-band-collides OR meaningful: P(candidate) = 1-(1-p^r)^b for
+    per-plane agreement p), so ``bands * row_bits`` must be ≤ the embedding
+    dimension. Deterministic — both engines re-derive the identical keys."""
+    return F.array(
+        *[
+            F.concat(
+                *[
+                    F.when(F.get(vec, k * row_bits + i) >= 0, F.lit("1"))
+                    .otherwise(F.lit("0"))
+                    for i in range(row_bits)
+                ]
+            )
+            for k in range(bands)
+        ]
+    )

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jp_qcew_spark.io import load_table, track_cache, widen_scan
+from jp_qcew_spark.io import (
+    load_table,
+    track_cache,
+    track_local_checkpoint,
+    widen_scan,
+)
 
 # Presentation sorts pin NULLS LAST explicitly: Spark's ASC default is
 # NULLS FIRST while DuckDB's is NULLS LAST, so any nullable sort key
@@ -368,6 +373,31 @@ def _bpe_round(pos: DataFrame, rnd: int):
     return stats, new_words
 
 
+def _bpe_learn(words: DataFrame, rounds: int = _BPE_ROUNDS):
+    """Run ``rounds`` BPE merge rounds over the word-type table; returns
+    (per-round stats frames, final words).
+
+    Production round counts (VERDICT r8 #3): real tokenizers run
+    thousands of merges, and the naive loop grows the logical plan by a
+    full round of windows+joins per merge — round N re-analyzes and
+    replays rounds 1..N-1 from the raw corpus. The
+    ``connected_components`` discipline fixes it: ``localCheckpoint``
+    the type table each round (io.track_local_checkpoint — scope-managed
+    like every other materialization), truncating lineage so each
+    round's plan has CONSTANT depth rooted at the previous round's
+    materialized table. Per-round wall time stays flat at rounds=8
+    (tests/test_training.py pins the plan size; BASELINE.md r9 records
+    the measured curve). The default stays at the 2-round oracle
+    contract — the oracle twin is unrolled SQL, so its round count is a
+    compile-time constant by construction."""
+    stats = []
+    for rnd in range(1, rounds + 1):
+        words = track_local_checkpoint(words)
+        s, words = _bpe_round(_bpe_positions(words), rnd)
+        stats.append(s)
+    return stats, words
+
+
 def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016) —
     the tokenizer-TRAINING stage of a pretraining pipeline, run the way
@@ -407,11 +437,7 @@ def q_tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ),
     )
-    stats = []
-    for rnd in range(1, _BPE_ROUNDS + 1):
-        words = track_cache(words)
-        s, words = _bpe_round(_bpe_positions(words), rnd)
-        stats.append(s)
+    stats, _ = _bpe_learn(words)
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)
@@ -521,9 +547,7 @@ def q_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ),
     )
-    for rnd in range(1, _BPE_ROUNDS + 1):
-        words = track_cache(words)
-        _, words = _bpe_round(_bpe_positions(words), rnd)
+    _, words = _bpe_learn(words)
     sizes = words.select(
         "word",
         F.length("word").cast("long").alias("n_chars"),
@@ -584,3 +608,122 @@ LIMIT 30
 
 QUERIES["tokenizer_bpe_apply"] = q_tokenizer_bpe_apply
 ORACLE["tokenizer_bpe_apply"] = ORACLE_TOKENIZER_BPE_APPLY
+
+
+# --------------------------------------------------------------------------
+# tokenizer_pack_pipeline — BPE token counts feeding sequence packing (r9)
+# --------------------------------------------------------------------------
+
+
+def q_tokenizer_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer→packing path (VERDICT r8 #6): the per-document
+    BPE symbol counts ``tokenizer_bpe_apply`` produces feed ``seq_pack``'s
+    concat-then-chunk packing — the composition a training-prep pipeline
+    actually runs (packs are cut on TOKENIZED lengths, not whitespace
+    words; what ``llm_prep_pipeline`` demonstrates for the curation tier,
+    this demonstrates for training prep).
+
+    Scale shape is the sum of its parts and nothing more: segmentation is
+    computed once per word TYPE (``_bpe_learn`` on the Heaps-law type
+    table, localCheckpoint per round), documents join their word
+    instances to the type sizes ONCE (one keyed equi-join + one
+    (source, doc_id) rollup), and the packing stage consumes only the
+    doc-level aggregate — one window per source shard, one rollup, ZERO
+    re-tokenization (plan-pinned: a single join of the instance table in
+    the whole plan). Blank/wordless documents carry no tokens and take no
+    pack slot on either engine."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "source", "doc_id", "text"
+        )
+    )
+    inst = (
+        d.filter(F.trim("text") != "")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    words = inst.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.withColumn(
+        "seq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+    )
+    _, words = _bpe_learn(words)
+    sizes = words.select("word", F.size("seq").cast("long").alias("n_syms"))
+    doc_toks = (
+        inst.join(sizes, "word")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("n_syms").cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = doc_toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+        ),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "fill", F.round(F.col("pack_tokens") / F.lit(PACK_BUDGET), 4)
+        )
+        .orderBy(
+            F.col("source").asc_nulls_last(),
+            F.col("pack_id").asc_nulls_last(),
+        )
+    )
+
+
+ORACLE_TOKENIZER_PACK = rf"""
+WITH inst AS (
+  SELECT source, doc_id, word FROM (
+    SELECT source, doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE word <> ''
+),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM inst GROUP BY word),
+s1 AS (
+  SELECT word, freq,
+         unnest(range(0, length(word))) AS i,
+         unnest(list_transform(range(0, length(word)),
+                k -> substr(word, CAST(k + 1 AS INT), 1))) AS sym
+  FROM w
+),
+{_bpe_oracle_round("s1", 1)},
+{_bpe_oracle_round("s2", 2)},
+sizes AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_syms FROM s3 GROUP BY word
+),
+doc_toks AS (
+  SELECT i.source, i.doc_id, CAST(sum(z.n_syms) AS BIGINT) AS n_tokens
+  FROM inst i JOIN sizes z USING (word)
+  GROUP BY i.source, i.doc_id
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM doc_toks
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       round(CAST(sum(n_tokens) AS BIGINT) / {PACK_BUDGET}.0, 4) AS fill
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+QUERIES["tokenizer_pack_pipeline"] = q_tokenizer_pack_pipeline
+ORACLE["tokenizer_pack_pipeline"] = ORACLE_TOKENIZER_PACK

@@ -1008,11 +1008,14 @@ def test_knn_graph_mutual_no_corpus_broadcast(spark, sf_dir):
     the serving-query rule: BOTH self-join sides are corpus-sized, so no
     broadcast hint anywhere, no cartesian, the top-3 window partitions
     by src, and the directed edge list is scope-cached for the mutual
-    join against its own reverse. The bucket width must be
-    CORPUS-DERIVED (VERDICT r7 #1): a fixed literal (the killed 8-plane
-    first cut) makes per-bucket pairs quadratic in corpus size."""
+    join against its own reverse. The candidate generator must be the
+    BANDED corpus-derived one (VERDICT r8 #1): the plan indexes exactly
+    bands × row_bits sign planes (a fixed width — the killed 8-plane
+    cut — makes per-bucket pairs quadratic; a single band clamps the
+    occupancy rule at n ≈ 1M), and the band fan-out shows up as a
+    Generate (posexplode) feeding the keyed self-join."""
     from jp_qcew_spark.queries.similarity import (
-        _lsh_bits,
+        _lsh_cfg,
         q_knn_graph_mutual,
     )
 
@@ -1022,8 +1025,54 @@ def test_knn_graph_mutual_no_corpus_broadcast(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(src#\d+", plan)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "Generate" in plan  # posexplode of the band keys
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    assert _lsh_plan_bits(plan) == _lsh_bits(n)
+    bands, bits = _lsh_cfg(n)
+    assert _lsh_plan_bits(plan) == bands * bits
+
+
+def test_dedup_embedding_banded_plan(spark, sf_dir):
+    """dedup_embedding_cos rides the same banded generator: per-band keyed
+    self-join (band, bucket) with NO broadcast hint (both sides corpus-
+    sized — the r1/r2 dedup rule), candidate pairs DISTINCT-ed before the
+    verify joins (an aggregate between the generator and the scoring
+    joins), and the plane count corpus-derived at bands × row_bits."""
+    from jp_qcew_spark.queries.similarity import (
+        _lsh_cfg,
+        q_dedup_embedding_cos,
+    )
+
+    df = q_dedup_embedding_cos(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert "Generate" in plan
+    # the candidate-pair distinct: a keys-only HashAggregate between the
+    # banded self-join and the scoring joins
+    assert re.search(r"HashAggregate \[codegen id : \d+\]|HashAggregate", plan)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    bands, bits = _lsh_cfg(n)
+    assert _lsh_plan_bits(plan) == bands * bits
+
+
+def test_knn_lsh_banded_serving_plan(spark, sf_dir):
+    """The banded SERVING query keeps the serving rule: exactly one
+    broadcast — the exploded query band keys (b·|Q| rows, bounded by the
+    query set) — never the corpus; candidates collapse across bands via
+    a keyed aggregate before the bounded top-3 window."""
+    from jp_qcew_spark.queries.similarity import (
+        _lsh_cfg,
+        q_knn_lsh_banded,
+    )
+
+    df = q_knn_lsh_banded(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 1
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(query_id#\d+", plan)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    bands, bits = _lsh_cfg(n)
+    assert _lsh_plan_bits(plan) == bands * bits
 
 
 def test_semdedup_mutual_no_corpus_broadcast(spark, sf_dir):
@@ -1157,8 +1206,13 @@ def test_bpe_type_table_windows_and_broadcast_argmax(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(word#\d+", plan)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # round 9: _bpe_learn localCheckpoints the type table per round, so
+    # the final plan roots at the materialized round tables — a parquet
+    # scan in it would mean a round REPLAYED the corpus; either no scan
+    # (all behind checkpoints) or a text-only pruned one is legal
     schemas = I.read_schemas(df)
-    assert schemas and all(set(s) <= {"text"} for s in schemas)
+    assert all(set(s) <= {"text"} for s in schemas)
+    assert "Scan ExistingRDD" in plan  # the checkpointed type table
 
 
 def test_kcenter_broadcast_chosen_never_corpus(spark, sf_dir):

@@ -24,9 +24,11 @@ rounds). Large/small-star instead REWRITES THE EDGE SET each round:
 Both are one groupBy-min plus one keyed join; alternating them reaches
 the unique fixpoint — every component a STAR rooted at its minimum id —
 in O(log² n) rounds worst case (Theorem 1 of the paper; ~log n observed),
-independent of diameter. Fixpoint is detected by edge-set stability (the
-paper's criterion), which costs two anti-join probes per round on the
-already-checkpointed sets.
+independent of diameter. Termination: a min-rooted star set is FIXED
+under both operations, so the loop stops as soon as the edge set IS one
+— one fused probe per round (members-that-are-roots ∪ multi-rooted
+members, limit(1)) on the already-checkpointed set; no edge-set
+equality join needed.
 
 Scale notes:
 - Each round is a constant number of keyed shuffles (symmetrize, min-agg,
@@ -86,22 +88,21 @@ def _small_star(e: DataFrame) -> DataFrame:
 def _is_star_set(e: DataFrame) -> bool:
     """True iff every component is a star: no right endpoint (root) ever
     appears as a left endpoint (member), and every member hangs under
-    exactly one root. Two limit(1) probes on the checkpointed set."""
-    mixed = e.join(
-        e.select(F.col("a").alias("b")).distinct(), "b", "semi"
+    exactly one root. Both violation classes union into ONE limit(1)
+    probe — per-round termination must cost one job, not a per-round
+    edge-set-equality join (the first cut's two anti-joins measured
+    ~2× on every CC consumer's wall clock)."""
+    mixed = (
+        e.join(e.select(F.col("a").alias("b")).distinct(), "b", "semi")
+        .select(F.lit(1).alias("v"))
     )
-    if mixed.limit(1).count() > 0:
-        return False
-    multi = e.groupBy("a").agg(F.count("*").alias("c")).filter("c > 1")
-    return multi.limit(1).count() == 0
-
-
-def _differs(x: DataFrame, y: DataFrame) -> bool:
-    """True iff the two DISTINCT edge sets differ — two left-anti probes,
-    each short-circuited by limit(1)."""
-    if x.join(y, ["a", "b"], "left_anti").limit(1).count() > 0:
-        return True
-    return y.join(x, ["a", "b"], "left_anti").limit(1).count() > 0
+    multi = (
+        e.groupBy("a")
+        .agg(F.count("*").alias("c"))
+        .filter("c > 1")
+        .select(F.lit(1).alias("v"))
+    )
+    return mixed.union(multi).limit(1).count() == 0
 
 
 def connected_components(
@@ -114,8 +115,17 @@ def connected_components(
     id reachable from it. Returns (id, comp). Deterministic: the fixpoint
     (min-rooted stars) is unique, so the labeling does not depend on round
     count or partitioning."""
-    raw = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    # materialize the caller's edge pipeline EXACTLY ONCE: every other
+    # frame here (node universe, canonical edges, final labels) derives
+    # from this checkpoint — referencing the lazy input twice replays the
+    # caller's (possibly expensive) pair generation per consumer, which
+    # tripled dedup_components' wall clock in the first cut of this
+    # rewrite (the same lesson the hash-min loop learned in round 4)
+    raw = track_local_checkpoint(
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
     )
     # node universe BEFORE dropping self-loops: an isolated node that
     # arrives as (x, x) must still come back labeled (x, x)
@@ -133,14 +143,12 @@ def connected_components(
     for _ in range(max_iter):
         if converged:
             break
-        e2 = track_local_checkpoint(_small_star(_large_star(e)))
-        # stability of the composite round + an explicit star-shape probe
-        # (roots never appear as members, one root per member): the pair
-        # is exactly the paper's fixpoint characterization, so a stable
-        #-but-non-star state keeps iterating and trips the rail instead
-        # of silently mislabeling
-        converged = not _differs(e, e2) and _is_star_set(e2)
-        e = e2
+        e = track_local_checkpoint(_small_star(_large_star(e)))
+        # a min-rooted star set is FIXED under both operations, so
+        # star-shape alone is a sound stopping rule — and the alternation
+        # provably reaches one, so the rail only trips on an upstream
+        # edge blowup
+        converged = _is_star_set(e)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

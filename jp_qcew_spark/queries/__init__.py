@@ -38,84 +38,84 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-8 window (VERDICT r7 #1-#3/#5/#6):
+# evidence policy. This list pins the ROUND-9 window (VERDICT r8 #1/#2/
+# #6/#7):
 #
-# - the 11 queries NEW this round (semdedup_mutual — the SemDeDup consumer on
-#   the mutual-kNN substrate; stream_countmin_topk — the CMS merge law on
-#   the wire; dsir_importance — DSIR distribution-matching selection;
-#   graph_label_prop — LPA on the mutual-kNN graph; text_chunk_overlap —
-#   RAG window chunking; stream_hll_distinct — the HLL max-merge law;
-#   layout_zorder_stats — the z-order zone-map pruning audit;
-#   mm_tiff_decode — the tag-directory TIFF codec; tokenizer_bpe_merges —
-#   BPE merge-rule learning on the word-type table; tokenizer_bpe_apply —
-#   its inference side; sample_kcenter — greedy k-center coreset
-#   selection) need FIRST driver rows;
-# - the 4 queries whose RESULTS CHANGED this round: the sign-LSH bucket
-#   width went corpus-adaptive (knn_graph_mutual — the r7 scale-killer fix;
-#   knn_signlsh and knn_multiprobe — the serving-side policy; and
-#   knn_recall_eval, which composes signlsh so its recall numbers moved) —
-#   their older green rows no longer cover the shipped expressions;
-# - then the ENTIRE r4-era evidence cohort (VERDICT r7 #2): the 18 queries
-#   whose latest driver row is still round 4 (signlsh/multiprobe already
-#   appear above) — after this window no query's evidence is older than r5;
-# - the remaining 17 slots take the r5 cohort alphabetically
-#   (argmax_funcs .. join_pit_scd2); the other 32 r5 rows lead round 9.
+# - the 3 queries NEW this round need FIRST driver rows:
+#   knn_lsh_banded (the banded serving path of the multi-band generator),
+#   tokenizer_pack_pipeline (BPE symbol counts feeding seq_pack),
+#   stream_dedup_incremental (seen-keys state-store dedup on the wire);
+# - the 5 queries whose RESULTS CHANGED this round: the corpus self-join
+#   LSH went MULTI-BAND (_banded_cand/_lsh_cfg, VERDICT r8 #1), so
+#   dedup_embedding_cos and knn_graph_mutual emit different candidate
+#   sets, and the mutual-graph consumers semdedup_mutual and
+#   graph_label_prop inherit the new substrate; knn_recall_eval adds the
+#   banded recall columns (schema change). (The large/small-star
+#   connected-components rewrite reaches the SAME fixpoint, so
+#   dedup_components/dedup_fuzzy/dedup_incremental results are unchanged
+#   — re-verified hash-green locally at 3 scales this round.)
+# - then the ENTIRE remaining r5 evidence cohort (VERDICT r8 #2): the 32
+#   queries whose latest driver row is still round 5 — after this window
+#   no query's evidence is older than r6;
+# - the last 10 slots start retiring the r6 cohort alphabetically
+#   (analytic_dist .. events_cep_sequence); the other 38 r6 rows lead
+#   round 10.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
-    # -- new in round 8: first driver rows
-    "semdedup_mutual",
-    "stream_countmin_topk",
-    "dsir_importance",
-    "graph_label_prop",
-    "text_chunk_overlap",
-    "stream_hll_distinct",
-    "layout_zorder_stats",
-    "mm_tiff_decode",
-    "tokenizer_bpe_merges",
-    "tokenizer_bpe_apply",
-    "sample_kcenter",
-    # -- changed in round 8 (adaptive LSH width): re-certify
+    # -- new in round 9: first driver rows
+    "knn_lsh_banded",
+    "tokenizer_pack_pipeline",
+    "stream_dedup_incremental",
+    # -- changed in round 9 (banded LSH): re-certify
+    "dedup_embedding_cos",
     "knn_graph_mutual",
-    "knn_signlsh",
-    "knn_multiprobe",
+    "semdedup_mutual",
+    "graph_label_prop",
     "knn_recall_eval",
-    # -- the r4-era evidence cohort (oldest rows in the book)
-    "knn_bruteforce",
-    "knn_classify",
-    "knn_hybrid",
-    "knn_ivf",
-    "llm_prep_pipeline",
-    "rank_global_twophase",
-    "stream_dedup",
-    "stream_session",
-    "stream_stateful_user_stats",
-    "stream_static_join",
-    "stream_stream_join",
-    "text_inverted_index",
-    "ts_ewma",
-    "ts_gapfill",
-    "ts_resample",
-    "ts_resample_yearly",
-    "udtf_tokenize",
-    "wages_series",
-    # -- r5 cohort, alphabetical (17 of 49; the remaining 32 lead round 9)
-    "argmax_funcs",
-    "array_map_funcs",
-    "bucketed_colocated_join",
-    "cast_nullsafe",
-    "cdc_apply",
-    "cube_agg",
-    "date_funcs",
-    "dedup_passages",
-    "dedup_sorted_neighborhood",
-    "geo_bbox_join",
-    "geo_grid_join",
-    "geo_nearest",
-    "graph_triangles",
-    "grouping_sets",
-    "histogram_bins",
-    "join_asof_nearest",
-    "join_pit_scd2",
+    # -- the r5-era evidence cohort (oldest rows in the book)
+    "knn_ivfpq",
+    "knn_pq_adc",
+    "math_funcs",
+    "merge_upsert",
+    "mm_png_decode",
+    "null_semantics",
+    "outlier_mad",
+    "quality_percentile_band",
+    "quantiles_exact",
+    "regex_extract",
+    "regr_stats",
+    "scrub_denylist",
+    "scrub_pii",
+    "semdedup_lsh",
+    "stratified_sample",
+    "stream_cdc_apply",
+    "stream_python_source",
+    "stream_python_source_sharded",
+    "stream_sliding",
+    "string_funcs",
+    "text_bigrams",
+    "text_chunk",
+    "text_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_bigram",
+    "text_lm_score",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "text_tfidf",
+    "window_range_frame",
+    # -- r6 cohort, alphabetical (10 of 48; the remaining 38 lead round 10)
+    "analytic_dist",
+    "bloom_prefilter",
+    "cdc_diff_snapshots",
+    "cohort_retention",
+    "copurchase_pairs",
+    "data_split",
+    "decontaminate",
+    "dedup_incremental",
+    "distinct_domain",
+    "events_cep_sequence",
 ]
 
 

@@ -720,3 +720,51 @@ ORDER BY e.event_type
 
 QUERIES["stream_hll_distinct"] = q_stream_hll_distinct
 ORACLE["stream_hll_distinct"] = ORACLE_STREAM_HLL
+
+
+# --------------------------------------------------------------------------
+# stream_dedup_incremental — seen-keys state on the wire (round 9)
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dedup_incremental`` — see
+    streaming/pipelines.stream_dedup_incremental for the full design
+    (doc replay in doc_id order, ~8 deterministic micro-batches, per-
+    fingerprint seen-flag in the state store, append-mode emission)."""
+    from jp_qcew_spark.streaming.pipelines import stream_dedup_incremental
+
+    return stream_dedup_incremental(spark, sf_dir).orderBy("doc_id")
+
+
+# Batch reconstruction of the replay: batch index = rank(doc_id) // bsz
+# with bsz = ceil(n/8) (the docreplay 'auto' rule); 'seen earlier' =
+# this fp's minimum batch index precedes mine; in-batch keeper = minimum
+# doc_id within (fp, batch).
+ORACLE_STREAM_DEDUP_INCR = r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             (regexp_split_to_array(lower(trim(text)), '\s+'))[1:8],
+             ' ')) AS fp,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+), nb AS (
+  SELECT CAST(ceil(count(*) / 8.0) AS BIGINT) AS bsz FROM documents
+), b AS (
+  SELECT doc_id, fp, rk // (SELECT bsz FROM nb) AS bi FROM d
+), ann AS (
+  SELECT doc_id, fp, bi,
+         min(bi) OVER (PARTITION BY fp) AS min_bi,
+         min(doc_id) OVER (PARTITION BY fp, bi) AS min_doc
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN bi > min_bi THEN 'dup_vs_seen'
+            WHEN doc_id > min_doc THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM ann ORDER BY doc_id
+"""
+
+QUERIES["stream_dedup_incremental"] = q_stream_dedup_incremental
+ORACLE["stream_dedup_incremental"] = ORACLE_STREAM_DEDUP_INCR

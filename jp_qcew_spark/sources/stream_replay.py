@@ -243,6 +243,101 @@ class EventReplayShardedDataSource(DataSource):
         return _ShardedReplayReader(self.options)
 
 
+# --------------------------------------------------------------------------
+# Document replay — the ingest feed for streaming dedup (round 9)
+# --------------------------------------------------------------------------
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+class _DocReplayReader(SimpleDataSourceStreamReader):
+    """Replay the documents table in doc_id order as fixed-size
+    micro-batches — the crawl-ingest feed ``stream_dedup_incremental``
+    drains. Same cursor/offset contract as ``_ReplayReader``; the total
+    order here is doc_id (unique by construction), so every batch
+    boundary is deterministic and, crucially, ORACLE-DERIVABLE: batch
+    index of a doc = rank(doc_id) // batch_rows, which a window function
+    reproduces exactly. ``auto`` batch sizing = ceil(n/8), the events
+    replay's rule."""
+
+    def __init__(self, options: dict) -> None:
+        self._path = options["path"]
+        self._batch_opt = options.get("batch_rows", "auto")
+        self._batch: int | None = None
+        self._rows: list[tuple] | None = None
+
+    def _files(self) -> list[str]:
+        """The feed path may be a single parquet file (the driver
+        testdata) or a Spark-written DIRECTORY of part files — accept
+        both so the source drains any documents table."""
+        import glob as g
+        import os as o
+
+        if o.path.isdir(self._path):
+            return sorted(g.glob(o.path.join(self._path, "*.parquet")))
+        return [self._path]
+
+    def _batch_rows(self) -> int:
+        if self._batch is None:
+            if self._batch_opt == "auto":
+                import pyarrow.parquet as pq
+
+                n = sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in self._files()
+                )
+                self._batch = max(1, -(-n // 8))
+            else:
+                self._batch = int(self._batch_opt)
+        return self._batch
+
+    def _feed(self) -> list[tuple]:
+        if self._rows is None:
+            import pyarrow.parquet as pq
+
+            rows = []
+            for f in self._files():
+                rows.extend(
+                    pq.read_table(f, columns=["doc_id", "text"]).to_pylist()
+                )
+            rows.sort(key=lambda r: r["doc_id"])
+            self._rows = [(r["doc_id"], r["text"]) for r in rows]
+        return self._rows
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict) -> tuple:
+        rows = self._feed()
+        lo = start["idx"]
+        hi = min(lo + self._batch_rows(), len(rows))
+        return iter(rows[lo:hi]), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = self._feed()
+        return iter(rows[start["idx"] : end["idx"]])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DocReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "docreplay"
+
+    def schema(self) -> StructType:
+        return _DOC_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _DocReplayReader:
+        return _DocReplayReader(self.options)
+
+
 # Executors must never need this package on their import path (the round
 # driver can run from any cwd): the DataSource classes cross the
 # JVM→Python-worker boundary inside the streaming plan, so ship every

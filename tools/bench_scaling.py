@@ -116,6 +116,11 @@ QUERIES = [
     "tokenizer_bpe_merges",
     "tokenizer_bpe_apply",
     "sample_kcenter",
+    # r9 additions (banded LSH family, star-CC, tokenizer pipeline,
+    # streaming incremental dedup)
+    "knn_lsh_banded",
+    "tokenizer_pack_pipeline",
+    "stream_dedup_incremental",
 ]
 
 

@@ -399,7 +399,7 @@ def _lsh_cfg(n: int) -> tuple[int, int]:
     1-(1-p^r)^b vs single-band p^r — measured, not assumed, by
     ``knn_recall_eval``. bands = min(4, 64 // row_bits) spends the plane
     budget: 4 bands through r=16, tapering to 2 at r=32. Beyond 64 planes
-    the same plumbing takes LCG-seeded random hyperplanes in place of
+    the same plumbing takes md5-seeded random hyperplanes in place of
     coordinate signs (one extra dot per plane); the coordinate-plane
     budget, not the plan shape, is what caps this at 69 B.
 
@@ -410,8 +410,26 @@ def _lsh_cfg(n: int) -> tuple[int, int]:
     return min(4, 64 // row_bits), row_bits
 
 
+def _lsh_cfg_rp(n: int) -> tuple[int, int]:
+    """Banded config for the RANDOM-HYPERPLANE tier: identical occupancy
+    formula, NO width clamp — the plane supply is unlimited (``rp_bands``
+    synthesizes planes from md5), so row_bits tracks log2(n/16)
+    indefinitely and the occupancy rule never saturates. Bands fixed at
+    4 (the recall multiplier; plane cost is one batched 4·r-plane int64
+    matmul per Arrow batch, map-side). The ORACLE mirrors this with a
+    128-plane sign string —
+    a test-harness text budget (raise the constant to extend), not an
+    engine limit; the Spark side generates exactly the planes it needs."""
+    import math
+
+    return 4, max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
+
+
 def _banded_cand(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    cfg=None,
+    keyfn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared banded candidate generator for the corpus self-join family:
     returns (vecs, cand) where ``vecs`` is the scope-cached vector frame
@@ -423,8 +441,15 @@ def _banded_cand(
     any scoring so a pair colliding in several bands is scored once.
     Candidate volume is ≤ bands × (occupancy-bounded single-band count),
     i.e. still ~linear in n; the vectors never ride through the banded
-    join — scoring joins them back by vec_id against the cached frame."""
-    bands, bits = _lsh_cfg(load_table(spark, sf_dir, "embeddings").count())
+    join — scoring joins them back by vec_id against the cached frame.
+
+    ``cfg``/``keyfn`` select the plane tier: coordinate signs
+    (``_lsh_cfg``/``sign_bands``, the default — free planes, budget 64)
+    or md5 random hyperplanes (``_lsh_cfg_rp``/``rp_bands`` — unlimited
+    planes, one Arrow-batched int64 matmul over quantized vectors)."""
+    cfg = cfg or _lsh_cfg
+    keyfn = keyfn or S.sign_bands
+    bands, bits = cfg(load_table(spark, sf_dir, "embeddings").count())
     vecs = track_cache(
         _vecs(spark, sf_dir).select(
             "vec_id",
@@ -432,11 +457,18 @@ def _banded_cand(
             F.sqrt(S.dot(F.col("v"), F.col("v"))).alias("nrm"),
         )
     )
-    banded = vecs.select(
-        "vec_id",
-        F.posexplode(S.sign_bands(F.col("v"), bands, bits)).alias(
-            "band", "bkt"
-        ),
+    # scope-cached so the band keys are computed ONCE: Spark does not
+    # reuse the exchange across the self-join's two sides (measured: the
+    # keygen projection ran twice in the executed plan), and for the RP
+    # tier each run is a real Arrow matmul pass, not a free projection.
+    # 4 small rows per vector — negligible next to the cached vectors.
+    banded = track_cache(
+        vecs.select(
+            "vec_id",
+            F.posexplode(keyfn(F.col("v"), bands, bits)).alias(
+                "band", "bkt"
+            ),
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -2256,3 +2288,115 @@ ORDER BY sel_round
 
 QUERIES["sample_kcenter"] = q_sample_kcenter
 ORACLE["sample_kcenter"] = _kc_oracle()
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_rp — random-hyperplane banded generator (round 9)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the RANDOM-HYPERPLANE banded
+    generator — the tier past the coordinate-plane budget. The
+    coordinate-sign generator (``dedup_embedding_cos``) spends one of the
+    64 embedding dimensions per plane, capping bands×bits at 64 and the
+    occupancy rule at n ≈ 16·2³²; here each plane is an md5-seeded
+    Rademacher projection (``rp_bands``), so the plane supply is
+    UNLIMITED and ``_lsh_cfg_rp`` applies the log2(n/16) width rule with
+    no clamp at all — the last width ceiling in the dedup/ANN tier,
+    closed. Same sub-quadratic shape as the coordinate tier: keyed
+    per-band self-join, pair-distinct, verify joins, cosine ≥ 0.3.
+
+    The weights are a PINNED PUBLIC derivation each engine owns
+    independently — Spark builds the ±1 matrix at plan-build time
+    (hashlib md5 parity) and runs ONE Arrow-batched int64 matmul per
+    batch over ``RP_Q``-quantized vectors (exact integer dots, so the
+    matmul's summation order can't diverge from the oracle's sequential
+    BIGINT list_sum — the ``semdedup_mutual`` integer-quantization
+    device applied to projections); the oracle re-derives the same
+    weights in SQL (md5() + a one-hex-char parity test), so either side
+    drifting hash-fails the driver. Plane QUALITY is load-bearing, not
+    cosmetic: a first-cut affine-LCG bit sequence made the planes
+    linearly-correlated blocks of one low-dimensional sequence —
+    measured max band-bucket occupancy 1050 (vs 57 for md5) and 18.0M
+    candidate pairs (vs 0.56M) on the sf1 corpus, i.e. a
+    degenerate-bucket quadratic exactly where the banding was supposed
+    to prevent one (and two all-JVM dot forms — unrolled codegen chains
+    and interpreted HOF folds — both measured seconds-per-million-rows
+    of keygen; a dense projection is BLAS work). Candidates and joins
+    are unchanged from the coordinate tier. The oracle derives the
+    identical keys from a string_agg'd plane-sign string + the same
+    scalar-subquery width."""
+    vecs, cand = _banded_cand(
+        spark, sf_dir, cfg=_lsh_cfg_rp, keyfn=S.rp_bands
+    )
+    return (
+        _scored_pairs(vecs, cand, "cos_sim")
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_dedup_rp() -> str:
+    # The weights CTE derives every ±1 IN SQL (md5 parity on hex digit 2
+    # = bit 0 of byte 0 — ext.similarity.rp_weight's documented twin),
+    # once per (plane, dim) rather than once per row. The dot runs on
+    # floor(v·2²⁰)-quantized BIGINTs (ext.similarity.RP_Q): exact
+    # integer arithmetic, so this sequential list_sum equals the Spark
+    # side's batched int64 matmul by VALUE with no fold-order coupling.
+    # Plane budget 128 = a test-harness text cap (bits ≤ 32 ⇒
+    # n ≤ 16·2³²), not an engine limit; the WHERE prunes to the 4·bits
+    # planes actually used.
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cfg AS (
+  SELECT GREATEST(4, CAST(ceil(log2(count(*) / 16.0)) AS INT)) AS bits
+  FROM embeddings
+),
+w AS (
+  SELECT p,
+         list_transform(range(0, 64), i ->
+           CASE WHEN instr('02468ace',
+                           substr(md5('rp:' || p || ':' || i), 2, 1)) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS wv
+  FROM range(0, 128) t(p)
+  WHERE p < 4 * (SELECT bits FROM cfg)
+),
+dots AS (
+  SELECT r.vec_id, w.p,
+         list_sum(list_transform(range(1, 65),
+           i -> w.wv[i] * CAST(floor(r.v[i] * {S.RP_Q}) AS BIGINT)))
+           AS dot
+  FROM raw r CROSS JOIN w
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY p) AS s
+  FROM dots GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, k AS band_idx,
+         substr(s, CAST(k * (SELECT bits FROM cfg) + 1 AS INT),
+                (SELECT bits FROM cfg)) AS bkt
+  FROM sig CROSS JOIN range(0, 4) t(k)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.bkt = b.bkt
+   AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {_PAIR_COS_SQL} AS cos_sim
+FROM cand c
+JOIN raw a ON a.vec_id = c.id_a
+JOIN raw b ON b.vec_id = c.id_b
+WHERE {_PAIR_COS_SQL} >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["dedup_embedding_rp"] = q_dedup_embedding_rp
+ORACLE["dedup_embedding_rp"] = _oracle_dedup_rp()

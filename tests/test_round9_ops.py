@@ -154,3 +154,128 @@ def test_stream_dedup_incremental_batch_semantics(spark, tmp_path_factory):
     assert all(
         got[i] == "kept" for i in range(16) if i not in (3, 5)
     ), got
+
+
+def test_rp_weights_match_duckdb_md5_derivation(spark):
+    """The Rademacher plane weights are a pinned public derivation each
+    engine owns INDEPENDENTLY: Spark builds the weight matrix from
+    hashlib-md5 parity bits at plan-build time, the oracle re-derives
+    them in SQL. This test runs the oracle's exact weight expression in
+    DuckDB for every (plane, dim) a 4x6 config uses and asserts the
+    Spark band keys over a crafted vector match a pure-Python
+    QUANTIZED-integer dot of the DUCKDB-derived weights — any drift in
+    either derivation (or in the floor-quantization that makes the dot
+    order-free) breaks it."""
+    import math
+
+    import duckdb
+
+    from jp_qcew_spark.ext.similarity import RP_Q, rp_bands, rp_weight
+
+    vec = [((i * 37) % 13) - 6.0 + 1e-7 * i for i in range(64)]
+    bands, bits = 4, 6
+    con = duckdb.connect()
+    duck_w = {
+        (p, i): float(
+            con.execute(
+                "SELECT CASE WHEN instr('02468ace',"
+                f" substr(md5('rp:' || {p} || ':' || {i}), 2, 1)) > 0"
+                " THEN 1.0 ELSE -1.0 END"
+            ).fetchone()[0]
+        )
+        for p in range(bands * bits)
+        for i in range(64)
+    }
+    assert all(
+        duck_w[(p, i)] == rp_weight(p, i) for (p, i) in duck_w
+    ), "hashlib and DuckDB md5 parity bits diverged"
+
+    def py_bit(p):
+        s = sum(
+            int(duck_w[(p, i)]) * math.floor(vec[i] * RP_Q)
+            for i in range(64)
+        )  # exact ints: any summation order gives the same value
+        return "1" if s >= 0 else "0"
+
+    want = [
+        "".join(py_bit(b * bits + j) for j in range(bits))
+        for b in range(bands)
+    ]
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(rp_bands(F.col("v"), bands, bits).alias("k")).collect()[
+        0
+    ]["k"]
+    assert list(got) == want
+
+
+def test_rp_planes_balance_buckets(spark):
+    """Plane QUALITY is load-bearing: correlated planes collapse the
+    corpus into a few degenerate buckets and re-quadraticize the
+    self-join (the abandoned affine-LCG derivation measured max
+    occupancy 1050 on 20k vectors — 18x the md5 planes' candidate
+    volume). Pin a balance rail: on the sf0.1 corpus (2000 vectors,
+    the _lsh_cfg_rp config) no band-bucket may hold more than 10% of
+    the corpus."""
+    from jp_qcew_spark.queries.similarity import _lsh_cfg_rp, _vecs
+
+    sf_dir = "/root/testdata/sf0.1"
+    bands, bits = _lsh_cfg_rp(2000)
+    from jp_qcew_spark.ext.similarity import rp_bands
+
+    occ = (
+        _vecs(spark, sf_dir)
+        .select(
+            F.posexplode(rp_bands(F.col("v"), bands, bits)).alias(
+                "band", "bkt"
+            )
+        )
+        .groupBy("band", "bkt")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert occ <= 200, f"degenerate RP bucket: max occupancy {occ}"
+
+
+def test_dedup_embedding_rp_plan(spark, sf_dir):
+    """The RP generator's designed plan shape: the dense projection runs
+    as ONE Arrow-vectorized python eval (ArrowEvalPython — the
+    embedding_gram_matrix discipline; NEVER row-at-a-time
+    BatchEvalPython, and exactly one such node: keygen is the only
+    Python in the pipeline), band fan-out via Generate, the
+    pair-distinct aggregate between generator and verify joins, no
+    broadcast hint, no cartesian. Both all-JVM dot forms were measured
+    and rejected: unrolled codegen chains broke whole-stage codegen
+    (12 s build + interpreted eval), and the HOF fold cost 45 s of
+    keygen alone at sf3."""
+    from jp_qcew_spark.queries.similarity import q_dedup_embedding_rp
+
+    df = q_dedup_embedding_rp(spark, sf_dir)
+    from jp_qcew_spark.plans import inspect as I
+
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the batched matmul
+    assert "HashAggregate" in plan  # the candidate-pair distinct
+    # the keygen must be computed ONCE, not once per self-join side
+    # (measured pre-fix: the matmul ran twice, under each side of the
+    # banded self-join): the banded frame is scope-cached, so EVERY
+    # ArrowEvalPython in the plan tree must sit inside an
+    # InMemoryRelation's stored subtree — the text renders that subtree
+    # once per scan site, so check each occurrence's context, not a
+    # global count.
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    lines = executed.splitlines()
+    hits = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert hits, "keygen matmul missing from the executed plan"
+    assert all(
+        any(
+            "InMemoryRelation" in l
+            for l in lines[max(0, i - 4) : i]
+        )
+        for i in hits
+    ), "keygen ArrowEvalPython outside the banded cache"
+    assert executed.count("InMemoryTableScan") >= 2  # both join sides

@@ -121,6 +121,7 @@ QUERIES = [
     "knn_lsh_banded",
     "tokenizer_pack_pipeline",
     "stream_dedup_incremental",
+    "dedup_embedding_rp",
 ]
 
 

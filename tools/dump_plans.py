@@ -157,6 +157,35 @@ HEADLINERS = [
      "k-center coreset (r8): each round broadcasts the <=4-row chosen "
      "set over one corpus pass, keyed partial-agg min, two-phase "
      "TakeOrdered argmax — nothing corpus-sized collected."),
+    ("dedup_embedding_cos",
+     "Banded sign-LSH dedup (r9): b bands x r disjoint coordinate "
+     "planes (occupancy ~16 per band-bucket to ~69B vectors), "
+     "per-band keyed self-join, pair-DISTINCT before the verify "
+     "joins — candidates <= bands x single-band volume, no corpus "
+     "broadcast."),
+    ("dedup_embedding_rp",
+     "Random-hyperplane banded dedup (r9): md5-seeded Rademacher "
+     "planes built at plan time, applied as ONE Arrow-batched int64 "
+     "matmul over quantized vectors (exact dots, order-free, "
+     "oracle-identical), so the plane supply — and the log2(n/16) "
+     "width rule — never saturates; keys scope-cached so keygen runs "
+     "once, then the same keyed per-band join + pair-distinct shape "
+     "as the coordinate tier."),
+    ("knn_lsh_banded",
+     "Banded ANN serving (r9): exploded query band keys broadcast "
+     "(b x |Q| rows, never the corpus); corpus probes by (band, key) "
+     "equi-join map-side; any-band OR collapses duplicates via "
+     "max(score)."),
+    ("tokenizer_pack_pipeline",
+     "Tokenizer->packing pipeline (r9): BPE segmentation computed on "
+     "the word-TYPE table, instances join type sizes ONCE, packing "
+     "consumes the doc-level aggregate — one shard-local window, zero "
+     "re-tokenization."),
+    ("dedup_components",
+     "Alternating-star connected components (r9): Kiveris large/small-"
+     "star rounds, each one keyed shuffle; convergence via ONE fused "
+     "star-shape probe; input edges localCheckpointed once up front so "
+     "the caller's pipeline never replays."),
 ]
 
 

@@ -41,10 +41,13 @@ _GROUPS = [
 # evidence policy. This list pins the ROUND-9 window (VERDICT r8 #1/#2/
 # #6/#7):
 #
-# - the 4 queries NEW this round need FIRST driver rows:
+# - the 6 queries NEW this round need FIRST driver rows:
 #   knn_lsh_banded (the banded serving path of the multi-band generator),
 #   dedup_embedding_rp (the md5 random-hyperplane tier past the 64-plane
 #   coordinate budget),
+#   knn_recall_rp + dedup_recall_eval (recall certification of the RP
+#   family: top-3 serving recall and similarity-binned pair recall of
+#   BOTH banded generators),
 #   tokenizer_pack_pipeline (BPE symbol counts feeding seq_pack),
 #   stream_dedup_incremental (seen-keys state-store dedup on the wire);
 # - the 5 queries whose RESULTS CHANGED this round: the corpus self-join
@@ -59,14 +62,16 @@ _GROUPS = [
 # - then the ENTIRE remaining r5 evidence cohort (VERDICT r8 #2): the 32
 #   queries whose latest driver row is still round 5 — after this window
 #   no query's evidence is older than r6;
-# - the last 9 slots start retiring the r6 cohort alphabetically
-#   (analytic_dist .. distinct_domain); the other 39 r6 rows lead
+# - the last 7 slots start retiring the r6 cohort alphabetically
+#   (analytic_dist .. decontaminate); the other 41 r6 rows lead
 #   round 10.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
     # -- new in round 9: first driver rows
     "knn_lsh_banded",
     "dedup_embedding_rp",
+    "knn_recall_rp",
+    "dedup_recall_eval",
     "tokenizer_pack_pipeline",
     "stream_dedup_incremental",
     # -- changed in round 9 (banded LSH): re-certify
@@ -108,7 +113,7 @@ _WINDOW_PRIORITY = [
     "text_stats",
     "text_tfidf",
     "window_range_frame",
-    # -- r6 cohort, alphabetical (9 of 48; the remaining 39 lead round 10)
+    # -- r6 cohort, alphabetical (7 of 48; the remaining 41 lead round 10)
     "analytic_dist",
     "bloom_prefilter",
     "cdc_diff_snapshots",
@@ -116,8 +121,6 @@ _WINDOW_PRIORITY = [
     "copurchase_pairs",
     "data_split",
     "decontaminate",
-    "dedup_incremental",
-    "distinct_domain",
 ]
 
 

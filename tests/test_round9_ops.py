@@ -279,3 +279,47 @@ def test_dedup_embedding_rp_plan(spark, sf_dir):
         for i in hits
     ), "keygen ArrowEvalPython outside the banded cache"
     assert executed.count("InMemoryTableScan") >= 2  # both join sides
+
+
+def test_knn_recall_rp_plan(spark, sf_dir):
+    """RP recall eval: composition of brute force (bounded query set
+    broadcast — the only non-equi joins are that bounded BNLJ) and the
+    RP banded serving path (Arrow-batched keygen, never row-at-a-time
+    Python); the eval join itself is top-3 lists, 3 rows per side."""
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.similarity import q_knn_recall_rp
+
+    df = q_knn_recall_rp(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    plan = I.formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the RP keygen matmul
+    # bounded sides broadcast: the 10-query set on both index builds
+    assert I.broadcast_hint_count(df) >= 2
+    rows = df.limit(20).collect()
+    assert [r["query_id"] for r in rows] == list(range(10))
+    assert all(0.0 <= r["recall_rp_at_3"] <= 1.0 for r in rows)
+
+
+def test_dedup_recall_eval_plan_and_semantics(spark, sf_dir):
+    """Binned pair-recall eval: exactly ONE broadcast hint (the bounded
+    200-vector eval slice — ground truth is |slice| x n, LINEAR in the
+    corpus, never the n^2 all-pairs), generators under eval keep their
+    own pinned shapes (cached banded keygen: every ArrowEvalPython sits
+    inside an InMemoryRelation), and recall is a per-band ratio in
+    [0, 1] with n_rp <= n_true and n_coord <= n_true."""
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.similarity import q_dedup_recall_eval
+
+    df = q_dedup_recall_eval(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 1
+    plan = I.formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    rows = df.collect()
+    assert rows, "eval produced no similarity bands"
+    for r in rows:
+        assert r["n_rp"] <= r["n_true"] and r["n_coord"] <= r["n_true"]
+        assert 0.0 <= r["recall_rp"] <= 1.0
+        assert 0.0 <= r["recall_coord"] <= 1.0

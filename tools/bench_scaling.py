@@ -122,6 +122,8 @@ QUERIES = [
     "tokenizer_pack_pipeline",
     "stream_dedup_incremental",
     "dedup_embedding_rp",
+    "knn_recall_rp",
+    "dedup_recall_eval",
 ]
 
 

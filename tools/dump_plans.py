@@ -186,6 +186,13 @@ HEADLINERS = [
      "star rounds, each one keyed shuffle; convergence via ONE fused "
      "star-shape probe; input edges localCheckpointed once up front so "
      "the caller's pipeline never replays."),
+    ("dedup_recall_eval",
+     "Similarity-binned pair-recall of BOTH banded generators (r9): "
+     "ground truth broadcasts a 200-vector eval slice against the "
+     "corpus (|slice| x n, linear — never n^2 all-pairs); the "
+     "generators under eval are the registry queries themselves; the "
+     "curve certifies where sign-LSH recalls and where it is designed "
+     "not to."),
 ]
 
 

@@ -37,10 +37,14 @@ Scale notes:
 - ``localCheckpoint`` after every round truncates lineage so the
   iterative plan doesn't replay rounds 1..N-1 (the classic iterative-
   DataFrame failure mode).
-- ``max_iter`` is a safety rail on PAIR-rounds; with O(log² n) convergence
-  the default 20 covers any graph a real corpus produces (2^20 ≈ 10^6
-  would need log² n > 20 → n beyond any storable graph), and hitting it
-  raises rather than silently returning partial labels.
+- ``max_iter`` is a safety rail on PAIR-rounds. Alternating star halves
+  the longest pointer chain roughly once per pair-round, so convergence
+  in practice is ~log₂ n rounds (worst-case bounds are O(log² n)); the
+  default rail is therefore DERIVED from the node count —
+  ceil(log₂ n) + 4 slack rounds, floor 8 — instead of a constant that
+  would cover chain-shaped graphs only to n ≈ 2^(rail) (ADVICE r9: the
+  old fixed 20 covered chains to ~10⁶ nodes, not "any storable graph").
+  Hitting the rail raises rather than silently returning partial labels.
 """
 
 from __future__ import annotations
@@ -109,12 +113,14 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum node
     id reachable from it. Returns (id, comp). Deterministic: the fixpoint
     (min-rooted stars) is unique, so the labeling does not depend on round
-    count or partitioning."""
+    count or partitioning. ``max_iter=None`` derives the safety rail from
+    the node count (ceil(log2 n) + 4, floor 8 — see module docstring);
+    pass an int to pin it."""
     # materialize the caller's edge pipeline EXACTLY ONCE: every other
     # frame here (node universe, canonical edges, final labels) derives
     # from this checkpoint — referencing the lazy input twice replays the
@@ -139,23 +145,34 @@ def connected_components(
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .distinct()
     )
+    rail = max_iter
+    rounds = 0
     converged = e.limit(1).count() == 0
-    for _ in range(max_iter):
-        if converged:
-            break
+    while not converged:
+        if rail is None and rounds >= 8:
+            # derive the rail from the node count LAZILY: a chain-shaped
+            # graph needs ~log2 n halving rounds, so only a graph still
+            # unconverged after 8 rounds pays the one node-count job
+            import math
+
+            rail = max(
+                8, math.ceil(math.log2(max(nodes.count(), 2))) + 4
+            )
+        if rail is not None and rounds >= rail:
+            raise RuntimeError(
+                f"connected_components did not converge in {rail} "
+                "large/small-star rounds — the rail is ceil(log2 n) + 4 "
+                "slack (alternating star halves the longest chain per "
+                "round), so this indicates an edge-generation blowup "
+                "upstream, not a graph shape the algorithm can't handle"
+            )
         e = track_local_checkpoint(_small_star(_large_star(e)))
         # a min-rooted star set is FIXED under both operations, so
         # star-shape alone is a sound stopping rule — and the alternation
         # provably reaches one, so the rail only trips on an upstream
         # edge blowup
         converged = _is_star_set(e)
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "large/small-star rounds — rounds grow O(log² n), so this "
-            "indicates an edge-generation blowup upstream, not a graph "
-            "shape the algorithm can't handle"
-        )
+        rounds += 1
     # fixpoint edges are (member, root) stars; roots and isolated nodes
     # label themselves
     pointers = e.groupBy(F.col("a").alias("id")).agg(

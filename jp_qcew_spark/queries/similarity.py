@@ -410,6 +410,18 @@ def _lsh_cfg(n: int) -> tuple[int, int]:
     return min(4, 64 // row_bits), row_bits
 
 
+# The RP oracles' sign strings enumerate exactly this many planes
+# (``range(0, N)`` in the weight CTEs) — a test-harness text budget
+# (raise the constant on BOTH sides to extend), not an engine limit.
+# The cfg functions raise LOUDLY when a corpus would need more planes
+# than its oracle enumerates: past the budget the two engines would
+# otherwise silently derive different band keys (Spark generating the
+# full-width signature, the oracle a truncated one) and the driver's
+# hash compare would read as a correctness bug instead of a harness
+# ceiling (ADVICE r9).
+_RP_ORACLE_PLANES = 128
+
+
 def _lsh_cfg_rp(n: int) -> tuple[int, int]:
     """Banded config for the RANDOM-HYPERPLANE tier: identical occupancy
     formula, NO width clamp — the plane supply is unlimited (``rp_bands``
@@ -417,12 +429,19 @@ def _lsh_cfg_rp(n: int) -> tuple[int, int]:
     indefinitely and the occupancy rule never saturates. Bands fixed at
     4 (the recall multiplier; plane cost is one batched 4·r-plane int64
     matmul per Arrow batch, map-side). The ORACLE mirrors this with a
-    128-plane sign string —
-    a test-harness text budget (raise the constant to extend), not an
-    engine limit; the Spark side generates exactly the planes it needs."""
+    ``_RP_ORACLE_PLANES``-plane sign string; needing more raises here
+    rather than silently hash-diverging."""
     import math
 
-    return 4, max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
+    bits = max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
+    if 4 * bits > _RP_ORACLE_PLANES:
+        raise ValueError(
+            f"RP tier needs {4 * bits} planes for n={n} but the oracle "
+            f"enumerates only {_RP_ORACLE_PLANES} — raise "
+            "_RP_ORACLE_PLANES (both the constant and the oracle CTE "
+            "derive from it) before running a corpus this large"
+        )
+    return 4, bits
 
 
 def _banded_cand(
@@ -1681,37 +1700,90 @@ def _banded_topk(
     the design record): any-band candidate OR, broadcast query keys,
     (band, key) equi-join probe, max-collapse, top-3 per query.
     ``cfg``/``keyfn`` select the plane tier exactly as in
-    ``_banded_cand``: coordinate signs or md5 random hyperplanes."""
+    ``_banded_cand``: coordinate signs or md5 random hyperplanes.
+
+    The two tiers take DIFFERENT plan shapes on a measured cost fork
+    (ADVICE r9): the coordinate-sign keygen is a free JVM projection, so
+    computing it once per self-join side is cheaper than caching the
+    corpus; the RP keygen is a full-corpus Arrow int64 matmul, so the RP
+    path scope-caches the vectors and the exploded key frame (the
+    ``_banded_cand`` keygen-once discipline) and both the probe side and
+    the scoring joins read the caches. Values are identical across the
+    fork: a candidate colliding in several bands carries bit-identical
+    scores (same vectors, same fold), so DISTINCT-then-score equals
+    score-then-max-collapse."""
     bands, bits = cfg(load_table(spark, sf_dir, "embeddings").count())
-    ex = _vecs(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        F.posexplode(keyfn(F.col("v"), bands, bits)).alias(
-            "band", "bkt"
-        ),
-    )
-    q = ex.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("band").alias("qband"),
-        F.col("bkt").alias("qbkt"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(
-            ex,
-            (F.col("band") == F.col("qband"))
-            & (F.col("bkt") == F.col("qbkt"))
-            & (F.col("vec_id") != F.col("query_id")),
+    if keyfn is S.rp_bands:
+        vecs = track_cache(_vecs(spark, sf_dir).select("vec_id", "v"))
+        keys = track_cache(
+            vecs.select(
+                "vec_id",
+                F.posexplode(keyfn(F.col("v"), bands, bits)).alias(
+                    "band", "bkt"
+                ),
+            )
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        qk = keys.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("band").alias("qband"),
+            F.col("bkt").alias("qbkt"),
         )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("score").alias("score"))
-    )
+        cand = (
+            F.broadcast(qk)
+            .join(
+                keys,
+                (F.col("band") == F.col("qband"))
+                & (F.col("bkt") == F.col("qbkt"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                vecs.alias("va"),
+                F.col("query_id") == F.col("va.vec_id"),
+            )
+            .join(
+                vecs.alias("vb"),
+                F.col("neighbor_id") == F.col("vb.vec_id"),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                S.cosine(F.col("va.v"), F.col("vb.v")).alias("score"),
+            )
+        )
+    else:
+        ex = _vecs(spark, sf_dir).select(
+            "vec_id",
+            "v",
+            F.posexplode(keyfn(F.col("v"), bands, bits)).alias(
+                "band", "bkt"
+            ),
+        )
+        q = ex.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("band").alias("qband"),
+            F.col("bkt").alias("qbkt"),
+        )
+        scored = (
+            F.broadcast(q)
+            .join(
+                ex,
+                (F.col("band") == F.col("qband"))
+                & (F.col("bkt") == F.col("qbkt"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                S.cosine(F.col("qv"), F.col("v")).alias("score"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("score").alias("score"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -2370,7 +2442,7 @@ w AS (
            CASE WHEN instr('02468ace',
                            substr(md5('rp:' || p || ':' || i), 2, 1)) > 0
                 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS wv
-  FROM range(0, 128) t(p)
+  FROM range(0, {_RP_ORACLE_PLANES}) t(p)
   WHERE p < 4 * (SELECT bits FROM cfg)
 ),
 dots AS (

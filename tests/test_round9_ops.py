@@ -208,20 +208,20 @@ def test_rp_weights_match_duckdb_md5_derivation(spark):
     assert list(got) == want
 
 
-def test_rp_planes_balance_buckets(spark):
+def test_rp_planes_balance_buckets(spark, sf_dir):
     """Plane QUALITY is load-bearing: correlated planes collapse the
     corpus into a few degenerate buckets and re-quadraticize the
     self-join (the abandoned affine-LCG derivation measured max
     occupancy 1050 on 20k vectors — 18x the md5 planes' candidate
-    volume). Pin a balance rail: on the sf0.1 corpus (2000 vectors,
-    the _lsh_cfg_rp config) no band-bucket may hold more than 10% of
-    the corpus."""
+    volume). Pin a balance rail at the EXACT config the queries would
+    use on this corpus (count + _lsh_cfg_rp, mirroring the other plan
+    tests): no band-bucket may hold more than 10% of the corpus."""
+    from jp_qcew_spark.ext.similarity import rp_bands
+    from jp_qcew_spark.io import load_table
     from jp_qcew_spark.queries.similarity import _lsh_cfg_rp, _vecs
 
-    sf_dir = "/root/testdata/sf0.1"
-    bands, bits = _lsh_cfg_rp(2000)
-    from jp_qcew_spark.ext.similarity import rp_bands
-
+    n = load_table(spark, sf_dir, "embeddings").count()
+    bands, bits = _lsh_cfg_rp(n)
     occ = (
         _vecs(spark, sf_dir)
         .select(
@@ -234,7 +234,9 @@ def test_rp_planes_balance_buckets(spark):
         .agg(F.max("count").alias("mx"))
         .collect()[0]["mx"]
     )
-    assert occ <= 200, f"degenerate RP bucket: max occupancy {occ}"
+    assert occ <= max(32, n // 10), (
+        f"degenerate RP bucket: max occupancy {occ} of {n}"
+    )
 
 
 def test_dedup_embedding_rp_plan(spark, sf_dir):
@@ -296,6 +298,21 @@ def test_knn_recall_rp_plan(spark, sf_dir):
     assert "ArrowEvalPython" in plan  # the RP keygen matmul
     # bounded sides broadcast: the 10-query set on both index builds
     assert I.broadcast_hint_count(df) >= 2
+    # the serving path caches the RP keygen exactly like the dedup path
+    # (ADVICE r9: pre-fix, the matmul ran once per self-join side): every
+    # ArrowEvalPython in the executed plan must sit inside an
+    # InMemoryRelation's stored subtree
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    lines = executed.splitlines()
+    hits = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert hits, "RP keygen matmul missing from the executed plan"
+    assert all(
+        any(
+            "InMemoryRelation" in l
+            for l in lines[max(0, i - 4) : i]
+        )
+        for i in hits
+    ), "serving-path keygen ArrowEvalPython outside the cached key frame"
     rows = df.limit(20).collect()
     assert [r["query_id"] for r in rows] == list(range(10))
     assert all(0.0 <= r["recall_rp_at_3"] <= 1.0 for r in rows)

@@ -449,6 +449,8 @@ def _banded_cand(
     sf_dir: str,
     cfg=None,
     keyfn=None,
+    vecs=None,
+    n=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared banded candidate generator for the corpus self-join family:
     returns (vecs, cand) where ``vecs`` is the scope-cached vector frame
@@ -465,12 +467,20 @@ def _banded_cand(
     ``cfg``/``keyfn`` select the plane tier: coordinate signs
     (``_lsh_cfg``/``sign_bands``, the default — free planes, budget 64)
     or md5 random hyperplanes (``_lsh_cfg_rp``/``rp_bands`` — unlimited
-    planes, one Arrow-batched int64 matmul over quantized vectors)."""
+    planes, one Arrow-batched int64 matmul over quantized vectors).
+
+    ``vecs``/``n`` override the corpus: a (vec_id, v) frame plus ITS row
+    count (callers know it arithmetically — e.g. the seeded recall
+    fixture is corpus + 2·``_PLANT_N`` rows — so no extra count job).
+    Default: the ``embeddings`` table, counted from parquet metadata."""
     cfg = cfg or _lsh_cfg
     keyfn = keyfn or S.sign_bands
-    bands, bits = cfg(load_table(spark, sf_dir, "embeddings").count())
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+    bands, bits = cfg(n)
+    base = vecs if vecs is not None else _vecs(spark, sf_dir)
     vecs = track_cache(
-        _vecs(spark, sf_dir).select(
+        base.select(
             "vec_id",
             "v",
             F.sqrt(S.dot(F.col("v"), F.col("v"))).alias("nrm"),
@@ -1990,7 +2000,9 @@ ORACLE["embedding_gram_matrix"] = ORACLE_EMBEDDING_GRAM
 # --------------------------------------------------------------------------
 
 
-def _mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mutual_edges(
+    spark: SparkSession, sf_dir: str, cfg=None, keyfn=None
+) -> DataFrame:
     """Shared mutual-kNN edge builder: (src, dst, score, rank_ab, rank_ba)
     with src < dst, unordered. ``knn_graph_mutual`` exposes it directly;
     ``semdedup_mutual`` and ``graph_label_prop`` consume it as their
@@ -2001,8 +2013,13 @@ def _mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric: products commute and the fold order is positional, so the
     mirrored edge carries the bit-identical rounded score the oracle
     computes for each direction independently), then mirrored into the
-    directed list the per-source top-3 window ranks."""
-    vecs, cand = _banded_cand(spark, sf_dir)
+    directed list the per-source top-3 window ranks.
+
+    Round 10: ``cfg``/``keyfn`` thread the plane tier through to the
+    candidate generator (VERDICT r9 #5), so the clustering family can
+    ride the unlimited-width RP planes (``semdedup_rp``) instead of the
+    64-plane coordinate budget. Default: coordinate tier, unchanged."""
+    vecs, cand = _banded_cand(spark, sf_dir, cfg=cfg, keyfn=keyfn)
     pair = _scored_pairs(vecs, cand, "score")
     scored = pair.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
@@ -2063,13 +2080,15 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mutual_edges(spark, sf_dir).orderBy("src", "dst")
 
 
-def _mutual_edges_ctes() -> str:
+def _mutual_edges_ctes(base: str | None = None) -> str:
     """CTE chain ending in ``mut(src, dst, score, rank_ab, rank_ba)`` with
     src < dst — the oracle twin of ``_mutual_edges``, shared by
     knn_graph_mutual, semdedup_mutual and graph_label_prop. Candidates
     come from the shared banded CTEs (round 9); each unordered pair is
-    scored once and mirrored, exactly as the Spark side."""
-    return f"""{_BANDED_CAND_CTES},
+    scored once and mirrored, exactly as the Spark side. ``base`` swaps
+    the candidate chain (must end in raw + cand) — the RP tier passes
+    ``_RP_CAND_CTES`` (round 10, semdedup_rp)."""
+    return f"""{base or _BANDED_CAND_CTES},
 pair AS (
   SELECT c.id_a, c.id_b, {_PAIR_COS_SQL} AS score
   FROM cand c
@@ -2142,9 +2161,19 @@ def q_semdedup_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus). Overflow headroom: |qm| ≤ 0.6·2¹⁶, so ||S||² ≤
     64·(k·0.6·2¹⁶)² stays under 2⁶³ for clusters up to k ≈ 9,600 members
     — far beyond a mutual-top-3 component."""
+    return _semdedup_keep(
+        spark, sf_dir, _mutual_edges(spark, sf_dir).select("src", "dst")
+    )
+
+
+def _semdedup_keep(
+    spark: SparkSession, sf_dir: str, edges: DataFrame
+) -> DataFrame:
+    """The SemDeDup keep decision over a given mutual-edge substrate
+    (``q_semdedup_mutual``'s docstring is the design record) — shared by
+    the coordinate tier and ``semdedup_rp`` (round 10)."""
     from jp_qcew_spark.ext.graph import connected_components
 
-    edges = _mutual_edges(spark, sf_dir).select("src", "dst")
     labels = connected_components(edges, "src", "dst")
     qvecs = _vecs(spark, sf_dir).select(
         "vec_id",
@@ -2202,8 +2231,11 @@ def q_semdedup_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEMDEDUP_MUTUAL = f"""
-WITH RECURSIVE {_mutual_edges_ctes()},
+def _oracle_semdedup(base: str | None = None) -> str:
+    """SemDeDup oracle over a mutual-edge chain; ``base`` selects the
+    candidate tier exactly as ``_mutual_edges_ctes``."""
+    return f"""
+WITH RECURSIVE {_mutual_edges_ctes(base)},
 ue AS (
   SELECT src AS a, dst AS b FROM mut
   UNION ALL SELECT dst, src FROM mut
@@ -2256,6 +2288,9 @@ SELECT comp,
          AS n_kept
 FROM rk GROUP BY comp ORDER BY comp
 """
+
+
+ORACLE_SEMDEDUP_MUTUAL = _oracle_semdedup()
 
 QUERIES["semdedup_mutual"] = q_semdedup_mutual
 ORACLE["semdedup_mutual"] = ORACLE_SEMDEDUP_MUTUAL
@@ -2466,15 +2501,22 @@ banded AS (
 )"""
 
 
-def _oracle_dedup_rp() -> str:
-    return f"""
-WITH {_RP_SIG_CTES},
+# Candidate chain for the RP tier (sig CTEs + the same-band pair
+# DISTINCT) — the RP twin of _BANDED_CAND_CTES, reusable wherever a
+# consumer needs raw + cand on the unlimited-plane substrate
+# (dedup_embedding_rp, and the round-10 semdedup_rp mutual chain).
+_RP_CAND_CTES = f"""{_RP_SIG_CTES},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.bkt = b.bkt
    AND a.vec_id < b.vec_id
-)
+)"""
+
+
+def _oracle_dedup_rp() -> str:
+    return f"""
+WITH {_RP_CAND_CTES}
 SELECT c.id_a, c.id_b, {_PAIR_COS_SQL} AS cos_sim
 FROM cand c
 JOIN raw a ON a.vec_id = c.id_a
@@ -2712,3 +2754,384 @@ FROM labeled GROUP BY sim_band ORDER BY sim_band
 
 QUERIES["dedup_recall_eval"] = q_dedup_recall_eval
 ORACLE["dedup_recall_eval"] = ORACLE_DEDUP_RECALL
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_rp_target — recall-TARGETED banding (round 10)
+# --------------------------------------------------------------------------
+
+# Production near-dup target: catch pairs at cosine >= _TGT_COS with
+# probability >= _TGT_RECALL. Bands are DERIVED from the target (VERDICT
+# r9 #1) instead of pinned at 4 — planes are free on the RP tier (round
+# 9), so the band count is the knob that makes recall a contract.
+_TGT_COS = 0.8
+_TGT_RECALL = 0.9
+
+# Plane budget the TARGET tier's oracle enumerates (its own constant —
+# the fixed-bands tier keeps _RP_ORACLE_PLANES=128). b grows with the
+# corpus here: with r = log2(n/16) occupancy bits and collision prob
+# p = 1 - acos(t)/pi per plane, b = ceil(ln(1-R)/ln(1-p^r)) ~ n^(-lg p)
+# (n^0.33 at t=0.8), so planes b*r grow polylog-times-poly: 77 at
+# n~1e3, 220 at 1e4, 585 at 1e5, 1424 at 1e6. 2048 covers n ~ 3e6 —
+# raise BOTH the constant and the oracle CTE (they share this constant
+# via the f-string) to extend; past it the cfg RAISES rather than
+# letting the engines hash-diverge (the _lsh_cfg_rp rule).
+_RP_TGT_PLANES = 2048
+
+# Seeded high-similarity cohorts (the certification fixture): the
+# synthetic corpus has essentially NO pairs above cosine 0.8 (989/990
+# true pairs sit in 0.30-0.50 — dedup_recall_eval's measurement), so a
+# >=0.8-recall certification needs planted positives. For the first
+# _PLANT_N vectors, two perturbed copies are unioned in with pinned id
+# offsets; multiplying dimension i by (1+e) for even i and (1-e) for
+# odd i yields cos ~ (1+e*d)/sqrt(1+e^2+2*e*d) where d is the vector's
+# even/odd energy imbalance (near 0): e=0.3 -> cos ~ 0.958, e=0.6 ->
+# cos ~ 0.857 — straddling the 0.8 target from above. The factors are
+# written as DECIMAL LITERALS (1.3/0.7, 1.6/0.4) parsed identically by
+# both engines, and the parity is on the ZERO-BASED dimension index
+# (Spark transform's i; (i-1) for DuckDB's 1-based list index), so the
+# planted vectors are bit-identical doubles on both sides.
+_PLANT_N = 50
+_PLANT_COHORTS = ((1_000_000, "1.3", "0.7"), (2_000_000, "1.6", "0.4"))
+
+
+def _lsh_cfg_rp_target(
+    n: int, threshold: float = _TGT_COS, recall: float = _TGT_RECALL
+) -> tuple[int, int]:
+    """(bands, row_bits) derived FROM a (cosine threshold, recall floor)
+    target: row_bits keeps the log2(n/16) occupancy rule (per-bucket
+    volume constant at any n — what round 9 bought), and bands solves
+    1-(1-p^r)^b >= recall at p = 1 - acos(threshold)/pi, i.e.
+    b = ceil(ln(1-recall)/ln(1-p^r)). Pairs ABOVE the threshold collide
+    with even higher probability (p increasing in cosine), so the floor
+    certifies the whole >=threshold region.
+
+    Cross-engine determinism of the DERIVED b: the oracle re-derives b
+    with the same formula in SQL; acos/ln/pow may differ by ~1 ulp
+    between libm builds, so both sides round p^r to 12 decimals and the
+    log ratio to 6 decimals BEFORE ceil — a divergence would need the
+    true value within ~1e-16 of a rounding-grid midpoint, and the
+    3-scale hash verification catches any such corpus deterministically.
+
+    Candidate-volume price (the honest LSH math): background pairs sit
+    near cos 0 (p0 ~ 0.5), so expected candidates ~ b * n^2 * p0^r / 2 =
+    8*b*n (2^r = n/16) — b ~ n^0.33 at threshold 0.8 makes the targeted
+    pass ~ n^1.33, massively sub-quadratic but NOT the fixed-b tier's
+    linear: guaranteed recall at a pinned threshold is what the extra
+    factor buys. The plane budget raises loudly when outgrown."""
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
+    p = 1.0 - math.acos(threshold) / math.pi
+    q = round(p**bits, 12)
+    b = math.ceil(round(math.log(1.0 - recall) / math.log(1.0 - q), 6))
+    if b * bits > _RP_TGT_PLANES:
+        raise ValueError(
+            f"targeted RP tier needs {b * bits} planes for n={n} at "
+            f"(threshold={threshold}, recall={recall}) but the oracle "
+            f"enumerates only {_RP_TGT_PLANES} — raise _RP_TGT_PLANES "
+            "(both sides derive from it) before running a corpus this "
+            "large"
+        )
+    return b, bits
+
+
+def _aug_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus plus the two planted high-similarity cohorts (module
+    comment above ``_PLANT_N``) — the certification fixture the targeted
+    generator and its recall eval both run on. Row count is
+    |embeddings| + 2*_PLANT_N by construction (no count job needed)."""
+    base = _vecs(spark, sf_dir).select("vec_id", "v")
+    out = base
+    for off, hi, lo in _PLANT_COHORTS:
+        planted = base.filter(F.col("vec_id") < _PLANT_N).select(
+            (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                * F.when(i % 2 == 0, F.lit(float(hi))).otherwise(
+                    F.lit(float(lo))
+                ),
+            ).alias("v"),
+        )
+        out = out.unionByName(planted)
+    return out
+
+
+def q_dedup_embedding_rp_target(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall-TARGETED near-duplicate pass: every pair at cosine >=
+    ``_TGT_COS`` (0.8) is caught with probability >= ``_TGT_RECALL``
+    (0.9) BY CONSTRUCTION — the band count is derived from the target
+    (``_lsh_cfg_rp_target``) instead of pinned, which is what a
+    production near-dup pass needs: a threshold and a recall floor are
+    the contract, the banding is an implementation detail. Runs on the
+    corpus + the planted high-similarity cohorts (``_aug_vecs``) because
+    the synthetic corpus has no >=0.8 pairs to certify against; the
+    planted pairs ARE the certification — the output exhibits them, the
+    oracle re-derives them, and the driver hash compares both. Swap the
+    raw corpus in via ``_banded_cand(vecs=...)`` for production use.
+
+    Same sub-quadratic plan as ``dedup_embedding_rp`` (keyed per-band
+    self-join, pair-DISTINCT before scoring, no corpus broadcast, keygen
+    ONE cached Arrow int64 matmul) — only the (bands, bits) config and
+    the verify threshold differ. The derived band count is certified by
+    ``dedup_recall_target_eval``, which emits it as a hashed column."""
+    n_aug = (
+        load_table(spark, sf_dir, "embeddings").count() + 2 * _PLANT_N
+    )
+    vecs, cand = _banded_cand(
+        spark,
+        sf_dir,
+        cfg=_lsh_cfg_rp_target,
+        keyfn=S.rp_bands,
+        vecs=_aug_vecs(spark, sf_dir),
+        n=n_aug,
+    )
+    return (
+        _scored_pairs(vecs, cand, "cos_sim")
+        .filter(F.col("cos_sim") >= _TGT_COS)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _aug_sql() -> str:
+    """aug(vec_id, v): the oracle twin of ``_aug_vecs`` — corpus plus the
+    planted cohorts, factors as the same decimal literals, parity on the
+    zero-based dimension index ((i-1) under 1-based list indexing)."""
+    cohorts = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id + {off} AS vec_id,
+         list_transform(range(1, 65), i -> (embedding::DOUBLE[])[i] *
+           CASE WHEN (i - 1) % 2 = 0 THEN {hi} ELSE {lo} END) AS v
+  FROM embeddings WHERE vec_id < {_PLANT_N}"""
+        for off, hi, lo in _PLANT_COHORTS
+    )
+    return f"""aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+{cohorts}
+)"""
+
+
+# Target-tier signature chain: identical derivation to _RP_SIG_CTES but
+# over the augmented corpus, with bands DERIVED in SQL from the same
+# (threshold, recall) formula — rounding discipline mirrored from
+# _lsh_cfg_rp_target so ceil() can't straddle a libm ulp — and the
+# plane/band fan-outs driven by the cfg scalars under the fixed
+# _RP_TGT_PLANES enumeration (the portable-subset device: fixed range x
+# scalar filter).
+_RP_TGT_CTES = f"""{_aug_sql()},
+cfg AS (
+  SELECT bits,
+         CAST(ceil(round(ln(1.0 - {_TGT_RECALL}) /
+             ln(1.0 - round(pow(1.0 - acos({_TGT_COS}) / pi(), bits),
+                            12)), 6)) AS INT) AS bands
+  FROM (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 16.0)) AS INT))
+          AS bits
+        FROM aug) t
+),
+w AS (
+  SELECT p,
+         list_transform(range(0, 64), i ->
+           CASE WHEN instr('02468ace',
+                           substr(md5('rp:' || p || ':' || i), 2, 1)) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS wv
+  FROM range(0, {_RP_TGT_PLANES}) t(p)
+  WHERE p < (SELECT bands * bits FROM cfg)
+),
+dots AS (
+  SELECT r.vec_id, w.p,
+         list_sum(list_transform(range(1, 65),
+           i -> w.wv[i] * CAST(floor(r.v[i] * {S.RP_Q}) AS BIGINT)))
+           AS dot
+  FROM aug r CROSS JOIN w
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY p) AS s
+  FROM dots GROUP BY vec_id
+),
+tb AS (
+  SELECT k FROM range(0, {_RP_TGT_PLANES}) t(k)
+  WHERE k < (SELECT bands FROM cfg)
+),
+banded AS (
+  SELECT vec_id, k AS band_idx,
+         substr(s, CAST(k * (SELECT bits FROM cfg) + 1 AS INT),
+                (SELECT bits FROM cfg)) AS bkt
+  FROM sig CROSS JOIN tb
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.bkt = b.bkt
+   AND a.vec_id < b.vec_id
+)"""
+
+ORACLE_DEDUP_RP_TARGET = f"""
+WITH {_RP_TGT_CTES}
+SELECT c.id_a, c.id_b, {_PAIR_COS_SQL} AS cos_sim
+FROM cand c
+JOIN aug a ON a.vec_id = c.id_a
+JOIN aug b ON b.vec_id = c.id_b
+WHERE {_PAIR_COS_SQL} >= {_TGT_COS}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_embedding_rp_target"] = q_dedup_embedding_rp_target
+ORACLE["dedup_embedding_rp_target"] = ORACLE_DEDUP_RP_TARGET
+
+
+# --------------------------------------------------------------------------
+# dedup_recall_target_eval — certify the targeted tier's recall contract
+# --------------------------------------------------------------------------
+
+
+def q_dedup_recall_target_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binned pair-recall of the TARGETED generator
+    (``dedup_embedding_rp_target``) against brute-force ground truth
+    over the seeded corpus — the certification that the derived band
+    count delivers the contract: recall in the >=0.8-cosine bin must
+    clear 0.9 (pinned by test at sf0.1; measured ~0.96-1.0 — pairs above
+    the threshold collide with higher-than-floor probability). The
+    derived band count rides along as a hashed OUTPUT column, so the
+    driver certifies that both engines derived the SAME b from the same
+    (threshold, recall) target — the formula itself is under the hash,
+    not just its effects.
+
+    Scale shape: ground truth broadcasts the bounded eval slice against
+    the corpus (|slice| x n, LINEAR — never n^2 all-pairs); hits come
+    from the generator's CANDIDATE set (pre-verify), which is what the
+    1-(1-p^r)^b math predicts per bin; the final agg is a 4-bin rollup.
+    The planted cohorts give the >=0.8 bin real members (the raw
+    synthetic corpus has ~none)."""
+    n_aug = (
+        load_table(spark, sf_dir, "embeddings").count() + 2 * _PLANT_N
+    )
+    bands, _bits = _lsh_cfg_rp_target(n_aug)
+    vecs, cand = _banded_cand(
+        spark,
+        sf_dir,
+        cfg=_lsh_cfg_rp_target,
+        keyfn=S.rp_bands,
+        vecs=_aug_vecs(spark, sf_dir),
+        n=n_aug,
+    )
+    a = vecs.filter(F.col("vec_id") < _EVAL_SLICE).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                S.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.3)
+    )
+    hits = cand.filter(F.col("id_a") < _EVAL_SLICE).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    band = (
+        F.when(F.col("cs") >= 0.8, "0.80+")
+        .when(F.col("cs") >= 0.65, "0.65-0.80")
+        .when(F.col("cs") >= 0.5, "0.50-0.65")
+        .otherwise("0.30-0.50")
+    )
+    return (
+        truth.join(hits, ["id_a", "id_b"], "left")
+        .select(band.alias("sim_band"), "hit")
+        .groupBy("sim_band")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_tgt"),
+        )
+        .withColumn(
+            "recall_tgt", F.round(F.col("n_tgt") / F.col("n_true"), 4)
+        )
+        .withColumn("bands_used", F.lit(int(bands)).cast("long"))
+        .orderBy("sim_band")
+    )
+
+
+ORACLE_DEDUP_RECALL_TARGET = f"""
+WITH {_RP_TGT_CTES},
+truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS_SQL} AS cs
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < {_EVAL_SLICE} AND {_PAIR_COS_SQL} >= 0.3
+),
+labeled AS (
+  SELECT CASE WHEN t.cs >= 0.8 THEN '0.80+'
+              WHEN t.cs >= 0.65 THEN '0.65-0.80'
+              WHEN t.cs >= 0.5 THEN '0.50-0.65'
+              ELSE '0.30-0.50' END AS sim_band,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t
+  LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT sim_band,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(hit) AS BIGINT) AS n_tgt,
+       round(sum(hit) / count(*), 4) AS recall_tgt,
+       CAST((SELECT bands FROM cfg) AS BIGINT) AS bands_used
+FROM labeled GROUP BY sim_band ORDER BY sim_band
+"""
+
+QUERIES["dedup_recall_target_eval"] = q_dedup_recall_target_eval
+ORACLE["dedup_recall_target_eval"] = ORACLE_DEDUP_RECALL_TARGET
+
+
+# --------------------------------------------------------------------------
+# semdedup_rp — the clustering family on the unlimited-plane substrate
+# --------------------------------------------------------------------------
+
+
+def q_semdedup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep decision on the RANDOM-HYPERPLANE mutual-kNN
+    substrate (VERDICT r9 #5): identical pipeline to ``semdedup_mutual``
+    — mutual top-3 edges → connected components → integer-exact
+    centroid → keep/drop — but the candidate generator is the RP banded
+    tier (``_lsh_cfg_rp``/``rp_bands``), so the clustering family rides
+    the UNLIMITED plane supply instead of the 64-coordinate budget: the
+    occupancy rule (log2(n/16) bits/band) never saturates, at any
+    corpus size. The coordinate tier keeps ``semdedup_mutual``
+    unchanged; this query certifies that the substrate swap is a config,
+    not a rewrite — the generator, mutual window, star CC, and keep
+    decision are all the same shared code paths (``_mutual_edges``,
+    ``_semdedup_keep``), and the oracle reuses the same CTE chains with
+    only the candidate tier swapped (``_RP_CAND_CTES``).
+
+    Plan shape inherits every pinned discipline: keygen is ONE
+    scope-cached Arrow int64 matmul (the keygen-once pin), the banded
+    self-join is keyed with NO corpus broadcast, components run
+    alternating large/small-star with per-round lineage truncation."""
+    return _semdedup_keep(
+        spark,
+        sf_dir,
+        _mutual_edges(
+            spark, sf_dir, cfg=_lsh_cfg_rp, keyfn=S.rp_bands
+        ).select("src", "dst"),
+    )
+
+
+QUERIES["semdedup_rp"] = q_semdedup_rp
+ORACLE["semdedup_rp"] = _oracle_semdedup(_RP_CAND_CTES)

@@ -124,6 +124,10 @@ QUERIES = [
     "dedup_embedding_rp",
     "knn_recall_rp",
     "dedup_recall_eval",
+    # r10 additions (recall-targeted banding + its certification)
+    "dedup_embedding_rp_target",
+    "dedup_recall_target_eval",
+    "semdedup_rp",
 ]
 
 

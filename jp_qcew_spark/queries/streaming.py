@@ -768,3 +768,87 @@ FROM ann ORDER BY doc_id
 
 QUERIES["stream_dedup_incremental"] = q_stream_dedup_incremental
 ORACLE["stream_dedup_incremental"] = ORACLE_STREAM_DEDUP_INCR
+
+
+# --------------------------------------------------------------------------
+# stream_dedup_neardup — banded near-dup ingest on the wire (round 10)
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest twin — see
+    streaming/pipelines.stream_dedup_neardup for the full design (doc
+    replay in doc_id order, per-row MinHash band signature, per-band-key
+    seen-flag state, any-band OR folded at the boundary)."""
+    from jp_qcew_spark.streaming.pipelines import stream_dedup_neardup
+
+    return stream_dedup_neardup(spark, sf_dir).orderBy("doc_id")
+
+
+def _oracle_stream_neardup() -> str:
+    """Batch reconstruction of the banded replay: batch index =
+    rank(doc_id) // ceil(n/8) over ALL docs (the docreplay 'auto' rule);
+    a band key was 'seen earlier' iff its minimum batch index precedes
+    mine; the in-batch keeper per (band, key, batch) is the minimum
+    doc_id; the per-doc verdict is the same any-band OR the stream folds
+    after quiescence. Signature CTEs are the dedup_minhash_lsh oracle's
+    (same hash family, bit-for-bit)."""
+    from jp_qcew_spark.queries.dedup import (
+        _NUM_BANDS,
+        _NUM_HASHES,
+        _SH_SQL,
+    )
+
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh_{4 * b} || mh_{4 * b + 1} || mh_{4 * b + 2} || mh_{4 * b + 3}) "
+        "AS band_key FROM sig"
+        for b in range(_NUM_BANDS)
+    )
+    return rf"""
+WITH sh AS ({_SH_SQL}),
+rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+),
+nb AS (SELECT CAST(ceil(count(*) / 8.0) AS BIGINT) AS bsz FROM documents),
+nonempty AS (SELECT * FROM sh WHERE len(shset) > 0),
+sig AS (
+  SELECT doc_id, shset,
+         {sig_exprs}
+  FROM nonempty
+),
+banded AS (
+{band_selects}
+),
+k AS (
+  SELECT b.doc_id, b.band_idx, b.band_key,
+         r.rk // (SELECT bsz FROM nb) AS bi
+  FROM banded b JOIN rk r ON b.doc_id = r.doc_id
+),
+ann AS (
+  SELECT doc_id, bi,
+         min(bi) OVER (PARTITION BY band_idx, band_key) AS min_bi,
+         min(doc_id) OVER (PARTITION BY band_idx, band_key, bi) AS min_doc
+  FROM k
+),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN bi > min_bi THEN 1 ELSE 0 END) AS prior,
+         max(CASE WHEN doc_id > min_doc THEN 1 ELSE 0 END) AS lower_in
+  FROM ann GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN prior = 1 THEN 'dup_vs_seen'
+            WHEN lower_in = 1 THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM per_doc ORDER BY doc_id
+"""
+
+
+QUERIES["stream_dedup_neardup"] = q_stream_dedup_neardup
+ORACLE["stream_dedup_neardup"] = _oracle_stream_neardup()

@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -845,4 +846,168 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the stream_cep_sequence 8→32 lesson; measured 57 s → ~17 s at sf0.1)
     return run_to_quiescence(
         out, "append", "sink_dedup_incremental", state_partitions=32
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming NEAR-dup ingest — banded seen-keys state on the wire (round 10)
+# --------------------------------------------------------------------------
+
+_NEARDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("prior", LongType()),
+        StructField("lower_in_batch", LongType()),
+    ]
+)
+_NEARDUP_STATE = StructType(
+    [StructField("seen_keys", ArrayType(StringType()))]
+)
+
+# Stateful-op key = crc32(band identity) % _NEARDUP_BUCKETS, NOT the band
+# key itself. The r9 exact-dedup stream keys state per fingerprint — the
+# honest per-key cost contract, and at 3x the key cardinality (3 band
+# keys per doc) the per-key Arrow invocation overhead measurably breaks
+# scaling: the per-key first cut ran 19.98 s at sf0.1 and failed the
+# 120 s quiescence gate at sf1 (~150k key groups). Bucketing bounds the
+# invocation count at min(|keys in batch|, buckets) per micro-batch and
+# moves the per-key flags into an array-of-strings state per bucket —
+# the invocation-count vs state-value-size knob. Production note: with
+# transformWithState (map-typed state) each band key would be one map
+# entry and this trade disappears; with value-typed state, bucket count
+# is the tuning lever (state per bucket = |distinct band keys|/buckets
+# strings, rewritten once per bucket per batch).
+_NEARDUP_BUCKETS = 512
+
+
+def _neardup_fn(key, pdfs, state):
+    """Bucketed ingest probe against accumulated seen-keys state: the
+    bucket's state holds the set of band identities (``band_idx:band_key``)
+    registered by EARLIER micro-batches. Per band identity in this batch:
+    docs get ``prior=1`` if the identity was already registered; within
+    the batch the smallest doc_id per identity is its keeper
+    (``lower_in_batch=0``) and the rest are flagged. The per-DOC verdict
+    is an any-band OR folded AFTER quiescence — a doc is near-dup if ANY
+    of its bands hit — which cannot be decided inside one key group, so
+    the stateful op emits per-(band, doc) facts and the batch rollup at
+    the boundary folds them (the stream_cep_sequence post-sink-agg
+    shape). State grows with DISTINCT signature bands (<= _NUM_BANDS per
+    distinct doc), never with the stream. Deterministic by construction:
+    sorted group iteration, sorted doc ids, sorted state list."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    seen = set(state.get[0]) if state.exists else set()
+    out_ids: list[int] = []
+    out_prior: list[int] = []
+    out_lower: list[int] = []
+    rows["k"] = rows["band_idx"].astype(str) + ":" + rows["band_key"]
+    for k, grp in rows.groupby("k", sort=True):
+        ids = sorted(int(x) for x in grp["doc_id"])
+        prior = 1 if k in seen else 0
+        seen.add(k)
+        out_ids.extend(ids)
+        out_prior.extend([prior] * len(ids))
+        out_lower.extend([0] + [1] * (len(ids) - 1))
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        {
+            "doc_id": out_ids,
+            "prior": out_prior,
+            "lower_in_batch": out_lower,
+        }
+    )
+
+
+def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of banded NEAR-dup ingest (VERDICT r9 #7): the
+    production crawl pipeline dedups arriving batches against the corpus
+    by MinHash band keys, not exact fingerprints —
+    ``stream_dedup_incremental`` with the key space swapped from
+    md5(head) to the ``dedup_minhash_lsh`` band family (same 12-hash /
+    3-band / 4-row signature, same md5-string minima, so the hash family
+    stays oracle-checkable bit-for-bit).
+
+    Shape: the replayed docs map through a STATELESS per-row signature
+    (``ext.dedup.minhash_band_keys`` — one Arrow-batched UDF, because
+    the batch pipeline's exploded+groupBy form would be a second
+    stateful operator, which streaming forbids before
+    ``applyInPandasWithState``, and the per-row HOF form measured ~70
+    core-ms/doc interpreted), posexplode to (band_idx, band_key) rows,
+    then ONE stateful pass keyed by band-key bucket. Docs with fewer
+    than 3 words have no shingles and are out of scope on both sides
+    (the ``dedup_minhash_lsh`` nonempty rule).
+
+    Cost contract: band-key cardinality is ~_NUM_BANDS x distinct docs —
+    3x the r9 exact-dedup stream — so the stateful op is keyed by a
+    crc32 BUCKET of the band identity (``_NEARDUP_BUCKETS``), bounding
+    Arrow invocations per micro-batch at the bucket count instead of the
+    key count (the per-key first cut: 19.98 s at sf0.1, quiescence
+    timeout at sf1; bucketed: measured at both). state_partitions=32
+    (the measured lever). Batch-oracle equality at quiescence: batch
+    index is a pure function of (doc_id rank, ceil(n/8)), so the oracle
+    reconstructs 'band seen earlier' and 'lower id in batch' with two
+    window minima over the banded keys — the r9 reconstruction device
+    generalized to the banded key space; the bucketing is invisible to
+    the oracle because it never changes a decision, only which
+    invocation computes it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from jp_qcew_spark.ext import dedup as D
+    from jp_qcew_spark.queries.dedup import _NUM_HASHES, _ROWS_PER_BAND
+    from jp_qcew_spark.sources.stream_replay import DocReplayDataSource
+
+    ensure_session_confs(spark)
+    spark.dataSource.register(DocReplayDataSource)
+    stream = (
+        spark.readStream.format("docreplay")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("batch_rows", "auto")
+        .load()
+    )
+    # Signature = ONE Arrow-batched UDF (ext.dedup.minhash_band_keys):
+    # the batch pipeline's codegen exploded+groupBy form is a streaming
+    # aggregation (forbidden before the stateful op), and the per-row
+    # HOF fallback measured ~70 core-ms/doc interpreted — the sf1
+    # quiescence killer; the Arrow loop is ~2-3 ms/doc, bit-identical
+    # keys (pinned by test). The replay source emits ONE partition per
+    # micro-batch, so repartition FIRST to run the signature at task
+    # parallelism (the widen_scan lesson applied to the wire).
+    keyed = (
+        stream.repartition(32)
+        .select(
+            "doc_id",
+            F.posexplode(
+                D.minhash_band_keys(
+                    F.col("text"), _NUM_HASHES, _ROWS_PER_BAND
+                )
+            ).alias("band_idx", "band_key"),
+        )
+    ).withColumn(
+        "bucket",
+        F.crc32(
+            F.concat_ws(":", F.col("band_idx"), F.col("band_key"))
+        )
+        % _NEARDUP_BUCKETS,
+    )
+    out = keyed.groupBy("bucket").applyInPandasWithState(
+        _neardup_fn,
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_quiescence(
+        out, "append", "sink_dedup_neardup", state_partitions=32
+    )
+    folded = sink.groupBy("doc_id").agg(
+        F.max("prior").alias("p"),
+        F.max("lower_in_batch").alias("l"),
+    )
+    return folded.select(
+        "doc_id",
+        F.when(F.col("p") == 1, F.lit("dup_vs_seen"))
+        .when(F.col("l") == 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
     )

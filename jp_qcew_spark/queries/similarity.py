@@ -2462,8 +2462,10 @@ def q_dedup_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor(v·2²⁰)-quantized BIGINTs (ext.similarity.RP_Q): exact integer
 # arithmetic, so this sequential list_sum equals the Spark side's
 # batched int64 matmul by VALUE with no fold-order coupling. Plane
-# budget 128 = a test-harness text cap (bits ≤ 32 ⇒ n ≤ 16·2³²), not an
-# engine limit; the WHERE prunes to the 4·bits planes actually used.
+# budget _RP_ORACLE_PLANES (bits ≤ 32 ⇒ n ≤ 16·2³²) is a test-harness
+# text cap, not an engine limit — and since round 10 the cfg RAISES
+# rather than letting the engines hash-diverge past it (ADVICE r9);
+# the WHERE prunes to the 4·bits planes actually used.
 _RP_SIG_CTES = f"""raw AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),

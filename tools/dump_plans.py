@@ -193,6 +193,30 @@ HEADLINERS = [
      "generators under eval are the registry queries themselves; the "
      "curve certifies where sign-LSH recalls and where it is designed "
      "not to."),
+    ("dedup_embedding_rp_target",
+     "Recall-TARGETED banding (r10): band count derived from a "
+     "(cosine threshold, recall floor) contract — b = "
+     "ceil(ln(1-R)/ln(1-p^r)) — over the seeded certification corpus; "
+     "same cached-Arrow-keygen + keyed per-band join + pair-distinct "
+     "shape as the fixed-b tier, candidates ~n^1.33 (the priced "
+     "recall guarantee)."),
+    ("dedup_recall_target_eval",
+     "Certification of the targeted tier (r10): linear eval-slice "
+     "truth, candidate hits from the generator itself, binned recall "
+     "with the DERIVED band count as a hashed output column — 0.99 "
+     "measured in the >=0.8 bin against a 0.9 floor."),
+    ("semdedup_rp",
+     "SemDeDup on the unlimited-plane RP substrate (r10): the "
+     "clustering family rides the Arrow-matmul banded generator via "
+     "cfg/keyfn pass-through — same mutual window, star CC, integer-"
+     "exact centroid keep rule as the coordinate tier; substrate "
+     "choice is config, not a rewrite."),
+    ("stream_dedup_neardup",
+     "Banded near-dup ingest on the wire (r10): one Arrow-batched "
+     "signature UDF after a 32-way repartition of the single-"
+     "partition replay source, crc32-bucketed seen-keys state "
+     "(invocations bounded by bucket count, not key count), any-band "
+     "OR folded after quiescence."),
 ]
 
 

@@ -385,3 +385,29 @@ def test_stream_dedup_neardup_matches_banded_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_target_cfg_is_a_real_parameter():
+    """The (threshold, recall) target is a PARAMETER, not a constant
+    pair: across a grid of contracts the derived b always satisfies the
+    floor minimally, tightens monotonically with the recall floor, and
+    grows as the threshold drops (lower-similarity pairs collide less
+    per band, so more bands are needed)."""
+    import math
+
+    from jp_qcew_spark.queries.similarity import _lsh_cfg_rp_target
+
+    n = 10_100
+    for thr in (0.7, 0.8, 0.9):
+        for rec in (0.8, 0.9, 0.95):
+            b, r = _lsh_cfg_rp_target(n, thr, rec)
+            p = 1.0 - math.acos(thr) / math.pi
+            q = round(p**r, 12)
+            assert 1.0 - (1.0 - q) ** b >= rec
+            assert 1.0 - (1.0 - q) ** (b - 1) < rec
+    b90, _ = _lsh_cfg_rp_target(n, 0.8, 0.90)
+    b95, _ = _lsh_cfg_rp_target(n, 0.8, 0.95)
+    assert b95 > b90
+    b_lo, _ = _lsh_cfg_rp_target(n, 0.7, 0.9)
+    b_hi, _ = _lsh_cfg_rp_target(n, 0.9, 0.9)
+    assert b_lo > b90 > b_hi

@@ -2814,6 +2814,8 @@ def _lsh_cfg_rp_target(
     log ratio to 6 decimals BEFORE ceil — a divergence would need the
     true value within ~1e-16 of a rounding-grid midpoint, and the
     3-scale hash verification catches any such corpus deterministically.
+    Domain: threshold and recall must sit strictly inside (0, 1) —
+    threshold=1.0 would make p=1 and the log ratio degenerate to b=0.
 
     Candidate-volume price (the honest LSH math): background pairs sit
     near cos 0 (p0 ~ 0.5), so expected candidates ~ b * n^2 * p0^r / 2 =
@@ -2823,6 +2825,11 @@ def _lsh_cfg_rp_target(
     factor buys. The plane budget raises loudly when outgrown."""
     import math
 
+    if not (0.0 < threshold < 1.0 and 0.0 < recall < 1.0):
+        raise ValueError(
+            f"target (threshold={threshold}, recall={recall}) must sit "
+            "strictly inside (0, 1)"
+        )
     bits = max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
     p = 1.0 - math.acos(threshold) / math.pi
     q = round(p**bits, 12)

@@ -252,6 +252,15 @@ def minhash_band_keys(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # a non-multiple would silently DROP trailing hashes from the key
+    # space (num_bands floors) — a config drift from the pinned family
+    # must fail loudly, not quietly change every band key (ADVICE r10)
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a multiple of "
+            f"rows_per_band={rows_per_band} — a remainder would "
+            "silently drop trailing hashes from the band-key space"
+        )
     num_bands = num_hashes // rows_per_band
     ws = re.compile(r"\s+", re.ASCII)
 

@@ -159,6 +159,20 @@ def connected_components(
                 8, math.ceil(math.log2(max(nodes.count(), 2))) + 4
             )
         if rail is not None and rounds >= rail:
+            # name the limit that ACTUALLY tripped: a caller-pinned
+            # max_iter is the caller's budget, not the derived formula
+            # (ADVICE r10 — the old message claimed the derived rail
+            # even when the caller pinned one)
+            if max_iter is not None:
+                raise RuntimeError(
+                    f"connected_components did not converge in the "
+                    f"caller-pinned max_iter={rail} large/small-star "
+                    "rounds — alternating star needs ~ceil(log2 n) "
+                    "rounds on a chain-shaped graph, so either raise "
+                    "max_iter (or pass None to derive the rail from "
+                    "the node count) or look for an edge-generation "
+                    "blowup upstream"
+                )
             raise RuntimeError(
                 f"connected_components did not converge in {rail} "
                 "large/small-star rounds — the rail is ceil(log2 n) + 4 "

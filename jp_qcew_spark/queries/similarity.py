@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import similarity as S
-from jp_qcew_spark.io import cache_parallel, load_table, track_cache, widen_scan
+from jp_qcew_spark.io import (
+    cache_parallel,
+    load_table,
+    metadata_row_count,
+    track_cache,
+    widen_scan,
+)
 
 _N_QUERIES = 10
 _COS_SQL = (
@@ -117,7 +123,7 @@ def q_knn_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth, and ``knn_multiprobe`` is the dial that buys recall back at
     +log(n) probes. Oracle derives the identical width via a scalar
     subquery."""
-    bits = _lsh_bits(load_table(spark, sf_dir, "embeddings").count())
+    bits = _lsh_bits(metadata_row_count(spark, sf_dir, "embeddings"))
     vecs = _vecs(spark, sf_dir).withColumn(
         "bucket", S.sign_bucket(F.col("v"), bits)
     )
@@ -476,7 +482,7 @@ def _banded_cand(
     cfg = cfg or _lsh_cfg
     keyfn = keyfn or S.sign_bands
     if n is None:
-        n = load_table(spark, sf_dir, "embeddings").count()
+        n = metadata_row_count(spark, sf_dir, "embeddings")
     bands, bits = cfg(n)
     base = vecs if vecs is not None else _vecs(spark, sf_dir)
     vecs = track_cache(
@@ -799,7 +805,7 @@ def q_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket also adds one more probe). Oracle derives the identical width via
     a scalar subquery and generates the flips with a range()-join bounded by
     the max clamp (16)."""
-    n_planes = _lsh_bits(load_table(spark, sf_dir, "embeddings").count())
+    n_planes = _lsh_bits(metadata_row_count(spark, sf_dir, "embeddings"))
     vecs = _vecs(spark, sf_dir).withColumn(
         "bucket", S.sign_bucket(F.col("v"), n_planes)
     )
@@ -1137,11 +1143,12 @@ def q_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: bucket occupancy is held ~constant by the bit-growth rule, so
     window partitions stay bounded; everything is JVM codegen (fold-based
     cosine), zero UDFs, zero broadcasts."""
-    # plan-time corpus count on the RAW table: count(*) answers from
-    # parquet row-group metadata there, while counting the widened _vecs
-    # frame would pay the widen exchange + the float->double transform
-    # for a number the scan already knows (r5 tail audit: 1.6 -> ~1.0 s)
-    bits = _lsh_bits(load_table(spark, sf_dir, "embeddings").count())
+    # config scalar from parquet FOOTER metadata (io.metadata_row_count):
+    # zero pre-query jobs — counting the widened _vecs frame would pay the
+    # widen exchange + the float->double transform for a number the file
+    # footers already carry (r5 tail audit: 1.6 -> ~1.0 s; r11 kills the
+    # remaining count job too)
+    bits = _lsh_bits(metadata_row_count(spark, sf_dir, "embeddings"))
     vecs = _vecs(spark, sf_dir).withColumn(
         "bucket", S.sign_bucket(F.col("v"), bits)
     )
@@ -1722,7 +1729,7 @@ def _banded_topk(
     fork: a candidate colliding in several bands carries bit-identical
     scores (same vectors, same fold), so DISTINCT-then-score equals
     score-then-max-collapse."""
-    bands, bits = cfg(load_table(spark, sf_dir, "embeddings").count())
+    bands, bits = cfg(metadata_row_count(spark, sf_dir, "embeddings"))
     if keyfn is S.rp_bands:
         vecs = track_cache(_vecs(spark, sf_dir).select("vec_id", "v"))
         keys = track_cache(
@@ -2763,22 +2770,35 @@ ORACLE["dedup_recall_eval"] = ORACLE_DEDUP_RECALL
 # --------------------------------------------------------------------------
 
 # Production near-dup target: catch pairs at cosine >= _TGT_COS with
-# probability >= _TGT_RECALL. Bands are DERIVED from the target (VERDICT
-# r9 #1) instead of pinned at 4 — planes are free on the RP tier (round
-# 9), so the band count is the knob that makes recall a contract.
+# probability >= _TGT_RECALL. The (bands, bits) config is DERIVED from
+# the target (VERDICT r9 #1; r10 derived bands at the occupancy-floor
+# bits, r11 sweeps bits too — VERDICT r10 #4) — planes are free on the
+# RP tier (round 9), so banding is the knob that makes recall a
+# contract and cost a minimized consequence.
 _TGT_COS = 0.8
 _TGT_RECALL = 0.9
 
 # Plane budget the TARGET tier's oracle enumerates (its own constant —
-# the fixed-bands tier keeps _RP_ORACLE_PLANES=128). b grows with the
-# corpus here: with r = log2(n/16) occupancy bits and collision prob
-# p = 1 - acos(t)/pi per plane, b = ceil(ln(1-R)/ln(1-p^r)) ~ n^(-lg p)
-# (n^0.33 at t=0.8), so planes b*r grow polylog-times-poly: 77 at
-# n~1e3, 220 at 1e4, 585 at 1e5, 1424 at 1e6. 2048 covers n ~ 3e6 —
-# raise BOTH the constant and the oracle CTE (they share this constant
-# via the f-string) to extend; past it the cfg RAISES rather than
-# letting the engines hash-diverge (the _lsh_cfg_rp rule).
-_RP_TGT_PLANES = 2048
+# the fixed-bands tier keeps _RP_ORACLE_PLANES=128). The r11 sweep
+# spends MORE bits than the occupancy floor when that cuts candidate
+# volume (each extra bit at t=0.8 halves background collisions but
+# costs only 1/p = 1.26x more bands), so the budget must cover the
+# SWEPT config: b*r at the cost optimum is ~1065 at n~3e4, ~1921 at
+# 9e4, ~3.4e3 at 1e6 (where the budget starts binding the sweep back
+# toward the floor config — still valid, just less optimized). 4096
+# keeps the sweep unconstrained through n ~ 3e5 and the cfg usable to
+# n ~ 1e7; raise BOTH the constant and the oracle CTE (they share this
+# constant via the f-string) to extend. When even the FLOOR config
+# outgrows the budget the cfg RAISES rather than letting the engines
+# hash-diverge (the _lsh_cfg_rp rule).
+_RP_TGT_PLANES = 4096
+
+# Sweep ceiling for row bits: n/2^(r+1) stays an EXACT double (and the
+# oracle's 1::BIGINT << (r+1) stays in int64) for every r below this,
+# and no real optimum lands past it — at t=0.8 the background floor
+# n*2^-r <= 16 is reached by r = log2(n)-4, i.e. r=40 corresponds to
+# n ~ 1.7e13 vectors.
+_RP_TGT_SWEEP_MAX = 40
 
 # Seeded high-similarity cohorts (the certification fixture): the
 # synthetic corpus has essentially NO pairs above cosine 0.8 (989/990
@@ -2797,32 +2817,68 @@ _PLANT_N = 50
 _PLANT_COHORTS = ((1_000_000, "1.3", "0.7"), (2_000_000, "1.6", "0.4"))
 
 
+def _qgrid(x: float, scale: float) -> float:
+    """Quantize ``x`` (>0) to the 1/``scale`` grid with a HALF-UP tie rule:
+    floor(x*scale + 0.5)/scale. Python's round() is banker's (half-even)
+    while DuckDB's round() is half-away-from-zero, so a value landing on
+    a grid midpoint would derive DIFFERENT band counts cross-engine
+    (ADVICE r10). floor/+/*// are single IEEE operations — both engines
+    compute bit-identical results from identical inputs, so the only
+    residual divergence window is libm ulps in the TRANSCENDENTAL inputs
+    (acos/pow/ln), collapsed by the grid except within ~1e-16 of a
+    midpoint."""
+    import math
+
+    return math.floor(x * scale + 0.5) / scale
+
+
 def _lsh_cfg_rp_target(
     n: int, threshold: float = _TGT_COS, recall: float = _TGT_RECALL
 ) -> tuple[int, int]:
     """(bands, row_bits) derived FROM a (cosine threshold, recall floor)
-    target: row_bits keeps the log2(n/16) occupancy rule (per-bucket
-    volume constant at any n — what round 9 bought), and bands solves
-    1-(1-p^r)^b >= recall at p = 1 - acos(threshold)/pi, i.e.
-    b = ceil(ln(1-recall)/ln(1-p^r)). Pairs ABOVE the threshold collide
-    with even higher probability (p increasing in cosine), so the floor
-    certifies the whole >=threshold region.
+    target by a closed-form COST SWEEP (VERDICT r10 #4): for each row
+    width r from the log2(n/16) occupancy floor up to
+    ``_RP_TGT_SWEEP_MAX``, solve the recall contract
+    b(r) = ceil(ln(1-recall)/ln(1-p^r)) at p = 1 - acos(threshold)/pi,
+    then pick the r minimizing expected probe volume
 
-    Cross-engine determinism of the DERIVED b: the oracle re-derives b
-    with the same formula in SQL; acos/ln/pow may differ by ~1 ulp
-    between libm builds, so both sides round p^r to 12 decimals and the
-    log ratio to 6 decimals BEFORE ceil — a divergence would need the
-    true value within ~1e-16 of a rounding-grid midpoint, and the
-    3-scale hash verification catches any such corpus deterministically.
+        cost(r) = b(r) * (1 + n / 2^(r+1))
+
+    — the sum of exploded band-key rows (n*b, the linear price of more
+    bands) and expected background candidates (b * n^2/2 * p0^r at the
+    background collision rate p0 = 1/2, i.e. n*b * n/2^(r+1)), in units
+    of n. Every admissible (r, b(r)) satisfies the recall floor — pairs
+    ABOVE the threshold collide with higher probability, so the floor
+    certifies the whole >=threshold region at ANY swept r; the sweep
+    only changes the PRICE. At t=0.8 (p=0.795) each bit above the floor
+    halves background collisions but costs only 1.26x more bands, so
+    the optimum sits several bits above the floor (e.g. r=15/b=71 at
+    n~3e4 vs the floor's r=11/b=28 — ~6x fewer expected candidates for
+    2.5x more key rows), until the ``b*r <= _RP_TGT_PLANES`` budget
+    binds the sweep back toward the floor at very large n.
+
+    Cross-engine determinism of the DERIVED (r, b): the oracle re-runs
+    the identical sweep in SQL. Transcendentals (acos/pow/ln) may
+    differ by ~1 ulp between libm builds, so both sides quantize p^r to
+    the 1e-12 grid and the log ratio to the 1e-6 grid with the SAME
+    half-up tie rule (``_qgrid`` — floor(x*s+0.5)/s on both engines;
+    each engine's native round() has a different tie direction, ADVICE
+    r10) before ceil. The cost compare itself uses only +,*,/ on exact
+    inputs: n/2^(r+1) is an exact double (integer over a power of two,
+    r <= 40), so cost(r) is bit-identical cross-engine and the argmin
+    (ties broken toward smaller r) cannot diverge. b*r is monotone
+    increasing in r, so the budget filter and the Python break agree.
     Domain: threshold and recall must sit strictly inside (0, 1) —
     threshold=1.0 would make p=1 and the log ratio degenerate to b=0.
 
-    Candidate-volume price (the honest LSH math): background pairs sit
-    near cos 0 (p0 ~ 0.5), so expected candidates ~ b * n^2 * p0^r / 2 =
-    8*b*n (2^r = n/16) — b ~ n^0.33 at threshold 0.8 makes the targeted
-    pass ~ n^1.33, massively sub-quadratic but NOT the fixed-b tier's
-    linear: guaranteed recall at a pinned threshold is what the extra
-    factor buys. The plane budget raises loudly when outgrown."""
+    Candidate-volume price (the honest LSH math): the recall contract
+    forces b ~ p^-r, and holding per-bucket background volume bounded
+    forces r ~ log2(n) + O(1), so candidates ~ n^(1-lg p) (n^1.33 at
+    t=0.8) for ANY config honoring both — the sweep shrinks the
+    CONSTANT (~6x at these n), not the exponent; the exponent is what
+    the guaranteed recall at a pinned threshold buys. The fixed-b tier
+    (``_lsh_cfg_rp``) stays linear without the contract; the caller
+    picks."""
     import math
 
     if not (0.0 < threshold < 1.0 and 0.0 < recall < 1.0):
@@ -2830,26 +2886,65 @@ def _lsh_cfg_rp_target(
             f"target (threshold={threshold}, recall={recall}) must sit "
             "strictly inside (0, 1)"
         )
-    bits = max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
+    floor_bits = max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
     p = 1.0 - math.acos(threshold) / math.pi
-    q = round(p**bits, 12)
-    b = math.ceil(round(math.log(1.0 - recall) / math.log(1.0 - q), 6))
-    if b * bits > _RP_TGT_PLANES:
-        raise ValueError(
-            f"targeted RP tier needs {b * bits} planes for n={n} at "
-            f"(threshold={threshold}, recall={recall}) but the oracle "
-            f"enumerates only {_RP_TGT_PLANES} — raise _RP_TGT_PLANES "
-            "(both sides derive from it) before running a corpus this "
-            "large"
+    best: tuple[float, int, int] | None = None
+    for r in range(floor_bits, _RP_TGT_SWEEP_MAX + 1):
+        q = _qgrid(p**r, 1e12)
+        if q <= 0.0:
+            break  # band collision rounds to 0 — no finite b exists
+        if q >= 1.0:
+            continue  # threshold so high the grid saturates at this r
+        b = math.ceil(
+            _qgrid(math.log(1.0 - recall) / math.log(1.0 - q), 1e6)
         )
-    return b, bits
+        if b * r > _RP_TGT_PLANES:
+            if best is None and r == floor_bits:
+                raise ValueError(
+                    f"targeted RP tier needs {b * r} planes for n={n} "
+                    f"at (threshold={threshold}, recall={recall}) but "
+                    f"the oracle enumerates only {_RP_TGT_PLANES} — "
+                    "raise _RP_TGT_PLANES (both sides derive from it) "
+                    "before running a corpus this large"
+                )
+            break  # b*r is increasing in r — no later r re-qualifies
+        cost = b * (1.0 + n / 2.0 ** (r + 1))
+        if best is None or cost < best[0]:
+            best = (cost, r, b)
+    if best is None:
+        raise ValueError(
+            f"targeted RP tier found no admissible (bands, bits) for "
+            f"n={n} at (threshold={threshold}, recall={recall}) within "
+            f"{_RP_TGT_PLANES} planes"
+        )
+    return best[2], best[1]
 
 
 def _aug_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus plus the two planted high-similarity cohorts (module
     comment above ``_PLANT_N``) — the certification fixture the targeted
     generator and its recall eval both run on. Row count is
-    |embeddings| + 2*_PLANT_N by construction (no count job needed)."""
+    |embeddings| + 2*_PLANT_N by construction (no count job needed).
+
+    Collision guard (ADVICE r10): the planted ids are corpus ids plus
+    pinned offsets, so a corpus whose vec_ids reach the smallest offset
+    would union DUPLICATE vec_ids and corrupt the scoring joins
+    identically on both engines — invisible to the driver's hash
+    compare. vec_ids are 0-based sequential in the oracle corpora
+    (TESTDATA.md), so n reaching the offset is the collision condition;
+    the footer-metadata count makes the guard free. Corpora past ~1e6
+    vectors should run the RAW corpus through the targeted generator
+    (``_banded_cand(vecs=...)``) — the planted fixture is the
+    CERTIFICATION harness, not the production path."""
+    min_off = min(off for off, _hi, _lo in _PLANT_COHORTS)
+    n_raw = metadata_row_count(spark, sf_dir, "embeddings")
+    if n_raw >= min_off:
+        raise ValueError(
+            f"planted-cohort id offsets start at {min_off} but the "
+            f"corpus has {n_raw} rows — planted vec_ids would collide "
+            "with real ones; raise _PLANT_COHORTS offsets (both engines "
+            "derive from them) or certify on a slice"
+        )
     base = _vecs(spark, sf_dir).select("vec_id", "v")
     out = base
     for off, hi, lo in _PLANT_COHORTS:
@@ -2888,7 +2983,7 @@ def q_dedup_embedding_rp_target(
     the verify threshold differ. The derived band count is certified by
     ``dedup_recall_target_eval``, which emits it as a hashed column."""
     n_aug = (
-        load_table(spark, sf_dir, "embeddings").count() + 2 * _PLANT_N
+        metadata_row_count(spark, sf_dir, "embeddings") + 2 * _PLANT_N
     )
     vecs, cand = _banded_cand(
         spark,
@@ -2924,21 +3019,50 @@ def _aug_sql() -> str:
 
 
 # Target-tier signature chain: identical derivation to _RP_SIG_CTES but
-# over the augmented corpus, with bands DERIVED in SQL from the same
-# (threshold, recall) formula — rounding discipline mirrored from
-# _lsh_cfg_rp_target so ceil() can't straddle a libm ulp — and the
-# plane/band fan-outs driven by the cfg scalars under the fixed
-# _RP_TGT_PLANES enumeration (the portable-subset device: fixed range x
-# scalar filter).
+# over the augmented corpus, with (bands, bits) DERIVED in SQL by the
+# same cost sweep as _lsh_cfg_rp_target — quantization grids with the
+# shared half-up tie rule so ceil() can't straddle a libm ulp or a
+# round() tie-direction difference (ADVICE r10), exact-double cost
+# compare, argmin with ties toward smaller r — and the plane/band
+# fan-outs driven by the cfg scalars under the fixed _RP_TGT_PLANES
+# enumeration (the portable-subset device: fixed range x scalar
+# filter).
+def _rp_cfg_sweep_sql(src: str) -> str:
+    """The SQL twin of ``_lsh_cfg_rp_target``'s cost sweep, as a scalar
+    (bands, bits) SELECT over the row source ``src`` (n = count(*) of
+    it). Same quantization grids with the same half-up tie rule
+    (floor(x*s+0.5)/s), the same exact-double cost arithmetic
+    (n / 2^(r+1) is an integer over a power of two), the same budget
+    filter, argmin with ties toward smaller r. Shared by the targeted
+    CTEs and the cross-engine parity test so the twin cannot drift."""
+    return f"""SELECT bands, bits FROM (
+    SELECT r AS bits, b AS bands,
+           b * (1.0 + CAST(n AS DOUBLE)
+                      / CAST(1::BIGINT << (r + 1) AS DOUBLE)) AS cost
+    FROM (
+      SELECT t.r, s.n,
+             CAST(ceil(floor(ln(1.0 - {_TGT_RECALL}) / ln(1.0 - t.q)
+                             * 1e6 + 0.5) / 1e6) AS INT) AS b
+      FROM (
+        SELECT r,
+               floor(pow(1.0 - acos({_TGT_COS}) / pi(), r) * 1e12 + 0.5)
+                 / 1e12 AS q
+        FROM range(4, {_RP_TGT_SWEEP_MAX + 1}) t(r)
+      ) t
+      CROSS JOIN (SELECT count(*) AS n,
+                         GREATEST(4, CAST(ceil(log2(count(*) / 16.0))
+                                          AS INT)) AS fb
+                  FROM {src}) s
+      WHERE t.r >= s.fb AND t.q > 0.0 AND t.q < 1.0
+    )
+    WHERE b * r <= {_RP_TGT_PLANES}
+  )
+  ORDER BY cost, bits LIMIT 1"""
+
+
 _RP_TGT_CTES = f"""{_aug_sql()},
 cfg AS (
-  SELECT bits,
-         CAST(ceil(round(ln(1.0 - {_TGT_RECALL}) /
-             ln(1.0 - round(pow(1.0 - acos({_TGT_COS}) / pi(), bits),
-                            12)), 6)) AS INT) AS bands
-  FROM (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 16.0)) AS INT))
-          AS bits
-        FROM aug) t
+  {_rp_cfg_sweep_sql("aug")}
 ),
 w AS (
   SELECT p,
@@ -3019,7 +3143,7 @@ def q_dedup_recall_target_eval(
     The planted cohorts give the >=0.8 bin real members (the raw
     synthetic corpus has ~none)."""
     n_aug = (
-        load_table(spark, sf_dir, "embeddings").count() + 2 * _PLANT_N
+        metadata_row_count(spark, sf_dir, "embeddings") + 2 * _PLANT_N
     )
     bands, _bits = _lsh_cfg_rp_target(n_aug)
     vecs, cand = _banded_cand(

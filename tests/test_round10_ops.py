@@ -14,28 +14,48 @@ from pyspark.sql import functions as F
 
 
 def test_target_cfg_derivation():
-    """b = ceil(ln(1-R)/ln(1-p^r)) with the documented rounding
-    discipline; occupancy bits unchanged from the RP tier; the plane
-    budget raises loudly when outgrown."""
+    """The r11 cost sweep: bits start AT OR ABOVE the occupancy floor,
+    b = ceil(ln(1-R)/ln(1-p^r)) is minimal for the CHOSEN r, the swept
+    config never costs more than the floor config under the documented
+    probe-volume model, and the plane budget raises loudly when
+    outgrown."""
     import pytest
 
     from jp_qcew_spark.queries.similarity import (
         _RP_TGT_PLANES,
         _lsh_cfg_rp_target,
+        _qgrid,
     )
+
+    p = 1.0 - math.acos(0.8) / math.pi
+
+    def b_for(r):
+        q = _qgrid(p**r, 1e12)
+        return math.ceil(_qgrid(math.log(0.1) / math.log(1.0 - q), 1e6))
+
+    def cost(b, r, n):
+        return b * (1.0 + n / 2.0 ** (r + 1))
 
     for n in (205, 712, 2100, 10_100, 100_000):
         bands, bits = _lsh_cfg_rp_target(n)
-        assert bits == max(4, math.ceil(math.log2(n / 16.0)))
-        p = 1.0 - math.acos(0.8) / math.pi
-        q = round(p**bits, 12)
+        floor_bits = max(4, math.ceil(math.log2(n / 16.0)))
+        assert bits >= floor_bits  # never below the occupancy floor
+        q = _qgrid(p**bits, 1e12)
         # the derived b satisfies the recall floor ...
         assert 1.0 - (1.0 - q) ** bands >= 0.9
         # ... minimally (b-1 bands would miss it)
         assert 1.0 - (1.0 - q) ** (bands - 1) < 0.9
         assert bands * bits <= _RP_TGT_PLANES
-    # a corpus the oracle's plane enumeration cannot cover must raise,
-    # not silently hash-diverge (the _lsh_cfg_rp rule)
+        # the sweep only ever improves on the floor config
+        assert cost(bands, bits, n) <= cost(b_for(floor_bits), floor_bits, n)
+        # and is the argmin over every admissible swept r
+        for r in range(floor_bits, 41):
+            br = b_for(r)
+            if br * r > _RP_TGT_PLANES:
+                break
+            assert cost(bands, bits, n) <= cost(br, r, n)
+    # a corpus whose FLOOR config already outgrows the oracle's plane
+    # enumeration must raise, not silently hash-diverge (_lsh_cfg_rp rule)
     with pytest.raises(ValueError, match="planes"):
         _lsh_cfg_rp_target(10**9)
 
@@ -399,14 +419,17 @@ def test_target_cfg_is_a_real_parameter():
     per band, so more bands are needed)."""
     import math
 
-    from jp_qcew_spark.queries.similarity import _lsh_cfg_rp_target
+    from jp_qcew_spark.queries.similarity import (
+        _lsh_cfg_rp_target,
+        _qgrid,
+    )
 
     n = 10_100
     for thr in (0.7, 0.8, 0.9):
         for rec in (0.8, 0.9, 0.95):
             b, r = _lsh_cfg_rp_target(n, thr, rec)
             p = 1.0 - math.acos(thr) / math.pi
-            q = round(p**r, 12)
+            q = _qgrid(p**r, 1e12)
             assert 1.0 - (1.0 - q) ** b >= rec
             assert 1.0 - (1.0 - q) ** (b - 1) < rec
     b90, _ = _lsh_cfg_rp_target(n, 0.8, 0.90)

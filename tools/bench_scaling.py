@@ -129,6 +129,9 @@ QUERIES = [
     "dedup_recall_target_eval",
     "semdedup_rp",
     "stream_dedup_neardup",
+    # r11 additions (the recall contract on the text MinHash tier)
+    "dedup_minhash_target",
+    "dedup_minhash_recall_eval",
 ]
 
 

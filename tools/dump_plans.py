@@ -194,17 +194,33 @@ HEADLINERS = [
      "curve certifies where sign-LSH recalls and where it is designed "
      "not to."),
     ("dedup_embedding_rp_target",
-     "Recall-TARGETED banding (r10): band count derived from a "
-     "(cosine threshold, recall floor) contract — b = "
-     "ceil(ln(1-R)/ln(1-p^r)) — over the seeded certification corpus; "
-     "same cached-Arrow-keygen + keyed per-band join + pair-distinct "
-     "shape as the fixed-b tier, candidates ~n^1.33 (the priced "
-     "recall guarantee)."),
+     "Recall-TARGETED banding (r10, r11 cost sweep): (bands, bits) "
+     "derived from a (cosine threshold, recall floor) contract by the "
+     "argmin of b(r)*(1 + n/2^(r+1)) over row widths — bits sit above "
+     "the occupancy floor when that cuts candidate volume (~6x at "
+     "test scales); same cached-Arrow-keygen + keyed per-band join + "
+     "pair-distinct shape as the fixed-b tier, candidates ~n^1.33 "
+     "with a swept constant (the priced recall guarantee)."),
     ("dedup_recall_target_eval",
      "Certification of the targeted tier (r10): linear eval-slice "
      "truth, candidate hits from the generator itself, binned recall "
-     "with the DERIVED band count as a hashed output column — 0.99 "
-     "measured in the >=0.8 bin against a 0.9 floor."),
+     "with the DERIVED band count as a hashed output column — "
+     "0.96-1.00 measured in the >=0.8 bin against a 0.9 floor at 4 "
+     "scales under the swept config."),
+    ("dedup_minhash_target",
+     "The recall contract on the TEXT tier (r11): (bands, "
+     "rows_per_band) derived from a (Jaccard threshold, recall floor) "
+     "via 1-(1-s^r)^b with an occupancy-style background-suppression "
+     "rule for r; the dedup_minhash_lsh plan family — exploded-"
+     "shingle min-agg signatures, keyed band-bucket self-join, "
+     "semi-join-narrowed Jaccard verify, zero broadcast hints on "
+     "corpus-growing sides."),
+    ("dedup_minhash_recall_eval",
+     "Certification of the text tier (r11): bounded broadcast truth "
+     "slice (|slice| x n shared-shingle join, the ONE hint), "
+     "candidate hits from the generator, binned recall with BOTH "
+     "derived scalars as hashed output columns — 0.98-0.99 measured "
+     "in the >=0.8-Jaccard bin against a 0.9 floor at 4 scales."),
     ("semdedup_rp",
      "SemDeDup on the unlimited-plane RP substrate (r10): the "
      "clustering family rides the Arrow-matmul banded generator via "

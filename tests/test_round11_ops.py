@@ -313,3 +313,126 @@ def test_aug_docs_collision_guard(spark, sf_dir, monkeypatch):
     )
     with _pytest.raises(ValueError, match="collide"):
         dd._aug_docs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Property sweeps: the contracts hold over the whole parameter space, and
+# the SQL twins agree with Python at arbitrary corpus sizes
+# --------------------------------------------------------------------------
+
+
+def test_rp_cfg_property_sweep():
+    """Hypothesis sweep over (n, threshold, recall): every derived RP
+    config satisfies the recall floor minimally at its chosen width,
+    respects the plane budget, and never sits below the occupancy
+    floor — or raises the documented budget error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jp_qcew_spark.queries.similarity import (
+        _RP_TGT_PLANES,
+        _lsh_cfg_rp_target,
+        _qgrid,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**7),
+        thr=st.floats(min_value=0.3, max_value=0.97),
+        rec=st.floats(min_value=0.5, max_value=0.99),
+    )
+    def check(n, thr, rec):
+        try:
+            b, r = _lsh_cfg_rp_target(n, thr, rec)
+        except ValueError as e:
+            assert "planes" in str(e) or "admissible" in str(e)
+            return
+        assert r >= max(4, math.ceil(math.log2(max(n, 1) / 16.0)))
+        assert b * r <= _RP_TGT_PLANES
+        p = 1.0 - math.acos(thr) / math.pi
+        q = _qgrid(p**r, 1e12)
+        assert 1.0 - (1.0 - q) ** b >= rec
+        assert 1.0 - (1.0 - q) ** (b - 1) < rec
+
+    check()
+
+
+def test_mh_cfg_property_sweep():
+    """The same sweep for the text tier: derived (bands, rpb) satisfies
+    the floor minimally, respects the hash budget, rpb never below 2."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jp_qcew_spark.queries.dedup import (
+        _MH_TGT_HASHES,
+        _lsh_cfg_minhash_target,
+    )
+    from jp_qcew_spark.queries.similarity import _qgrid
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**9),
+        thr=st.floats(min_value=0.3, max_value=0.97),
+        rec=st.floats(min_value=0.5, max_value=0.99),
+    )
+    def check(n, thr, rec):
+        try:
+            b, r = _lsh_cfg_minhash_target(n, thr, rec)
+        except ValueError as e:
+            assert "hash functions" in str(e) or "degenerate" in str(e)
+            return
+        assert r >= 2
+        assert b * r <= _MH_TGT_HASHES
+        q = _qgrid(thr**r, 1e12)
+        assert 1.0 - (1.0 - q) ** b >= rec
+        assert 1.0 - (1.0 - q) ** (b - 1) < rec
+
+    check()
+
+
+def test_cfg_sql_parity_random_n():
+    """SQL/Python cfg parity at RANDOM corpus sizes (both tiers) — the
+    fixed-list parity tests plus a seeded fuzz band, so a grid-midpoint
+    divergence can't hide between the handpicked sizes."""
+    import random
+
+    import duckdb
+
+    from jp_qcew_spark.queries.dedup import (
+        _lsh_cfg_minhash_target,
+        _mh_cfg_sql,
+    )
+    from jp_qcew_spark.queries.similarity import (
+        _lsh_cfg_rp_target,
+        _rp_cfg_sweep_sql,
+    )
+
+    rng = random.Random(1107)
+    for _ in range(40):
+        n = rng.randint(20, 3_000_000)
+        py = _lsh_cfg_rp_target(n)
+        sq = duckdb.sql(_rp_cfg_sweep_sql(f"range(0, {n})")).fetchone()
+        assert (py[0], py[1]) == (sq[0], sq[1]), ("rp", n, py, sq)
+    for _ in range(40):
+        n = rng.randint(20, 1_000_000_000)
+        py = _lsh_cfg_minhash_target(n)
+        sq = duckdb.sql(
+            "SELECT bands, rpb FROM ("
+            + _mh_cfg_sql(f"range(0, {n})")
+            + ")"
+        ).fetchone()
+        assert (py[0], py[1]) == (sq[0], sq[1]), ("mh", n, py, sq)
+
+
+def test_metadata_row_count_partitioned_layout(spark, tmp_path):
+    """The footer counter sums MULTI-FILE layouts correctly — the
+    os.walk branch that a (year, qtr)-partitioned production table
+    exercises (the oracle fixtures are single files)."""
+    import jp_qcew_spark.io as io_mod
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 4 AS part"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.write.partitionBy("part").parquet(path)
+    assert io_mod.metadata_row_count(spark, str(tmp_path), "documents") == 1000

@@ -934,7 +934,12 @@ def _neardup_fn(key, pdfs, state):
     )
 
 
-def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+) -> DataFrame:
     """STREAMING twin of banded NEAR-dup ingest (VERDICT r9 #7): the
     production crawl pipeline dedups arriving batches against the corpus
     by MinHash band keys, not exact fingerprints —
@@ -942,6 +947,18 @@ def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(head) to the ``dedup_minhash_lsh`` band family (same 12-hash /
     3-band / 4-row signature, same md5-string minima, so the hash family
     stays oracle-checkable bit-for-bit).
+
+    ``num_hashes`` / ``rows_per_band`` default to the fixed family's
+    pinned 12/4 (the registry query's oracle-checked behavior). A
+    production wire with a recall CONTRACT passes the derived config
+    instead — ``queries.dedup._lsh_cfg_minhash_target(n, threshold,
+    recall)`` returns (bands, rows_per_band); feed it as
+    ``num_hashes=bands*rows_per_band, rows_per_band=rows_per_band`` and
+    the wire catches >=threshold pairs at >=recall probability by the
+    same 1-(1-s^r)^b math the batch tier certifies
+    (``dedup_minhash_recall_eval``); batch-equivalence at a derived
+    config is pinned by test. The signature UDF rejects ragged configs
+    loudly (ADVICE r10).
 
     Shape: the replayed docs map through a STATELESS per-row signature
     (``ext.dedup.minhash_band_keys`` — one Arrow-batched UDF, because
@@ -973,6 +990,8 @@ def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jp_qcew_spark.sources.stream_replay import DocReplayDataSource
 
     ensure_session_confs(spark)
+    nh = _NUM_HASHES if num_hashes is None else num_hashes
+    rpb = _ROWS_PER_BAND if rows_per_band is None else rows_per_band
     spark.dataSource.register(DocReplayDataSource)
     stream = (
         spark.readStream.format("docreplay")
@@ -993,9 +1012,7 @@ def stream_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.posexplode(
-                D.minhash_band_keys(
-                    F.col("text"), _NUM_HASHES, _ROWS_PER_BAND
-                )
+                D.minhash_band_keys(F.col("text"), nh, rpb)
             ).alias("band_idx", "band_key"),
         )
     ).withColumn(

@@ -103,12 +103,24 @@ def metadata_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            files = sorted(
-                os.path.join(dirpath, f)
-                for dirpath, _dirs, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
+            # mirror Spark's InMemoryFileIndex visibility rule: path
+            # components and files starting with '_' or '.' are metadata
+            # (stale _temporary/ from a killed write, .part-*.crc, ...)
+            # and must not count — summing them would derive an LSH
+            # config from an n the reader never sees, silently diverging
+            # from the oracle's count(*)
+            files = []
+            for dirpath, dirs, fs in os.walk(path):
+                dirs[:] = [
+                    d for d in dirs if not d.startswith(("_", "."))
+                ]
+                files.extend(
+                    os.path.join(dirpath, f)
+                    for f in fs
+                    if f.endswith(".parquet")
+                    and not f.startswith(("_", "."))
+                )
+            files.sort()
         else:
             files = [path]
         if not files:

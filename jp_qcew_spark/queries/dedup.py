@@ -127,7 +127,7 @@ pairs AS (
 SELECT doc_a, doc_b,
        round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jac
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.2
+WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.2
 ORDER BY doc_a, doc_b
 """
 
@@ -249,8 +249,9 @@ SELECT doc_a, doc_b,
              / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))),
              6) AS jac
 FROM cand JOIN nonempty x ON x.doc_id = doc_a JOIN nonempty y ON y.doc_id = doc_b
-WHERE len(list_intersect(x.shset, y.shset))::DOUBLE
-      / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))) >= 0.2
+WHERE round(len(list_intersect(x.shset, y.shset))::DOUBLE
+      / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))),
+      6) >= 0.2
 ORDER BY doc_a, doc_b
 """
 
@@ -1361,16 +1362,21 @@ def _mh_cfg_sql(src: str) -> str:
         FROM {src}) t"""
 
 
-def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _aug_docs(
+    spark: SparkSession, sf_dir: str, n_raw: int | None = None
+) -> DataFrame:
     """The documents corpus plus the two planted near-dup cohorts
     (module comment at ``_DOC_PLANT_MAX``) — the certification fixture
     the targeted generator and its recall eval run on. Refuses to build
     when corpus doc_ids could collide with the planted offsets (the
-    ``_aug_vecs`` guard, ADVICE r10)."""
+    ``_aug_vecs`` guard, ADVICE r10). Callers that already read the
+    footer count pass it via ``n_raw`` so the fixture costs no second
+    read (and no second fallback SCAN on non-footer-readable layouts)."""
     from jp_qcew_spark.functions.text import tokens
     from jp_qcew_spark.io import metadata_row_count
 
-    n_raw = metadata_row_count(spark, sf_dir, "documents")
+    if n_raw is None:
+        n_raw = metadata_row_count(spark, sf_dir, "documents")
     if n_raw >= min(_DOC_PLANT_OFFS):
         raise ValueError(
             f"planted-cohort id offsets start at {min(_DOC_PLANT_OFFS)} "
@@ -1465,7 +1471,7 @@ cand AS (
 
 def _mh_target_banding(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int, int]:
     """Shared Spark chain for the targeted tier: (exploded shingles of
     the augmented corpus, DISTINCT same-band candidate pairs) under the
     derived (bands, rows_per_band). Same plan family as
@@ -1473,8 +1479,11 @@ def _mh_target_banding(
     shuffle on doc_id, map-side partial agg), posexploded band keys,
     keyed band-bucket self-join (only docs sharing a bucket meet), pair
     DISTINCT before any verify — just with the config derived from the
-    contract instead of pinned. n comes from parquet footers: zero
-    pre-query jobs (VERDICT r10 #6)."""
+    contract instead of pinned. n comes from parquet footers — read
+    ONCE here and threaded to the fixture and both callers, so the
+    whole tier costs one footer read and zero pre-query jobs (VERDICT
+    r10 #6). Returns (ex, cand, bands, rpb) so callers reuse the
+    derived config instead of re-deriving it."""
     from jp_qcew_spark.io import metadata_row_count
 
     n = metadata_row_count(spark, sf_dir, "documents")
@@ -1482,7 +1491,9 @@ def _mh_target_banding(
     num_hashes = bands * rpb
     ex = cache_parallel(
         D.exploded_shingles(
-            widen_scan(_aug_docs(spark, sf_dir)), "doc_id", "text"
+            widen_scan(_aug_docs(spark, sf_dir, n_raw=n)),
+            "doc_id",
+            "text",
         )
     )
     sig = D.minhash_from_exploded(ex, "doc_id", num_hashes)
@@ -1510,7 +1521,7 @@ def _mh_target_banding(
         )
         .distinct()
     )
-    return ex, track_cache(cand)
+    return ex, track_cache(cand), bands, rpb
 
 
 def q_dedup_minhash_target(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,7 +1546,7 @@ def q_dedup_minhash_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets, and NO broadcast hint sits on any corpus-growing side
     (the r1/r2 dedup rule). Cites the fixed family at
     queries/dedup.py:140 for the shared machinery."""
-    ex, cand = _mh_target_banding(spark, sf_dir)
+    ex, cand, _bands, _rpb = _mh_target_banding(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1579,9 +1590,9 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN nonempty x ON x.doc_id = doc_a
 JOIN nonempty y ON y.doc_id = doc_b
-WHERE len(list_intersect(x.shset, y.shset))::DOUBLE
+WHERE round(len(list_intersect(x.shset, y.shset))::DOUBLE
       / (len(x.shset) + len(y.shset)
-         - len(list_intersect(x.shset, y.shset))) >= {_MH_TGT_JACCARD}
+         - len(list_intersect(x.shset, y.shset))), 6) >= {_MH_TGT_JACCARD}
 ORDER BY doc_a, doc_b
 """
 
@@ -1608,11 +1619,7 @@ def q_dedup_minhash_recall_eval(
     come from the generator's CANDIDATE set (pre-verify), which is what
     the 1-(1-s^r)^b math predicts per bin; the final agg is a 4-bin
     rollup. The planted cohorts give the >=0.8 bin real members."""
-    from jp_qcew_spark.io import metadata_row_count
-
-    n = metadata_row_count(spark, sf_dir, "documents")
-    bands, rpb = _lsh_cfg_minhash_target(n)
-    ex, cand = _mh_target_banding(spark, sf_dir)
+    ex, cand, bands, rpb = _mh_target_banding(spark, sf_dir)
     exs = ex.filter(F.col("doc_id") < _DOC_EVAL_SLICE)
     inter = (
         F.broadcast(exs.alias("xa"))

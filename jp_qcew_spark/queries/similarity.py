@@ -2920,7 +2920,9 @@ def _lsh_cfg_rp_target(
     return best[2], best[1]
 
 
-def _aug_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _aug_vecs(
+    spark: SparkSession, sf_dir: str, n_raw: int | None = None
+) -> DataFrame:
     """The corpus plus the two planted high-similarity cohorts (module
     comment above ``_PLANT_N``) — the certification fixture the targeted
     generator and its recall eval both run on. Row count is
@@ -2935,9 +2937,12 @@ def _aug_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the footer-metadata count makes the guard free. Corpora past ~1e6
     vectors should run the RAW corpus through the targeted generator
     (``_banded_cand(vecs=...)``) — the planted fixture is the
-    CERTIFICATION harness, not the production path."""
+    CERTIFICATION harness, not the production path. Callers that
+    already read the footer count pass it via ``n_raw`` so the fixture
+    costs no second read."""
     min_off = min(off for off, _hi, _lo in _PLANT_COHORTS)
-    n_raw = metadata_row_count(spark, sf_dir, "embeddings")
+    if n_raw is None:
+        n_raw = metadata_row_count(spark, sf_dir, "embeddings")
     if n_raw >= min_off:
         raise ValueError(
             f"planted-cohort id offsets start at {min_off} but the "
@@ -2982,15 +2987,14 @@ def q_dedup_embedding_rp_target(
     ONE cached Arrow int64 matmul) — only the (bands, bits) config and
     the verify threshold differ. The derived band count is certified by
     ``dedup_recall_target_eval``, which emits it as a hashed column."""
-    n_aug = (
-        metadata_row_count(spark, sf_dir, "embeddings") + 2 * _PLANT_N
-    )
+    n_raw = metadata_row_count(spark, sf_dir, "embeddings")
+    n_aug = n_raw + 2 * _PLANT_N
     vecs, cand = _banded_cand(
         spark,
         sf_dir,
         cfg=_lsh_cfg_rp_target,
         keyfn=S.rp_bands,
-        vecs=_aug_vecs(spark, sf_dir),
+        vecs=_aug_vecs(spark, sf_dir, n_raw=n_raw),
         n=n_aug,
     )
     return (
@@ -3131,10 +3135,11 @@ def q_dedup_recall_target_eval(
     count delivers the contract: recall in the >=0.8-cosine bin must
     clear 0.9 (pinned by test at sf0.1; measured ~0.96-1.0 — pairs above
     the threshold collide with higher-than-floor probability). The
-    derived band count rides along as a hashed OUTPUT column, so the
-    driver certifies that both engines derived the SAME b from the same
-    (threshold, recall) target — the formula itself is under the hash,
-    not just its effects.
+    derived (bands, bits) pair rides along as hashed OUTPUT columns, so
+    the driver certifies that both engines derived the SAME config from
+    the same (threshold, recall) target — the sweep itself is under the
+    hash, not just its effects (r11: bits became a second derived
+    scalar, so it gets its own column like the text tier's rpb_used).
 
     Scale shape: ground truth broadcasts the bounded eval slice against
     the corpus (|slice| x n, LINEAR — never n^2 all-pairs); hits come
@@ -3142,16 +3147,15 @@ def q_dedup_recall_target_eval(
     1-(1-p^r)^b math predicts per bin; the final agg is a 4-bin rollup.
     The planted cohorts give the >=0.8 bin real members (the raw
     synthetic corpus has ~none)."""
-    n_aug = (
-        metadata_row_count(spark, sf_dir, "embeddings") + 2 * _PLANT_N
-    )
-    bands, _bits = _lsh_cfg_rp_target(n_aug)
+    n_raw = metadata_row_count(spark, sf_dir, "embeddings")
+    n_aug = n_raw + 2 * _PLANT_N
+    bands, bits = _lsh_cfg_rp_target(n_aug)
     vecs, cand = _banded_cand(
         spark,
         sf_dir,
         cfg=_lsh_cfg_rp_target,
         keyfn=S.rp_bands,
-        vecs=_aug_vecs(spark, sf_dir),
+        vecs=_aug_vecs(spark, sf_dir, n_raw=n_raw),
         n=n_aug,
     )
     a = vecs.filter(F.col("vec_id") < _EVAL_SLICE).select(
@@ -3201,6 +3205,7 @@ def q_dedup_recall_target_eval(
             "recall_tgt", F.round(F.col("n_tgt") / F.col("n_true"), 4)
         )
         .withColumn("bands_used", F.lit(int(bands)).cast("long"))
+        .withColumn("bits_used", F.lit(int(bits)).cast("long"))
         .orderBy("sim_band")
     )
 
@@ -3225,7 +3230,8 @@ SELECT sim_band,
        CAST(count(*) AS BIGINT) AS n_true,
        CAST(sum(hit) AS BIGINT) AS n_tgt,
        round(sum(hit) / count(*), 4) AS recall_tgt,
-       CAST((SELECT bands FROM cfg) AS BIGINT) AS bands_used
+       CAST((SELECT bands FROM cfg) AS BIGINT) AS bands_used,
+       CAST((SELECT bits FROM cfg) AS BIGINT) AS bits_used
 FROM labeled GROUP BY sim_band ORDER BY sim_band
 """
 

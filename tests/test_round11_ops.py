@@ -514,3 +514,27 @@ def test_stream_neardup_accepts_derived_config(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_metadata_row_count_skips_hidden_files(spark, tmp_path):
+    """The footer counter mirrors Spark's InMemoryFileIndex visibility
+    rule: files and path components starting with '_' or '.' (stale
+    _temporary/ from a killed write, .crc siblings) do NOT count —
+    otherwise the derived LSH config would diverge from the oracle's
+    count(*) while the fast path 'succeeds' (code-review r11)."""
+    import shutil
+
+    import jp_qcew_spark.io as io_mod
+
+    path = tmp_path / "documents.parquet"
+    spark.range(100).toDF("id").write.parquet(str(path))
+    real = [f for f in path.iterdir() if f.name.endswith(".parquet")][0]
+    # a stale commit-protocol leftover and a hidden file
+    (path / "_temporary").mkdir()
+    shutil.copy(real, path / "_temporary" / "part-junk.parquet")
+    shutil.copy(real, path / ".hidden.parquet")
+    assert (
+        io_mod.metadata_row_count(spark, str(tmp_path), "documents") == 100
+    )
+    # and Spark agrees
+    assert spark.read.parquet(str(path)).count() == 100

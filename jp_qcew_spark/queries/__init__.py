@@ -58,16 +58,23 @@ _GROUPS = [
 #   fixed MinHash family (dedup_minhash_lsh / dedup_minhash_est_eval /
 #   dedup_jaccard_pairs), so the tier the new contract extends is
 #   re-proven in the same window;
-# - the last slot starts retiring the r8 cohort alphabetically
-#   (argmax_funcs); the rest of r8 leads round 12.
+# - knn_ivf_recall_curve (added late in r11 — the IVF tier's measured
+#   recall/cost curve) takes the head slot, which pushes the r8
+#   retirement starter (argmax_funcs) out of the 50-window; the whole
+#   r8 cohort (argmax_funcs first, alphabetical) leads round 12
+#   instead.
 # Everything NOT listed follows in module-registration order. Queries
 # touched only at the config-scalar SOURCE (count() -> parquet footer
 # metadata, value- and plan-identical results: knn_signlsh,
 # knn_multiprobe, semdedup_lsh, knn_lsh_banded, dedup_embedding_cos,
 # semdedup_rp, knn_recall_rp ...) were re-verified bare-session this
-# round (BASELINE.md round-11 notes) and keep their r9/r10 evidence.
+# round (BASELINE.md round-11 notes) and keep their r9/r10 evidence;
+# knn_ivf (pure code motion onto the shared _ivf_cells quantizer —
+# plan- and value-identical) follows the same precedent: re-verified
+# bare-session hash-green at 3 scales, keeps its existing evidence.
 _WINDOW_PRIORITY = [
     # -- new in round 11: first driver rows
+    "knn_ivf_recall_curve",
     "dedup_minhash_target",
     "dedup_minhash_recall_eval",
     # -- changed in round 11 (targeted-RP cost sweep): re-certify
@@ -120,8 +127,6 @@ _WINDOW_PRIORITY = [
     "ts_seasonal_dow",
     "udf_vector_norm",
     "wages_label_domain",
-    # -- r8 cohort retirement begins, alphabetical (1 slot left)
-    "argmax_funcs",
 ]
 
 

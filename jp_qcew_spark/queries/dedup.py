@@ -1304,7 +1304,26 @@ def _lsh_cfg_minhash_target(
     (n^1.097 at t=0.8, s_bg=0.1) — nearly linear here because Jaccard's
     per-band collision decays by 10x per row against the RP tier's 2x
     per bit. The fixed family (``dedup_minhash_lsh``) keeps its pinned
-    constants for callers without a contract."""
+    constants for callers without a contract.
+
+    Cost-sweep adjudication (round 11, MEASURED — the RP tier's
+    ``_lsh_cfg_rp_target`` bit sweep evaluated here and REJECTED):
+    actual candidate volume under the floor config is
+    true-pair-dominated, not background-dominated — 505 / 749 / 3,054 /
+    8,172 pairs at sf0.01/0.1/1/3 (DuckDB over the identical CTE chain)
+    vs the s_bg-model's BOUND of ~625k background pairs at sf1 — the
+    3-gram shingle space almost never hash-collides non-duplicates at
+    r >= 2, so the model's background term prices a worst case the data
+    never realizes. Deeper rows cut nothing (sf0.1 candidates at
+    floor/floor+1/floor+2: 749 / 746 / 747) while raising signature
+    hash work 1.7-2.5x — the OPPOSITE trade of the RP tier, whose
+    per-unit background decay is 1/2 per bit against 1/10 per row here
+    and whose keygen is one batched matmul rather than per-shingle
+    hashing. The floor config IS the measured optimum at every tested
+    scale; a sweep would re-derive it while paying pow() sweeps on both
+    engines for nothing. Re-adjudicate if a corpus with genuinely dense
+    shingle overlap (effective background Jaccard near s_bg) shows
+    candidate volume tracking the bound."""
     import math
 
     from jp_qcew_spark.queries.similarity import _qgrid

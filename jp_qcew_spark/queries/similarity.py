@@ -260,17 +260,18 @@ FROM winner WHERE rn = 1 ORDER BY query_id
 """
 
 
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer partitions vectors into cells; each
-    query searches only its own cell (nprobe=1) — the inverted-file scale
-    path (cell assignment is a narrow map-side pass; the search join is keyed
-    by cell, never all-pairs).
-
-    The quantizer here is deterministic — per-label mean centroids (rounded
-    to 6 dp) — so the DuckDB oracle can re-derive the exact same cells; a
-    production deployment would train centroids with MLlib KMeans (iterative,
-    not SQL-expressible) and broadcast them identically.
-    """
+def _ivf_cells(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer shared by ``knn_ivf`` and
+    ``knn_ivf_recall_curve``: per-label mean centroids (rounded to 6 dp
+    so the DuckDB oracle re-derives the exact same cells — a production
+    deployment would train centroids with MLlib KMeans, iterative and
+    not SQL-expressible, and broadcast them identically) and the corpus
+    with every vector assigned to its nearest centroid by cosine.
+    Returns (centroids, assigned); ``assigned`` is consumed at least
+    twice by every caller (query side + candidate side), so it is
+    scope-cached here (VERDICT r5 #3)."""
     vecs = _vecs(spark, sf_dir)
     # centroids: mean per (label, dim) -> re-assembled rounded vector
     ex = vecs.select(
@@ -305,9 +306,20 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("clabel").alias("cell"))
     )
-    # consumed twice (query side + candidate side); scope-tracked so the
-    # registry releases it when the next query starts (VERDICT r5 #3)
-    assigned = track_cache(assigned)
+    return cent, track_cache(assigned)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into cells; each
+    query searches only its own cell (nprobe=1) — the inverted-file scale
+    path (cell assignment is a narrow map-side pass; the search join is keyed
+    by cell, never all-pairs).
+
+    The quantizer is deterministic (``_ivf_cells``) so the DuckDB oracle
+    re-derives the exact same cells. The nprobe>1 recall/cost trade of
+    the same index is measured by ``knn_ivf_recall_curve``.
+    """
+    _cent, assigned = _ivf_cells(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -3274,3 +3286,249 @@ def q_semdedup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["semdedup_rp"] = q_semdedup_rp
 ORACLE["semdedup_rp"] = _oracle_semdedup(_RP_CAND_CTES)
+
+
+# --------------------------------------------------------------------------
+# knn_ivf_recall_curve — the IVF tier's measured (recall, cost) curve
+# --------------------------------------------------------------------------
+
+# nprobe settings the curve measures. The centroid set is per-label
+# (~10 cells on the oracle corpora), so 1/2/4 probes span a 10%-40%
+# scan fraction — the region a production tuner actually picks from.
+_IVF_CURVE_NPROBES = (1, 2, 4)
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    """DuckDB cosine between two named DOUBLE[] columns, rounded to 6 dp
+    (the ``ext.similarity.cosine`` twin) — ``_COS_SQL`` generalized to
+    arbitrary table aliases for CTE chains whose sides are not q/c."""
+    return (
+        f"round(list_sum(list_transform(list_zip({av}, {bv}),"
+        " x -> x[1] * x[2]))"
+        f" / (sqrt(list_sum(list_transform(list_zip({av}, {av}),"
+        " x -> x[1] * x[2])))"
+        f" * sqrt(list_sum(list_transform(list_zip({bv}, {bv}),"
+        " x -> x[1] * x[2])))), 6)"
+    )
+
+
+def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (recall@3, scan-fraction) curve of the IVF index across
+    nprobe ∈ {1, 2, 4} — the recall evidence the IVF tier was missing.
+
+    The LSH tiers carry DERIVED recall contracts (the S-curve is closed
+    form, so (bands, rows) follow from a (threshold, recall) target —
+    ``_lsh_cfg_rp_target`` / ``_lsh_cfg_minhash_target``). IVF recall
+    has no closed form — it depends on how the data clusters around the
+    trained centroids — so the production discipline is the inverse:
+    MEASURE the recall/cost curve on the served index and pick the
+    nprobe that clears the floor. This query is that tuner: for each
+    nprobe it reports recall@3 against the exact brute-force top-3 and
+    the scanned fraction of the corpus (the cost axis), one row per
+    nprobe, both ratios as single exact-integer divisions so the curve
+    is bit-identical cross-engine.
+
+    Scale posture: the query slice is bounded (``_N_QUERIES``,
+    broadcast); the probe join is keyed by cell (never all-pairs); the
+    exact side is the |slice| × n linear truth pass — the same
+    discipline as ``dedup_recall_eval``; the corpus count comes from
+    parquet footers (zero pre-query jobs). The curve's candidate frame
+    is scope-cached: it feeds both the top-k ranking and the
+    scanned-volume aggregate."""
+    n_corpus = metadata_row_count(spark, sf_dir, "embeddings")
+    cent, assigned = _ivf_cells(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # per-query cell ranking over the (tiny, broadcast) centroid set
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("clabel").asc()
+    )
+    qcells = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "clabel",
+            S.cosine(F.col("qv"), F.col("cv")).alias("cscore"),
+        )
+        .withColumn("cellrank", F.row_number().over(wq))
+        .filter(F.col("cellrank") <= max(_IVF_CURVE_NPROBES))
+        .select(
+            "query_id", "qv", F.col("clabel").alias("qcell"), "cellrank"
+        )
+    )
+    # candidates: query side broadcast (bounded by _N_QUERIES x nprobe),
+    # corpus side keyed by cell. Each vector lives in exactly ONE cell,
+    # so (query_id, neighbor_id) pairs are distinct by construction.
+    cand = (
+        F.broadcast(qcells)
+        .join(
+            assigned,
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "cellrank",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    cand = track_cache(cand)
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _IVF_CURVE_NPROBES])
+        ).alias("nprobe")
+    )
+    # widening join: a candidate at cellrank k serves every nprobe >= k
+    pc = cand.join(
+        F.broadcast(probes), F.col("cellrank") <= F.col("nprobe")
+    )
+    wt = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    ivf3 = (
+        pc.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 3)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    scanned = pc.groupBy("nprobe").agg(
+        F.count("*").alias("total_scanned")
+    )
+    # exact truth: |slice| x n brute force over the same assigned frame
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        F.broadcast(q)
+        .join(assigned, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        ivf3.join(exact3, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("h"))
+    )
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+    # both ratios are single IEEE divisions of exact integers, so the
+    # rounded values cannot diverge cross-engine (and neither
+    # denominator family can land a 6-dp rounding midpoint: k/(3*_N_Q)
+    # and k/(_N_Q*(n-1)) reduce to on-grid decimals whenever they
+    # terminate)
+    return (
+        scanned.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)) / F.col("ex_total"), 6
+            ).alias("recall_at3"),
+            F.round(
+                F.col("total_scanned")
+                / (F.lit(_N_QUERIES) * F.lit(n_corpus - 1)),
+                6,
+            ).alias("scan_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+_IVF_CURVE_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT {p} AS nprobe" for p in _IVF_CURVE_NPROBES
+)
+
+ORACLE_KNN_IVF_CURVE = f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs
+),
+cent AS (
+  SELECT label AS clabel, array_agg(round(ax, 6) ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(x) AS ax FROM ex GROUP BY 1, 2)
+  GROUP BY 1
+),
+cell_scored AS (
+  SELECT vecs.vec_id, vecs.v, cent.clabel,
+         {_cos_sql("vecs.v", "cent.cv")} AS cscore
+  FROM vecs CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, clabel AS cell FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cscore DESC, clabel ASC) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM assigned
+      WHERE vec_id < {_N_QUERIES}),
+qcell_scored AS (
+  SELECT q.query_id, q.qv, cent.clabel,
+         {_cos_sql("q.qv", "cent.cv")} AS cscore
+  FROM q CROSS JOIN cent
+),
+qcells AS (
+  SELECT query_id, qv, clabel AS qcell, cellrank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cscore DESC, clabel ASC) AS cellrank
+    FROM qcell_scored
+  ) WHERE cellrank <= {max(_IVF_CURVE_NPROBES)}
+),
+cand AS (
+  SELECT qc.query_id, qc.cellrank, a.vec_id AS neighbor_id,
+         {_cos_sql("qc.qv", "a.v")} AS score
+  FROM qcells qc JOIN assigned a
+    ON a.cell = qc.qcell AND a.vec_id <> qc.query_id
+),
+probes AS ({_IVF_CURVE_PROBES_SQL}),
+pc AS (
+  SELECT p.nprobe, c.query_id, c.neighbor_id, c.score
+  FROM cand c JOIN probes p ON c.cellrank <= p.nprobe
+),
+ivf3 AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+        PARTITION BY nprobe, query_id
+        ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM pc
+  ) WHERE rk <= 3
+),
+scanned AS (SELECT nprobe, count(*) AS total_scanned FROM pc GROUP BY 1),
+exact_scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql("q.qv", "a.v")} AS score
+  FROM q JOIN assigned a ON a.vec_id <> q.query_id
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 3
+),
+hits AS (
+  SELECT i.nprobe, count(*) AS h
+  FROM ivf3 i JOIN exact3 e
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS ex_total FROM exact3),
+nn AS (SELECT count(*) AS n FROM vecs)
+SELECT s.nprobe,
+       round(COALESCE(h.h, 0) / t.ex_total, 6) AS recall_at3,
+       round(s.total_scanned / ({_N_QUERIES} * (nn.n - 1)), 6) AS scan_frac
+FROM scanned s
+LEFT JOIN hits h ON h.nprobe = s.nprobe
+CROSS JOIN tot t CROSS JOIN nn
+ORDER BY s.nprobe
+"""
+
+QUERIES["knn_ivf_recall_curve"] = q_knn_ivf_recall_curve
+ORACLE["knn_ivf_recall_curve"] = ORACLE_KNN_IVF_CURVE

@@ -538,3 +538,60 @@ def test_metadata_row_count_skips_hidden_files(spark, tmp_path):
     )
     # and Spark agrees
     assert spark.read.parquet(str(path)).count() == 100
+
+
+def test_ivf_curve_plan_and_count_free(spark, sf_dir, monkeypatch):
+    """knn_ivf_recall_curve plan pins: no cartesian product, every
+    broadcast hint on a corpus-INDEPENDENT side (centroids x2, the
+    bounded query band set, the 3-row probe table, the bounded query
+    slice, the 1-row exact-total scalar — exactly 6), top-k windows per
+    (nprobe, query_id), and ZERO pre-query jobs (corpus count from
+    parquet footers, the VERDICT r10 #6 discipline)."""
+    import re
+
+    from pyspark.sql import DataFrame
+
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.similarity import q_knn_ivf_recall_curve
+
+    def _boom(self):
+        raise AssertionError(
+            "DataFrame.count() ran during query build — the config "
+            "scalar must come from parquet footer metadata"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    df = q_knn_ivf_recall_curve(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    # 6 hint SITES (all bounded sides); the analyzed logical plan
+    # re-expands the shared assigned/cand subtrees per reference, so the
+    # site count multiplies out to 17 occurrences — a structural pin:
+    # a new hint on a corpus-sized side would move this number
+    assert I.broadcast_hint_count(df) == 17
+    plan = I.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(nprobe#\d+, query_id#\d+", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_curve_monotone(spark, sf_dir):
+    """The measured curve is a real tuner output: one row per nprobe,
+    recall@3 and scan fraction both nondecreasing in nprobe (a larger
+    probe set is a superset of candidates), recall in [0, 1], and the
+    full-probe recall at least the single-cell recall."""
+    from jp_qcew_spark.queries.similarity import (
+        _IVF_CURVE_NPROBES,
+        q_knn_ivf_recall_curve,
+    )
+
+    rows = (
+        q_knn_ivf_recall_curve(spark, sf_dir)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in rows] == list(_IVF_CURVE_NPROBES)
+    recalls = [r["recall_at3"] for r in rows]
+    fracs = [r["scan_frac"] for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+    assert recalls == sorted(recalls)
+    assert fracs == sorted(fracs)
+    assert all(0.0 < f < 1.0 for f in fracs)

@@ -129,9 +129,11 @@ QUERIES = [
     "dedup_recall_target_eval",
     "semdedup_rp",
     "stream_dedup_neardup",
-    # r11 additions (the recall contract on the text MinHash tier)
+    # r11 additions (the recall contract on the text MinHash tier,
+    # then the IVF tier's measured recall/cost curve)
     "dedup_minhash_target",
     "dedup_minhash_recall_eval",
+    "knn_ivf_recall_curve",
 ]
 
 

@@ -91,43 +91,43 @@ def metadata_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     100 TB scan for one scalar at cluster scale.  Parquet already stores
     ``num_rows`` in every file footer, so the driver can sum footers
     directly (pyarrow), the same way a cluster catalog would answer it
-    from table statistics.  Falls back to the Spark count only when the
-    input is not locally footer-readable (non-parquet layout, remote
-    filesystem) — correctness never depends on the fast path, and the
-    equality of both paths is pinned by test at 3 scales.
+    from table statistics.
+
+    The counted file SET is Spark's own, by construction: the table is
+    opened via ``load_table`` (driver-side file listing + footer schema
+    read — no job) and the footers of ``DataFrame.inputFiles()`` are
+    summed, so visibility rules ('_'/'.'-prefixed metadata entries,
+    stale ``_temporary/`` from a killed write) and file-naming
+    conventions (suffix-less part files from other writers) can never
+    diverge from what the query's scan will actually read — a
+    hand-rolled re-listing could 'succeed' with a different set and
+    derive an LSH config the oracle's count(*) disagrees with.  A
+    missing table raises ``load_table``'s own error (the real problem)
+    instead of degrading into an unrelated scan failure; the Spark
+    count fallback is reserved for file sets that are not LOCALLY
+    footer-readable (remote filesystem, footer pyarrow cannot parse) —
+    correctness never depends on the fast path, and the equality of
+    both paths is pinned by test at 3 scales.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = load_table(spark, sf_dir, name)
     try:
         import pyarrow.parquet as pq
 
-        if os.path.isdir(path):
-            # mirror Spark's InMemoryFileIndex visibility rule: path
-            # components and files starting with '_' or '.' are metadata
-            # (stale _temporary/ from a killed write, .part-*.crc, ...)
-            # and must not count — summing them would derive an LSH
-            # config from an n the reader never sees, silently diverging
-            # from the oracle's count(*)
-            files = []
-            for dirpath, dirs, fs in os.walk(path):
-                dirs[:] = [
-                    d for d in dirs if not d.startswith(("_", "."))
-                ]
-                files.extend(
-                    os.path.join(dirpath, f)
-                    for f in fs
-                    if f.endswith(".parquet")
-                    and not f.startswith(("_", "."))
-                )
-            files.sort()
-        else:
-            files = [path]
-        if not files:
-            raise FileNotFoundError(f"no parquet files under {path}")
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except Exception:
-        return load_table(spark, sf_dir, name).count()
+        total = 0
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                raise OSError(f"non-local input {uri}")
+            local = unquote(parsed.path or uri)
+            total += pq.ParquetFile(local).metadata.num_rows
+        return total
+    except (OSError, ImportError, ValueError):
+        # OSError: remote/unreadable file; ImportError: no pyarrow;
+        # ValueError covers pyarrow's ArrowInvalid (unparseable footer).
+        # Anything else (a genuine bug) propagates.
+        return df.count()
 
 
 # below this much scan input, a single core finishes in well under a

@@ -60,9 +60,12 @@ _GROUPS = [
 #   re-proven in the same window;
 # - knn_ivf_recall_curve (added late in r11 — the IVF tier's measured
 #   recall/cost curve) takes the head slot, which pushes the r8
-#   retirement starter (argmax_funcs) out of the 50-window; the whole
-#   r8 cohort (argmax_funcs first, alphabetical) leads round 12
-#   instead.
+#   retirement starter (argmax_funcs) out of the 50-window; round 12
+#   leads with knn_pq_recall_eval (the second late-r11 addition, the
+#   PQ tiers' recall eval — registered past the window so the r7
+#   cohort sweep stays intact; it carries local 3-scale parity +
+#   plan-pin evidence until then), then the whole r8 cohort
+#   (argmax_funcs first, alphabetical).
 # Everything NOT listed follows in module-registration order. Queries
 # touched only at the config-scalar SOURCE (count() -> parquet footer
 # metadata, value- and plan-identical results: knn_signlsh,

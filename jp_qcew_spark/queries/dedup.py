@@ -137,6 +137,60 @@ _ROWS_PER_BAND = 4
 _NUM_BANDS = _NUM_HASHES // _ROWS_PER_BAND
 
 
+def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for DISTINCT candidate pairs over the exploded
+    shingle frame: (doc_a, doc_b, jac) with jac UNROUNDED — callers
+    round/filter per their own contract (the drive harness rounds to 9,
+    so the unrounded double is hash-safe; engine-side rounding belongs
+    to the caller's threshold semantics). The ONE copy of the verify
+    chain every MinHash-family query shares (code-review late-r11:
+    three hand-copies had already needed the same rounded-filter fix
+    applied separately).
+
+    Shape: first narrow the exploded shingles to docs appearing in some
+    candidate pair (semi-join), then intersect within that small set
+    and join per-doc set sizes. NO broadcast hints anywhere: on an
+    honest corpus |candidates| << |corpus| and AQE converts these joins
+    to broadcast at runtime, but on an adversarial/templated corpus
+    (every doc sharing a band) ``cand``/``exc`` scale with the corpus
+    and a forced broadcast would OOM executors — the r1/r2 rule that no
+    dedup-family broadcast side may grow with corpus size (plan-tested
+    in tests/test_plans.py). ``exc`` is scope-cached here (consumed by
+    the intersect join twice and the sizes agg); callers cache ``cand``
+    themselves (they typically reuse it)."""
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    exc = track_cache(ex.join(cand_docs, "doc_id", "semi"))
+    inter = (
+        cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
+        .join(
+            exc.alias("xb"),
+            (F.col("doc_b") == F.col("xb.doc_id"))
+            & (F.col("xa.shingle") == F.col("xb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    # sizes is one row per candidate doc — usually tiny, but unbounded in
+    # the worst case, so no broadcast hint; AQE broadcasts it when small
+    sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jac"),
+        )
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12)+LSH(3 bands × 4 rows) near-dup detection, Jaccard-verified.
 
@@ -174,42 +228,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand = track_cache(cand)
-    # verify: first narrow the exploded shingles to docs that appear in some
-    # candidate pair (semi-join), then intersect within that small set.  No
-    # broadcast hints anywhere in the verify chain: on an honest corpus
-    # |candidates| << |corpus| and AQE converts these joins to broadcast at
-    # runtime, but on an adversarial/templated corpus (every doc sharing a
-    # band) `cand`/`exc` scale with the corpus and a forced broadcast would
-    # OOM executors — the r1/r2 rule that no dedup-family broadcast side may
-    # grow with corpus size (plan-tested in tests/test_plans.py).
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    exc = track_cache(ex.join(cand_docs, "doc_id", "semi"))
-    inter = (
-        cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
-        .join(
-            exc.alias("xb"),
-            (F.col("doc_b") == F.col("xb.doc_id"))
-            & (F.col("xa.shingle") == F.col("xb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    # sizes is one row per candidate doc — usually tiny, but unbounded in the
-    # worst case, so no broadcast hint; AQE broadcasts it when it is small
-    sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        _jaccard_verify(ex, cand)
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 6
-            ).alias("jac"),
+            "doc_a", "doc_b", F.round(F.col("jac"), 6).alias("jac")
         )
         .filter(F.col("jac") >= 0.2)
         .orderBy("doc_a", "doc_b")
@@ -953,34 +975,8 @@ def q_dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", k_agree.alias("k_agree"))
     )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    exc = track_cache(ex.join(cand_docs, "doc_id", "semi"))
-    inter = (
-        cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
-        .join(
-            exc.alias("xb"),
-            (F.col("doc_b") == F.col("xb.doc_id"))
-            & (F.col("xa.shingle") == F.col("xb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    exact = (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
-            ).alias("jac_exact"),
-        )
+    exact = _jaccard_verify(ex, cand).withColumnRenamed(
+        "jac", "jac_exact"
     )
     return (
         est.join(exact, ["doc_a", "doc_b"])
@@ -1566,34 +1562,10 @@ def q_dedup_minhash_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r1/r2 dedup rule). Cites the fixed family at
     queries/dedup.py:140 for the shared machinery."""
     ex, cand, _bands, _rpb = _mh_target_banding(spark, sf_dir)
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    exc = track_cache(ex.join(cand_docs, "doc_id", "semi"))
-    inter = (
-        cand.join(exc.alias("xa"), F.col("doc_a") == F.col("xa.doc_id"))
-        .join(
-            exc.alias("xb"),
-            (F.col("doc_b") == F.col("xb.doc_id"))
-            & (F.col("xa.shingle") == F.col("xb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = exc.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        _jaccard_verify(ex, cand)
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
-                6,
-            ).alias("jac"),
+            "doc_a", "doc_b", F.round(F.col("jac"), 6).alias("jac")
         )
         .filter(F.col("jac") >= _MH_TGT_JACCARD)
         .orderBy("doc_a", "doc_b")

@@ -2322,7 +2322,10 @@ ORACLE["semdedup_mutual"] = ORACLE_SEMDEDUP_MUTUAL
 _KC_ROUNDS = 3  # selections after the seed -> 4 centers out
 
 
-def _kc_cos_sql(a: str, b: str) -> str:
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two named DOUBLE[] columns, rounded to 6 dp
+    (the ``ext.similarity.cosine`` twin) — ``_COS_SQL`` generalized to
+    arbitrary table aliases for CTE chains whose sides are not q/c."""
     return (
         f"round(list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
         f" / (sqrt(list_sum(list_transform(list_zip({a}, {a}), x -> x[1] * x[2])))"
@@ -2390,7 +2393,7 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kc_oracle() -> str:
-    cos_rc = _kc_cos_sql("r.v", "c.cv")
+    cos_rc = _cos_sql("r.v", "c.cv")
     rounds = []
     prev = "c0"
     for k in (1, 2, 3):
@@ -3298,20 +3301,6 @@ ORACLE["semdedup_rp"] = _oracle_semdedup(_RP_CAND_CTES)
 _IVF_CURVE_NPROBES = (1, 2, 4)
 
 
-def _cos_sql(av: str, bv: str) -> str:
-    """DuckDB cosine between two named DOUBLE[] columns, rounded to 6 dp
-    (the ``ext.similarity.cosine`` twin) — ``_COS_SQL`` generalized to
-    arbitrary table aliases for CTE chains whose sides are not q/c."""
-    return (
-        f"round(list_sum(list_transform(list_zip({av}, {bv}),"
-        " x -> x[1] * x[2]))"
-        f" / (sqrt(list_sum(list_transform(list_zip({av}, {av}),"
-        " x -> x[1] * x[2])))"
-        f" * sqrt(list_sum(list_transform(list_zip({bv}, {bv}),"
-        " x -> x[1] * x[2])))), 6)"
-    )
-
-
 def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured (recall@3, scan-fraction) curve of the IVF index across
     nprobe ∈ {1, 2, 4} — the recall evidence the IVF tier was missing.
@@ -3532,3 +3521,146 @@ ORDER BY s.nprobe
 
 QUERIES["knn_ivf_recall_curve"] = q_knn_ivf_recall_curve
 ORACLE["knn_ivf_recall_curve"] = ORACLE_KNN_IVF_CURVE
+
+
+# --------------------------------------------------------------------------
+# knn_pq_recall_eval — recall evidence for the PQ compression tiers
+# --------------------------------------------------------------------------
+
+_PQ_EVAL_TIERS = ("ivfpq", "pq_adc")
+
+
+def q_knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the two PRODUCT-QUANTIZATION tiers against the exact
+    L2 ground truth — the last ANN family without recall evidence
+    (sign-LSH/RP carry measured evals, the targeted tiers carry derived
+    contracts, IVF carries the nprobe curve; the PQ tiers' loss axis is
+    QUANTIZATION DISTORTION, measured here).
+
+    ``pq_adc`` scans the full corpus through the 4-code ADC
+    approximation, so its recall shortfall is pure codebook distortion;
+    ``ivfpq`` adds the nprobe=1 cell restriction on top, so the spread
+    between the two rows decomposes the loss (distortion vs cell miss)
+    — the decomposition a production tuner reads before spending memory
+    on finer codebooks vs more probes. The approximate sides are the
+    REGISTRY QUERIES THEMSELVES (``q_knn_pq_adc``/``q_knn_ivfpq``) and
+    the oracle embeds those tiers' own oracle texts as subqueries, so
+    the eval can never drift from what the tiers actually serve. Ground
+    truth is exact squared-L2 top-3 under the tiers' own convention
+    (self excluded, d2 rounded 6 dp, ties to the smaller id) over the
+    bounded query slice — the |slice| x n linear truth pass. The recall
+    ratio is one exact-integer IEEE division (k/30 never lands on a
+    6 dp rounding midpoint).
+
+    Measured verdict (sf0.1): recall@3 = 0.0333 on BOTH tiers — the
+    honest price of the determinism-constrained demo codebook (10
+    label-mean codewords per subspace, chosen so the oracle re-derives
+    it exactly; the tier docstrings have always said production trains
+    real k-means codebooks). 4 subspaces x 10 codewords cannot rank
+    64-dim near-uniform synthetic vectors, and the eval now SAYS so
+    instead of leaving the compression arithmetic unpriced; equal rows
+    on both tiers mean the loss is all distortion, not cell miss, so
+    memory spent on finer codebooks beats probes here. The eval is the
+    harness: any codebook upgrade lands against this number."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    # consumed by both tiers' hit joins and the total: 30 rows, but the
+    # chain above is a corpus scan — cache the result, not the scan
+    exact3 = track_cache(exact3)
+    approx = (
+        q_knn_ivfpq(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("tier", F.lit(_PQ_EVAL_TIERS[0]))
+        .unionByName(
+            q_knn_pq_adc(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("tier", F.lit(_PQ_EVAL_TIERS[1]))
+        )
+    )
+    hits = approx.join(exact3, ["query_id", "neighbor_id"]).groupBy(
+        "tier"
+    ).agg(F.count("*").alias("h"))
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+    tiers = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _PQ_EVAL_TIERS])
+        ).alias("tier")
+    )
+    return (
+        tiers.join(hits, "tier", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)) / F.col("ex_total"), 6
+            ).alias("recall_at3"),
+        )
+        .orderBy("tier")
+    )
+
+
+_PQ_EVAL_L2_SQL = (
+    "list_sum(list_transform(list_zip(q.v, c.v),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+)
+
+# The approximate sides embed the tiers' OWN oracle texts as subqueries
+# — the eval's oracle cannot drift from the tiers it certifies.
+ORACLE_KNN_PQ_RECALL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_PQ_EVAL_L2_SQL}, 6) AS d2
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 3
+),
+approx AS (
+  SELECT '{_PQ_EVAL_TIERS[0]}' AS tier, query_id, neighbor_id
+  FROM ({ORACLE_KNN_IVFPQ}) ivfpq_t
+  UNION ALL
+  SELECT '{_PQ_EVAL_TIERS[1]}' AS tier, query_id, neighbor_id
+  FROM ({ORACLE_KNN_PQ_ADC}) pq_adc_t
+),
+tiers AS (SELECT '{_PQ_EVAL_TIERS[0]}' AS tier
+          UNION ALL SELECT '{_PQ_EVAL_TIERS[1]}'),
+hits AS (
+  SELECT a.tier, count(*) AS h
+  FROM approx a JOIN exact3 e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS ex_total FROM exact3)
+SELECT t.tier,
+       round(COALESCE(h.h, 0) / x.ex_total, 6) AS recall_at3
+FROM tiers t
+LEFT JOIN hits h ON h.tier = t.tier
+CROSS JOIN tot x
+ORDER BY t.tier
+"""
+
+QUERIES["knn_pq_recall_eval"] = q_knn_pq_recall_eval
+ORACLE["knn_pq_recall_eval"] = ORACLE_KNN_PQ_RECALL

@@ -595,3 +595,59 @@ def test_ivf_curve_monotone(spark, sf_dir):
     assert recalls == sorted(recalls)
     assert fracs == sorted(fracs)
     assert all(0.0 < f < 1.0 for f in fracs)
+
+
+def test_metadata_row_count_follows_sparks_file_set(spark, tmp_path):
+    """The footer counter counts exactly the files SPARK reads, by
+    construction (DataFrame.inputFiles), not a hand-rolled re-listing:
+    a suffix-less part file (Hive/Trino-style '000000_0' naming) is
+    data to Spark and must be data to the counter — the old
+    '.parquet'-suffix filter would have silently under-counted and
+    derived an LSH config the oracle's count(*) disagrees with
+    (code-review late-r11)."""
+    import shutil
+
+    import jp_qcew_spark.io as io_mod
+
+    path = tmp_path / "documents.parquet"
+    spark.range(100).toDF("id").repartition(1).write.parquet(str(path))
+    real = [f for f in path.iterdir() if f.name.endswith(".parquet")][0]
+    shutil.copy(real, path / "000000_0")  # no extension: still data
+    assert spark.read.parquet(str(path)).count() == 200
+    assert (
+        io_mod.metadata_row_count(spark, str(tmp_path), "documents") == 200
+    )
+
+
+def test_metadata_row_count_missing_table_raises(spark, tmp_path):
+    """A missing table surfaces load_table's own error instead of
+    being swallowed into a fallback scan of the same missing path
+    (code-review late-r11: the old bare-except caught the counter's
+    own FileNotFoundError and re-failed inside Spark, pointing away
+    from the real problem)."""
+    import pytest as _pytest
+
+    import jp_qcew_spark.io as io_mod
+
+    with _pytest.raises(Exception) as ei:
+        io_mod.metadata_row_count(spark, str(tmp_path), "documents")
+    # the error names the missing path, not a downstream symptom
+    assert "documents" in str(ei.value)
+
+
+def test_pq_recall_eval_shape(spark, sf_dir):
+    """knn_pq_recall_eval: one row per PQ tier, recall in [0, 1], and
+    the plan keeps the family rules (no cartesian; broadcast hints only
+    on bounded sides — codebooks, LUTs, centroids, the query slice, the
+    probe/total scalars)."""
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.similarity import (
+        _PQ_EVAL_TIERS,
+        q_knn_pq_recall_eval,
+    )
+
+    df = q_knn_pq_recall_eval(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    rows = df.orderBy("tier").collect()
+    assert [r["tier"] for r in rows] == sorted(_PQ_EVAL_TIERS)
+    assert all(0.0 <= r["recall_at3"] <= 1.0 for r in rows)

@@ -134,6 +134,7 @@ QUERIES = [
     "dedup_minhash_target",
     "dedup_minhash_recall_eval",
     "knn_ivf_recall_curve",
+    "knn_pq_recall_eval",
 ]
 
 

@@ -137,6 +137,34 @@ _ROWS_PER_BAND = 4
 _NUM_BANDS = _NUM_HASHES // _ROWS_PER_BAND
 
 
+def _sig_band_sql(
+    num_hashes: int = _NUM_HASHES, rows_per_band: int = _ROWS_PER_BAND
+) -> tuple[str, str]:
+    """(sig_exprs, band_selects) SQL fragments of the fixed-family
+    signature derivation — the ONE copy every oracle that re-derives
+    the MinHash banding shares (``_oracle_minhash``,
+    ``_oracle_minhash_est_eval``, the streaming near-dup oracle; the
+    targeted tier derives its config in SQL and keeps its own
+    range-enumerated form). The band stride follows ``rows_per_band``
+    instead of a hardcoded 4, so a family change cannot leave an oracle
+    silently slicing the wrong mh columns (code-review late-r11: three
+    hand-copies, each with the 4*b stride baked in)."""
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        "md5("
+        + " || ".join(
+            f"mh_{rows_per_band * b + r}" for r in range(rows_per_band)
+        )
+        + ") AS band_key FROM sig"
+        for b in range(num_hashes // rows_per_band)
+    )
+    return sig_exprs, band_selects
+
+
 def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for DISTINCT candidate pairs over the exploded
     shingle frame: (doc_a, doc_b, jac) with jac UNROUNDED — callers
@@ -239,16 +267,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash() -> str:
-    sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
-        for i in range(_NUM_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, "
-        f"md5(mh_{4 * b} || mh_{4 * b + 1} || mh_{4 * b + 2} || mh_{4 * b + 3}) "
-        "AS band_key FROM sig"
-        for b in range(_NUM_BANDS)
-    )
+    sig_exprs, band_selects = _sig_band_sql()
     return rf"""
 WITH sh AS ({_SH_SQL}),
 nonempty AS (SELECT * FROM sh WHERE len(shset) > 0),
@@ -996,16 +1015,7 @@ def q_dedup_minhash_est_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash_est_eval() -> str:
-    sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
-        for i in range(_NUM_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, "
-        f"md5(mh_{4 * b} || mh_{4 * b + 1} || mh_{4 * b + 2} || mh_{4 * b + 3}) "
-        "AS band_key FROM sig"
-        for b in range(_NUM_BANDS)
-    )
+    sig_exprs, band_selects = _sig_band_sql()
     agree = " + ".join(
         f"(CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(_NUM_HASHES)

@@ -793,22 +793,9 @@ def _oracle_stream_neardup() -> str:
     doc_id; the per-doc verdict is the same any-band OR the stream folds
     after quiescence. Signature CTEs are the dedup_minhash_lsh oracle's
     (same hash family, bit-for-bit)."""
-    from jp_qcew_spark.queries.dedup import (
-        _NUM_BANDS,
-        _NUM_HASHES,
-        _SH_SQL,
-    )
+    from jp_qcew_spark.queries.dedup import _SH_SQL, _sig_band_sql
 
-    sig_exprs = ",\n         ".join(
-        f"list_min(list_transform(shset, s -> md5('{i}:' || s))) AS mh_{i}"
-        for i in range(_NUM_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, "
-        f"md5(mh_{4 * b} || mh_{4 * b + 1} || mh_{4 * b + 2} || mh_{4 * b + 3}) "
-        "AS band_key FROM sig"
-        for b in range(_NUM_BANDS)
-    )
+    sig_exprs, band_selects = _sig_band_sql()
     return rf"""
 WITH sh AS ({_SH_SQL}),
 rk AS (

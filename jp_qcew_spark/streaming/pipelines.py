@@ -890,8 +890,11 @@ _NEARDUP_STATE = StructType(
 # it sub-linearly (isolated cold runs: 24.0 s at sf1 -> 34.2 s at sf3,
 # 1.42x per 3x data; ~3.0 -> 4.3 s per batch, commit-dominated). The
 # bucket count bounds INVOCATIONS only; the rewrite bill is intrinsic
-# to value-typed state and the named map-typed transformWithState fix
-# (env-gated below) is what removes it.
+# to value-typed state. The fix that removes it is map-typed
+# transformWithState state (one map entry per band key, no array
+# rewrite) — NOT implemented here because the API is protobuf-gated in
+# this runtime; see stream_tws_user_extremes above for the gated
+# transformWithState usage pattern a port would start from.
 _NEARDUP_BUCKETS = 512
 
 
@@ -916,7 +919,10 @@ def _neardup_fn(key, pdfs, state):
     out_ids: list[int] = []
     out_prior: list[int] = []
     out_lower: list[int] = []
-    rows["k"] = rows["band_idx"].astype(str) + ":" + rows["band_key"]
+    # the identity column k arrives pre-built from the plan (one JVM
+    # concat_ws shared with the bucket derivation) — rebuilding it
+    # per-row in pandas here was the hot-path duplicate the late-r11
+    # review removed
     for k, grp in rows.groupby("k", sort=True):
         ids = sorted(int(x) for x in grp["doc_id"])
         prior = 1 if k in seen else 0
@@ -1007,6 +1013,11 @@ def stream_dedup_neardup(
     # keys (pinned by test). The replay source emits ONE partition per
     # micro-batch, so repartition FIRST to run the signature at task
     # parallelism (the widen_scan lesson applied to the wire).
+    # the band identity k is projected ONCE (JVM concat_ws) and shared
+    # by the bucket derivation and the stateful op's state keys — a
+    # single point of definition for the identity format (the late-r11
+    # review found it built twice, once JVM-side and once per-row in
+    # pandas)
     keyed = (
         stream.repartition(32)
         .select(
@@ -1015,12 +1026,13 @@ def stream_dedup_neardup(
                 D.minhash_band_keys(F.col("text"), nh, rpb)
             ).alias("band_idx", "band_key"),
         )
-    ).withColumn(
-        "bucket",
-        F.crc32(
-            F.concat_ws(":", F.col("band_idx"), F.col("band_key"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ":", F.col("band_idx"), F.col("band_key")
+            ).alias("k"),
         )
-        % _NEARDUP_BUCKETS,
+        .withColumn("bucket", F.crc32(F.col("k")) % _NEARDUP_BUCKETS)
     )
     out = keyed.groupBy("bucket").applyInPandasWithState(
         _neardup_fn,

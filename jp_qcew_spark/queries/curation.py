@@ -49,11 +49,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the role of a held-out benchmark here).
 
     Scale shape: both sides explode to (doc_id, shingle) rows
-    (ext.dedup.exploded_shingles — codegen'd, no array lambdas); the eval
-    shingle set gets an explicit broadcast because an eval/benchmark set is
-    genuinely BOUNDED (fixed benchmark suite, not corpus-proportional) — the
-    one case where a broadcast hint on a dedup-family join is correct. The
-    semi-join then runs map-side with zero shuffle of the training shingles.
+    (ext.dedup.exploded_shingles — codegen'd, no array lambdas). The
+    eval side carries NO broadcast hint (late-r11 review): a real
+    benchmark suite is bounded, but THIS fixture's eval set is
+    doc_id % 31 — a fixed FRACTION of the corpus, so a forced broadcast
+    would grow with it, exactly what the no-corpus-side-hint invariant
+    forbids. AQE broadcasts the semi-join side at runtime whenever it
+    is genuinely small (it is, at every tested scale), so the map-side
+    zero-shuffle plan is unchanged in practice; a deployment with a
+    truly fixed benchmark can re-add the hint at the call site.
     """
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -65,7 +69,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(~is_eval)
     contam = (
         D.exploded_shingles(train, "doc_id", "text", k=DECON_K)
-        .join(F.broadcast(ev_sh), "shingle", "semi")
+        .join(ev_sh, "shingle", "semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_contam", F.lit(1))
@@ -235,14 +239,24 @@ GROUP BY h.source, c.n_docs, c.cut ORDER BY h.source
 
 _BLOOM_M = 8192  # bits
 # multiplicative hash constants (xxhash/Knuth primes); h_i(key) =
-# ((key * A_i) % P) % M with P = 2^31 - 1 — pure BIGINT arithmetic, exact
-# in any engine, overflow-free for key < 2^32
+# (((key % P) * (A_i % P)) % P) % M with P = 2^31 - 1 — pure BIGINT
+# arithmetic, exact in any engine, overflow-free for EVERY int64 key:
+# (P-1) * max(A_i % P) ~ 2.4e18 < 2^63-1, and by modular arithmetic the
+# value is identical to ((key * A_i) % P) wherever the naive product
+# fits. The naive form (late-r11 review) overflowed int64 past
+# key ~ 2.82e9 — BELOW the 2^32 bound the old comment claimed — where
+# ANSI-off Spark wraps silently (negative % stays negative, membership
+# probes always miss => silent false negatives) while DuckDB raises:
+# a cross-engine divergence waiting at production key scales.
 _BLOOM_A = (2654435761, 2246822519, 3266489917)
 _BLOOM_P = 2147483647
 
 
 def _bloom_hashes(key):
-    return [((key * F.lit(a)) % _BLOOM_P) % _BLOOM_M for a in _BLOOM_A]
+    return [
+        (((key % _BLOOM_P) * F.lit(a % _BLOOM_P)) % _BLOOM_P) % _BLOOM_M
+        for a in _BLOOM_A
+    ]
 
 
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +311,13 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_sql_hash(expr: str, a: int) -> str:
-    return f"(({expr} * {a}) % {_BLOOM_P}) % {_BLOOM_M}"
+    # same reduce-first form as _bloom_hashes: overflow-free for every
+    # int64 key on both engines, value-identical where the naive
+    # product fit
+    return (
+        f"((({expr} % {_BLOOM_P}) * {a % _BLOOM_P}) % {_BLOOM_P})"
+        f" % {_BLOOM_M}"
+    )
 
 
 ORACLE_BLOOM_PREFILTER = f"""
@@ -432,7 +452,18 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    prio = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    # NULL text is pinned to '' on BOTH engines before hashing: Spark's
+    # concat_ws silently SKIPS a NULL argument while SQL '||' propagates
+    # NULL (which then sorts NULLS LAST), so one NULL-text document
+    # would otherwise flip sample membership across engines (late-r11
+    # review; the _n_words one-NULL-document hazard class)
+    prio = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     base = d.select(
         "source", "doc_id", prio.alias("prio"), F.spark_partition_id().alias("pid")
     )
@@ -457,7 +488,8 @@ WITH ranked AS (
   SELECT source, doc_id,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text) ASC,
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'
+                        || COALESCE(text, '')) ASC,
                     doc_id ASC) AS rk
   FROM documents
 )
@@ -750,7 +782,17 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "text"
         )
     )
-    h = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    # NULL text pins to '' BEFORE normalization on BOTH engines — a NULL
+    # h/bucket would hit the engines' opposite window NULL-ordering
+    # defaults (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) and one
+    # NULL-text document would shift every quota fill (late-r11 review)
+    h = F.md5(
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+",
+            " ",
+        )
+    )
     base = d.select(
         "doc_id",
         "source",
@@ -804,7 +846,8 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_TEMPERATURE = r"""
 WITH base AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+         md5(regexp_replace(lower(trim(COALESCE(text, ''))),
+                            '\s+', ' ', 'g')) AS h
   FROM documents
 ), counts AS (
   SELECT source, count(*) AS n_docs FROM base GROUP BY source
@@ -863,7 +906,7 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical URL, the same shape as ``dedup_exact`` (sketches/pairs are
     never needed for URL identity)."""
     d = widen_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+        load_table(spark, sf_dir, "documents").select("doc_id", "source")
     )
     raw = d.withColumn(
         "raw_url",

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from jp_qcew_spark.io import (
     load_table,
-    track_cache,
     track_local_checkpoint,
     widen_scan,
 )

@@ -26,18 +26,37 @@ from pyspark.sql import functions as F
 from jp_qcew_spark.io import load_table
 
 
+def _purchases(ev: DataFrame) -> DataFrame:
+    """One row per purchase event with value rounded to cents — the
+    SCD2 changelog slice every warehouse SCD2 query starts from. One
+    definition (late-r11 review: the rule existed as three hand-copies,
+    so a change to the rounding or the event filter could silently fork
+    the dimension semantics between the history build and the
+    point-in-time join that consumes it)."""
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+
+
+def _purchase_versions(ev: DataFrame) -> DataFrame:
+    """The SCD2 version frame: ``_purchases`` plus valid_to = next
+    version's ts per user ((ts, event_id) deterministic tie-break).
+    Shared by ``q_scd2_history`` and ``q_join_pit_scd2``;
+    ``q_scd2_upsert`` shares only ``_purchases`` because it windows its
+    own pre-cutoff slice (lead over a filtered changelog is a different
+    frame)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _purchases(ev).withColumn("valid_to", F.lead("ts").over(w))
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (type 2) history build from a changelog:
     each purchase event is a new version of the user's row; ``valid_from`` =
     event ts, ``valid_to`` = next version's ts (null = current), with the
     unique event_id as deterministic tie-break within equal timestamps."""
     ev = load_table(spark, sf_dir, "events")
-    pur = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        pur.withColumn("valid_to", F.lead("ts").over(w))
+        _purchase_versions(ev)
         .select(
             "user_id",
             "event_id",
@@ -550,16 +569,7 @@ def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, the union + last-non-null-window as-of form of ``join_asof``
     is the fallback — same results, one window instead of a join.)"""
     ev = load_table(spark, sf_dir, "events")
-    ver = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
-        .withColumn(
-            "valid_to",
-            F.lead("ts").over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ),
-        )
-    )
+    ver = _purchase_versions(ev)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"), F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
@@ -739,9 +749,7 @@ def q_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — the standard trick that turns an hours-of-changelog apply
     into one row per touched key."""
     ev = load_table(spark, sf_dir, "events")
-    pur = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
-    )
+    pur = _purchases(ev)
     cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     hist = (

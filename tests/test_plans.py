@@ -172,7 +172,10 @@ def test_curation_plan_shapes(spark, sf_dir):
 
     df = q_decontaminate(spark, sf_dir)
     assert not I.has_cartesian_product(df)
-    assert I.broadcast_hint_count(df) == 1  # the bounded eval shingle set
+    # the eval shingle set is a FRACTION of the corpus in this fixture
+    # (doc_id % 31), so no forced hint — AQE broadcasts it at runtime
+    # when genuinely small (late-r11 review)
+    assert I.broadcast_hint_count(df) == 0
 
     df = q_dedup_incremental(spark, sf_dir)
     assert not I.has_cartesian_product(df)

@@ -651,3 +651,68 @@ def test_pq_recall_eval_shape(spark, sf_dir):
     rows = df.orderBy("tier").collect()
     assert [r["tier"] for r in rows] == sorted(_PQ_EVAL_TIERS)
     assert all(0.0 <= r["recall_at3"] <= 1.0 for r in rows)
+
+
+def test_bloom_hash_no_int64_overflow(spark):
+    """The bloom hash is overflow-free and cross-engine identical for
+    EVERY int64 key (late-r11 review: the naive key*A form wrapped
+    silently past key ~ 2.82e9 with ANSI off while DuckDB raised —
+    silent false negatives on one engine, an error on the other)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.queries.curation import (
+        _BLOOM_A,
+        _bloom_hashes,
+        _bloom_sql_hash,
+    )
+
+    keys = [0, 1, 2_824_120_457, 4_294_967_295, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    hs = _bloom_hashes(F.col("k"))
+    got = {
+        r["k"]: (r["h0"], r["h1"], r["h2"])
+        for r in df.select(
+            "k", *[h.alias(f"h{i}") for i, h in enumerate(hs)]
+        ).collect()
+    }
+    for k in keys:
+        sq = duckdb.sql(
+            "SELECT "
+            + ", ".join(_bloom_sql_hash(str(k), a) for a in _BLOOM_A)
+        ).fetchone()
+        assert got[k] == tuple(sq), k
+        assert all(0 <= v < 8192 for v in sq), k
+
+
+def test_sampling_null_text_cross_engine(spark, tmp_path):
+    """One NULL-text document must not diverge the deterministic
+    samplers across engines (late-r11 review: Spark's concat_ws SKIPS a
+    NULL where SQL '||' propagates it, and the engines' window NULL
+    orderings are opposite). Both queries now pin NULL text to '' on
+    both sides; this runs each against its DuckDB oracle on a corpus
+    WITH a NULL-text row."""
+    import duckdb
+
+    from jp_qcew_spark.queries.curation import ORACLE, QUERIES
+
+    rows = [
+        (i, f"doc text number {i} alpha beta", "en", f"s{i % 3}", 20)
+        for i in range(30)
+    ]
+    rows.append((99, None, "en", "s0", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).repartition(2).write.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("sample_reservoir", "sample_temperature"):
+        got = sorted(
+            tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(ORACLE[name]).fetchall())
+        assert got == want, (name, got[:5], want[:5])

@@ -33,7 +33,13 @@ def tokens(col: Column) -> Column:
 
 
 def word_count(col: Column) -> Column:
-    return F.size(tokens(col)).cast("long")
+    """Token count; NULL for NULL text. ``F.size`` of a NULL array is -1
+    with ANSI off while SQL ``len(NULL)`` is NULL, so without the guard
+    every word-count oracle pair diverges the moment a corpus carries a
+    NULL document (late-r11 review, confirmed row-level mismatch)."""
+    return F.when(
+        col.isNull(), F.lit(None).cast("long")
+    ).otherwise(F.size(tokens(col)).cast("long"))
 
 
 def nonspace_len(col: Column) -> Column:

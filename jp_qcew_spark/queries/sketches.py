@@ -195,7 +195,11 @@ def q_sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = partial.groupBy("lang").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("est"),
         F.sum("nd").alias("n_docs"),
-        F.count("*").alias("n_sketches"),
+        # count("source"), not count(*): the oracle's
+        # count(DISTINCT source) skips NULLs, so a NULL-source group's
+        # sketch row must not count (late-r11 review, confirmed
+        # divergence on a corpus with one NULL source)
+        F.count("source").alias("n_sketches"),
     )
     return merged.select(
         "lang",

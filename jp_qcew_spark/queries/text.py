@@ -3,6 +3,18 @@
 Spark side uses the column builders in ``jp_qcew_spark.functions.text``
 (pure JVM expressions); oracles re-derive identical values with DuckDB list
 lambdas / regex functions.
+
+Whitespace contract (late-r11 review adjudication): tokenization is
+pinned on the [ \\t\\n\\f\\r] class the three regex engines in play
+agree on — Java ``\\s`` (Spark) additionally matches \\x0b, Python
+``str.split`` (the UDTF) matches \\x0b/\\x85/\\xa0, RE2 (DuckDB)
+matches none of those — so corpora are expected to carry only the
+common-subset whitespace (true of every oracle fixture and of
+NFC-normalized crawl text after the usual control-char scrub). A
+deployment whose charset includes \\x0b/\\xa0 must normalize them to
+spaces upstream (one ``regexp_replace`` before ingest); aligning three
+engines' ``\\s`` classes per-query would churn every text oracle for a
+byte range the pipeline's own cleaning stage removes.
 """
 
 from __future__ import annotations
@@ -226,7 +238,13 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("cid").cast("long").alias("chunk_id"),
-            F.size(chunk).cast("long").alias("chunk_words"),
+            # size(NULL array) = -1 with ANSI off vs SQL len(NULL) =
+            # NULL: a NULL-text doc still emits one chunk row on both
+            # engines, so pin chunk_words to NULL there (late-r11
+            # review, confirmed divergence)
+            F.when(
+                F.col("ws").isNull(), F.lit(None).cast("long")
+            ).otherwise(F.size(chunk).cast("long")).alias("chunk_words"),
             F.length(F.array_join(chunk, " ")).cast("long").alias(
                 "chunk_chars"
             ),
@@ -261,6 +279,38 @@ ORACLE["text_chunk"] = ORACLE_TEXT_CHUNK
 # --------------------------------------------------------------------------
 
 
+def _bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2) adjacent-token pairs of the corpus — the ONE copy of the
+    bigram extraction both bigram surfaces share (late-r11 review:
+    ``q_text_bigrams`` and ``q_text_pmi_assoc`` carried the block
+    verbatim twice, so a tokenization fix applied to one would silently
+    fork the other). A single array expression
+    (``transform(sequence(...))`` index lambda) exploded map-side — no
+    join, no UDF."""
+    d = _docs(spark, sf_dir, "text")
+    base = d.select(F.split(F.trim("text"), r"\s+").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    return base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+
+
+# the oracle twin of _bigram_pairs, shared by both bigram oracles
+_BIGRAM_CTES = r"""w AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), b AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+)"""
+
+
 def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 next-token continuations per head token with counts — the
     bigram conditional-frequency table that seeds classical LM features and
@@ -271,18 +321,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-break (count desc, token asc) pins the cut."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir, "text")
-    base = d.select(F.split(F.trim("text"), r"\s+").alias("ws")).filter(
-        F.size("ws") >= 2
-    )
-    bg = base.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws)-1),"
-                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    bg = _bigram_pairs(spark, sf_dir)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
     w = W.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2").asc())
     return (
@@ -293,14 +332,8 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_BIGRAMS = r"""
-WITH w AS (
-  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
-), b AS (
-  SELECT ws[i] AS w1, ws[i+1] AS w2
-  FROM w, unnest(range(1, len(ws))) AS t(i)
-  WHERE len(ws) >= 2
-), counts AS (
+ORACLE_TEXT_BIGRAMS = rf"""
+WITH {_BIGRAM_CTES}, counts AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY w1, w2
 ), ranked AS (
   SELECT w1, w2, n,
@@ -519,7 +552,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query that exposed the split-starvation cliff now documented on
     ``io.widen_scan`` (sf1's one-file corpus scanned as 2 splits; 15.5 s
     on 2 of 32 cores vs 1.9 s widened)."""
-    d = widen_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = _docs(spark, sf_dir, "doc_id", "text")
     low = F.lower(F.col("text"))
     # Layered projections keep each codegen'd stage small: inlining n
     # (itself a 26-term sum of string scans) into all 52 of its uses in the
@@ -680,18 +713,7 @@ def q_text_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts. Nothing quadratic, no UDFs, all codegen'd."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir, "text")
-    base = d.select(F.split(F.trim("text"), r"\s+").alias("ws")).filter(
-        F.size("ws") >= 2
-    )
-    bg = base.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws)-1),"
-                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    bg = _bigram_pairs(spark, sf_dir)
     counts = bg.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("n_ab")
     )
@@ -719,13 +741,7 @@ def q_text_pmi_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_PMI_ASSOC = rf"""
-WITH w AS (
-  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
-), b AS (
-  SELECT ws[i] AS w1, ws[i+1] AS w2
-  FROM w, unnest(range(1, len(ws))) AS t(i)
-  WHERE len(ws) >= 2
-), counts AS (
+WITH {_BIGRAM_CTES}, counts AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM b GROUP BY w1, w2
 ), sc AS (
   SELECT w1, w2, n_ab,

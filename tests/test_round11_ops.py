@@ -694,13 +694,15 @@ def test_sampling_null_text_cross_engine(spark, tmp_path):
     WITH a NULL-text row."""
     import duckdb
 
-    from jp_qcew_spark.queries.curation import ORACLE, QUERIES
+    from jp_qcew_spark.queries import all_oracles, all_queries
 
+    QUERIES, ORACLE = all_queries(), all_oracles()
     rows = [
         (i, f"doc text number {i} alpha beta", "en", f"s{i % 3}", 20)
         for i in range(30)
     ]
-    rows.append((99, None, "en", "s0", 0))
+    rows.append((99, None, "en", "s0", 0))  # NULL text
+    rows.append((100, "a null source row here", "es", None, 22))
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
         "n_chars long"
@@ -710,9 +712,26 @@ def test_sampling_null_text_cross_engine(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
-    for name in ("sample_reservoir", "sample_temperature"):
-        got = sorted(
-            tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect()
+    def canon(rows):  # NULLs sort; floats normalize
+        return sorted(
+            (
+                tuple(
+                    round(v, 9) if isinstance(v, float) else v for v in r
+                )
+                for r in rows
+            ),
+            key=lambda t: tuple(
+                "" if v is None else str(v) for v in t
+            ),
         )
-        want = sorted(tuple(r) for r in con.execute(ORACLE[name]).fetchall())
+
+    for name in (
+        "sample_reservoir",
+        "sample_temperature",
+        "text_stats",
+        "text_chunk",
+        "sketch_hll_rollup",
+    ):
+        got = canon(tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect())
+        want = canon(con.execute(ORACLE[name]).fetchall())
         assert got == want, (name, got[:5], want[:5])

@@ -242,8 +242,6 @@ def q_mode_keying(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary ties, so the engine standardizes on this form.
     """
     o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
-
     counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("cnt")
     )

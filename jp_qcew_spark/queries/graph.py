@@ -96,19 +96,19 @@ WITH edges AS (
   SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
 ), it1 AS (
   SELECT node,
-         (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * coalesce(s, 0) AS pr
+         {1.0 - _DAMP!r} / (SELECT n FROM nn) + {_DAMP} * coalesce(s, 0) AS pr
   FROM nodes LEFT JOIN (
     SELECT dst, sum(pr / deg) AS s FROM edeg JOIN it0 ON src = node
     GROUP BY dst) c ON node = dst
 ), it2 AS (
   SELECT node,
-         (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * coalesce(s, 0) AS pr
+         {1.0 - _DAMP!r} / (SELECT n FROM nn) + {_DAMP} * coalesce(s, 0) AS pr
   FROM nodes LEFT JOIN (
     SELECT dst, sum(pr / deg) AS s FROM edeg JOIN it1 ON src = node
     GROUP BY dst) c ON node = dst
 ), it3 AS (
   SELECT node,
-         (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * coalesce(s, 0) AS pr
+         {1.0 - _DAMP!r} / (SELECT n FROM nn) + {_DAMP} * coalesce(s, 0) AS pr
   FROM nodes LEFT JOIN (
     SELECT dst, sum(pr / deg) AS s FROM edeg JOIN it2 ON src = node
     GROUP BY dst) c ON node = dst
@@ -175,6 +175,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= _TRI_SUPPORT)
         .select("a", "b")
     )
+    # consumed three times (e1/e2/e3 of the wedge-close); without the
+    # scope cache the distinct+self-join+agg pipeline re-plans per join
+    # input (late-r11 review — the pagerank convention in this module)
+    e = track_cache(e)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedge = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
         F.col("e1.a").alias("a"),
@@ -268,8 +272,11 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # nulls-LAST tie-break: Spark asc() = NULLS FIRST vs DuckDB plain
+    # ASC = NULLS LAST, so a NULL label tied with a real one would win
+    # on one engine and lose on the other (late-r11 review; latent)
     w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("lbl").asc()
+        F.col("n").desc(), F.col("lbl").asc_nulls_last()
     )
     cur = seeds
     for _ in range(_LP_ITERS):
@@ -294,7 +301,14 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("vec_id"),
             F.col("seed_lbl").alias("seed_label"),
             F.col("lbl").alias("final_label"),
-            (F.col("lbl") != F.col("seed_lbl")).cast("long").alias("changed"),
+            # when/otherwise, not a bare cast: a NULL label makes
+            # (NULL != x) NULL while the oracle's CASE yields 0 — the
+            # same-row-different-value latent NULL class (late-r11
+            # review)
+            F.when(F.col("lbl") != F.col("seed_lbl"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("changed"),
         )
         .orderBy("vec_id")
     )

@@ -21,9 +21,16 @@ from jp_qcew_spark.io import load_table
 def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per nation in one region — fact chain with broadcast dims (J1/J3).
 
-    lineitem⋈orders shuffles on the order key; customer/nation/region are
-    broadcast (the reference's naics-description join at
-    data_process.py:229-238 is the same shape: ~300-row dim).
+    lineitem⋈orders shuffles on the order key; nation/region carry
+    explicit broadcast hints (genuinely FIXED-size dims — 25/5 rows at
+    any scale; the reference's naics-description join at
+    data_process.py:229-238 is the same shape). customer is
+    corpus-scaled (150k x sf rows — TB-class at the 100 TB design
+    point), so it carries NO forced hint (late-r11 review): size-based
+    planning/AQE broadcasts it at runtime whenever it is genuinely
+    small, which it is at every tested scale, so the physical plan is
+    unchanged here while the forced-OOM hazard at production scale is
+    gone.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -32,7 +39,7 @@ def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
@@ -443,8 +450,14 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = err.join(pur, err.user_id == pur.pur_user, "left")
     dist = F.abs(F.unix_micros("pur_ts") - F.unix_micros("err_ts"))
+    # nulls-LAST on every key: Spark's asc() default is NULLS FIRST but
+    # the oracle's plain ASC is DuckDB NULLS LAST — a NULL purchase ts
+    # would otherwise win the argmin on one engine and lose on the
+    # other (late-r11 review; latent, fixtures carry no NULL ts)
     w = Window.partitionBy("err_id").orderBy(
-        dist.asc(), F.col("pur_ts").asc(), F.col("pur_id").asc()
+        dist.asc_nulls_last(),
+        F.col("pur_ts").asc_nulls_last(),
+        F.col("pur_id").asc_nulls_last(),
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))

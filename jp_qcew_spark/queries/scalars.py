@@ -209,7 +209,10 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey", "s_name"
     )
     return (
-        c.join(F.broadcast(s), F.col("c_nationkey") == F.col("s_nationkey"))
+        # broadcast the BOUNDED side: c is filtered to < 100 keys by
+        # construction while supplier grows with the corpus — the old
+        # hint sat on the unbounded side (late-r11 review)
+        F.broadcast(c).join(s, F.col("c_nationkey") == F.col("s_nationkey"))
         .select(
             "c_custkey",
             "s_name",

@@ -32,7 +32,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # no forced broadcast on customer (corpus-scaled; late-r11 review) —
+    # size-based planning broadcasts it at runtime when genuinely small
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment",
         "o_orderkey",
         "o_totalprice",

@@ -115,8 +115,14 @@ def metadata_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     try:
         import pyarrow.parquet as pq
 
+        files = df.inputFiles()
+        if not files:
+            # a source that exposes no file index must not masquerade as an
+            # empty table (n=0 would silently skew every derived LSH
+            # config) — fall back to the authoritative Spark count
+            raise OSError("scan exposes no input files")
         total = 0
-        for uri in df.inputFiles():
+        for uri in files:
             parsed = urlparse(uri)
             if parsed.scheme not in ("file", ""):
                 raise OSError(f"non-local input {uri}")

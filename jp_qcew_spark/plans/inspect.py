@@ -97,6 +97,28 @@ def broadcast_hint_count(df: DataFrame) -> int:
     return plan.count("strategy=broadcast")
 
 
+def broadcast_hint_sites(df: DataFrame) -> int:
+    """Distinct broadcast-hinted SUBTREES in the analyzed logical plan,
+    deduped by the hinted child's semantic hash. ``broadcast_hint_count``
+    counts plan OCCURRENCES, which multiply when the analyzer re-expands a
+    shared subtree per reference — a number that moves with Spark's planner
+    internals, not with the code. This counter is the stable site-level
+    invariant: a NEW hint on a different side moves it; re-expansion of an
+    existing one does not (ADVICE r11)."""
+    seen: set[int] = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "ResolvedHint" and "broadcast" in str(
+            node.hints()
+        ):
+            seen.add(node.child().semanticHash())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return len(seen)
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the plan combines map-side (partial_*) before the shuffle —
     the difference between shuffling group states and shuffling raw rows."""

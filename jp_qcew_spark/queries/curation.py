@@ -253,8 +253,17 @@ _BLOOM_P = 2147483647
 
 
 def _bloom_hashes(key):
+    # final ((h % M) + M) % M normalizes NEGATIVE keys into [0, M): both
+    # engines use truncated modulo, so a negative key otherwise yields a
+    # negative bucket index (consistent cross-engine, but a nonsense bloom
+    # position). For non-negative keys the extra step is the identity, so
+    # existing outputs are unchanged (ADVICE r11).
     return [
-        (((key % _BLOOM_P) * F.lit(a % _BLOOM_P)) % _BLOOM_P) % _BLOOM_M
+        (
+            ((((key % _BLOOM_P) * F.lit(a % _BLOOM_P)) % _BLOOM_P) % _BLOOM_M)
+            + _BLOOM_M
+        )
+        % _BLOOM_M
         for a in _BLOOM_A
     ]
 
@@ -313,10 +322,11 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_sql_hash(expr: str, a: int) -> str:
     # same reduce-first form as _bloom_hashes: overflow-free for every
     # int64 key on both engines, value-identical where the naive
-    # product fit
+    # product fit; the final +M normalization maps negative keys into
+    # [0, M) and is the identity for non-negative keys (ADVICE r11)
     return (
-        f"((({expr} % {_BLOOM_P}) * {a % _BLOOM_P}) % {_BLOOM_P})"
-        f" % {_BLOOM_M}"
+        f"((((({expr} % {_BLOOM_P}) * {a % _BLOOM_P}) % {_BLOOM_P})"
+        f" % {_BLOOM_M}) + {_BLOOM_M}) % {_BLOOM_M}"
     )
 
 

@@ -667,7 +667,14 @@ def test_bloom_hash_no_int64_overflow(spark):
         _bloom_sql_hash,
     )
 
-    keys = [0, 1, 2_824_120_457, 4_294_967_295, 2**62, 2**63 - 1]
+    # negatives included (ADVICE r11): both engines' truncated modulo
+    # would otherwise yield NEGATIVE bucket indices — the final +M
+    # normalization maps every int64 key into [0, M) identically on
+    # both engines while leaving non-negative keys' values untouched
+    keys = [
+        0, 1, 2_824_120_457, 4_294_967_295, 2**62, 2**63 - 1,
+        -1, -2_824_120_457, -(2**62), -(2**63),
+    ]
     df = spark.createDataFrame([(k,) for k in keys], "k long")
     hs = _bloom_hashes(F.col("k"))
     got = {

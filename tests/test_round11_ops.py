@@ -542,11 +542,13 @@ def test_metadata_row_count_skips_hidden_files(spark, tmp_path):
 
 def test_ivf_curve_plan_and_count_free(spark, sf_dir, monkeypatch):
     """knn_ivf_recall_curve plan pins: no cartesian product, every
-    broadcast hint on a corpus-INDEPENDENT side (centroids x2, the
-    bounded query band set, the 3-row probe table, the bounded query
-    slice, the 1-row exact-total scalar — exactly 6), top-k windows per
+    broadcast hint on a corpus-INDEPENDENT side (the trained-centroid
+    chain — seeds + one per Lloyd superstep, the bounded query cell
+    set, the 3-row probe table, the bounded query slice, the 1-row
+    exact-total scalar — exactly 7 SITES), top-k windows per
     (nprobe, query_id), and ZERO pre-query jobs (corpus count from
-    parquet footers, the VERDICT r10 #6 discipline)."""
+    parquet footers, the VERDICT r10 #6 discipline; the k-means
+    training chain is lazy — no superstep count() during build)."""
     import re
 
     from pyspark.sql import DataFrame
@@ -563,11 +565,12 @@ def test_ivf_curve_plan_and_count_free(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", _boom)
     df = q_knn_ivf_recall_curve(spark, sf_dir)
     assert not I.has_cartesian_product(df)
-    # 6 hint SITES (all bounded sides); the analyzed logical plan
-    # re-expands the shared assigned/cand subtrees per reference, so the
-    # site count multiplies out to 17 occurrences — a structural pin:
-    # a new hint on a corpus-sized side would move this number
-    assert I.broadcast_hint_count(df) == 17
+    # 7 hint SITES (all bounded sides), deduped by hinted-subtree
+    # semantic hash — the occurrence counter multiplies with analyzer
+    # re-expansion of shared subtrees and is planner-version noise
+    # (ADVICE r11); a NEW hint on a corpus-sized side moves the site
+    # count, which is the invariant that matters
+    assert I.broadcast_hint_sites(df) == 7
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(nprobe#\d+, query_id#\d+", plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -38,98 +38,88 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-11 window (VERDICT r10
-# #1/#4/#6/#7):
+# evidence policy. This list pins the ROUND-12 window (VERDICT r11 #1):
 #
-# - the 2 queries NEW this round need FIRST driver rows:
-#   dedup_minhash_target (the recall contract on the TEXT near-dup
-#   tier — (bands, rows_per_band) derived from a (Jaccard threshold,
-#   recall floor) instead of the fixed family's 12/3/4) and
-#   dedup_minhash_recall_eval (its certification — both derived
-#   scalars ride under the hash);
-# - dedup_embedding_rp_target / dedup_recall_target_eval CHANGED this
-#   round (the targeted RP config is now a threshold-aware COST SWEEP
-#   over row bits, VERDICT r10 #4; quantization tie rule unified and
-#   the config scalar now comes from parquet footers, ADVICE r10 +
-#   VERDICT r10 #6) and are re-certified;
-# - then the ENTIRE r7 evidence cohort (45 queries, the oldest rows in
-#   the book — VERDICT r10 #7): after this window no query's driver
-#   evidence is older than r8. The cohort happens to contain the whole
-#   fixed MinHash family (dedup_minhash_lsh / dedup_minhash_est_eval /
-#   dedup_jaccard_pairs), so the tier the new contract extends is
-#   re-proven in the same window;
-# - knn_ivf_recall_curve (added late in r11 — the IVF tier's measured
-#   recall/cost curve) takes the head slot, which pushes the r8
-#   retirement starter (argmax_funcs) out of the 50-window; round 12
-#   leads with knn_pq_recall_eval (the second late-r11 addition, the
-#   PQ tiers' recall eval — registered past the window so the r7
-#   cohort sweep stays intact; it carries local 3-scale parity +
-#   plan-pin evidence until then), then the whole r8 cohort
-#   (argmax_funcs first, alphabetical).
-# Everything NOT listed follows in module-registration order. Queries
-# touched only at the config-scalar SOURCE (count() -> parquet footer
-# metadata, value- and plan-identical results: knn_signlsh,
-# knn_multiprobe, semdedup_lsh, knn_lsh_banded, dedup_embedding_cos,
-# semdedup_rp, knn_recall_rp ...) were re-verified bare-session this
-# round (BASELINE.md round-11 notes) and keep their r9/r10 evidence;
-# knn_ivf (pure code motion onto the shared _ivf_cells quantizer —
-# plan- and value-identical) follows the same precedent: re-verified
-# bare-session hash-green at 3 scales, keeps its existing evidence.
+# - knn_pq_recall_eval leads: the registry's ONLY never-driver-checked
+#   query (registered past the pinned r11 window), AND changed this
+#   round (it now prices the TRAINED codebooks);
+# - dedup_snm_recall_eval is NEW this round (the SNM window's measured
+#   recall/cost curve — VERDICT r11 #7);
+# - the trained-quantizer family CHANGED this round (VERDICT r11 #2/#3:
+#   spherical-k-means IVF cells shared by knn_ivf / knn_ivf_recall_curve
+#   / knn_ivfpq; trained per-subspace PQ codebooks in knn_pq_adc /
+#   knn_ivfpq) and dedup_sorted_neighborhood changed by the
+#   _snm_positions extraction (plan-identical refactor, shared with its
+#   new eval);
+# - then the cohort changed by the LATE-r11 review sweeps, which carried
+#   only pre-change driver evidence (VERDICT r11 "What's wrong" #1):
+#   bloom_prefilter (the int64-overflow fix + this round's negative-key
+#   normalization — identity for the non-negative keys in the data),
+#   the NULL-fix samplers/text queries, the de-hinted joins,
+#   graph_label_prop / join_asof_nearest (NULL ordering),
+#   graph_triangles (scope-cache), text_bigrams (dedupe),
+#   stream_dedup_neardup (band identity projected once);
+# - the remaining slots start retiring the r8 cohort (now the oldest
+#   evidence), alphabetical: argmax_funcs .. stream_stateful_user_stats
+#   land this round; the 10 stragglers (stream_static_join ..
+#   wages_series) lead the r13 window.
+# Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
-    # -- new in round 11: first driver rows
+    # -- never driver-checked + changed (trained PQ codebooks)
+    "knn_pq_recall_eval",
+    # -- new in round 12
+    "dedup_snm_recall_eval",
+    # -- changed in round 12: trained quantizers + SNM refactor
+    "knn_pq_adc",
+    "knn_ivfpq",
+    "knn_ivf",
     "knn_ivf_recall_curve",
-    "dedup_minhash_target",
-    "dedup_minhash_recall_eval",
-    # -- changed in round 11 (targeted-RP cost sweep): re-certify
-    "dedup_embedding_rp_target",
-    "dedup_recall_target_eval",
-    # -- the ENTIRE r7 evidence cohort (oldest rows in the book; after
-    # this window no evidence is older than r8)
-    "dedup_char_ngram",
-    "dedup_exact",
-    "dedup_exact_substring",
-    "dedup_fuzzy",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_est_eval",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_url_canonical",
-    "domain_mix",
-    "embedding_gram_matrix",
-    "embedding_quantize_int8",
-    "events_attribution",
-    "events_markov_transitions",
-    "events_rollup_reagg",
-    "events_session",
-    "events_session_gaps",
-    "events_variant",
-    "funnel_steps",
-    "graph_pagerank",
-    "grouped_zscore",
-    "kmeans_cluster",
-    "mm_audio_frames",
-    "mm_bmp_decode",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_metadata",
-    "mm_ppm_decode",
-    "mm_tga_decode",
-    "profile_columns",
-    "regional_volume",
-    "sample_reservoir",
-    "scd2_history",
-    "seq_pack",
-    "sketch_approx",
-    "sketch_countmin_topk",
-    "sketch_hll_rollup",
-    "sketch_quantile_hist",
-    "skyline_orders",
-    "stream_quantile_hist",
-    "text_pmi_assoc",
-    "ts_rolling_median",
-    "ts_seasonal_dow",
-    "udf_vector_norm",
-    "wages_label_domain",
+    "dedup_sorted_neighborhood",
+    "bloom_prefilter",
+    # -- changed by the late-r11 review sweeps (pre-change evidence)
+    "sample_temperature",
+    "text_stats",
+    "text_chunk",
+    "join_asof_nearest",
+    "graph_label_prop",
+    "join_broadcast_dims",
+    "topk_per_group",
+    "string_funcs",
+    "graph_triangles",
+    "decontaminate",
+    "text_bigrams",
+    "stream_dedup_neardup",
+    # -- r8 cohort retirement (oldest evidence), alphabetical
+    "argmax_funcs",
+    "array_map_funcs",
+    "bucketed_colocated_join",
+    "cast_nullsafe",
+    "cdc_apply",
+    "cube_agg",
+    "date_funcs",
+    "dedup_passages",
+    "dsir_importance",
+    "geo_bbox_join",
+    "geo_grid_join",
+    "geo_nearest",
+    "grouping_sets",
+    "histogram_bins",
+    "join_pit_scd2",
+    "knn_bruteforce",
+    "knn_classify",
+    "knn_hybrid",
+    "knn_multiprobe",
+    "knn_signlsh",
+    "layout_zorder_stats",
+    "llm_prep_pipeline",
+    "mm_tiff_decode",
+    "rank_global_twophase",
+    "sample_kcenter",
+    "stream_countmin_topk",
+    "stream_dedup",
+    "stream_hll_distinct",
+    "stream_session",
+    "stream_stateful_user_stats",
 ]
 
 

@@ -24,6 +24,67 @@ def test_metadata_row_count_empty_listing_falls_back(spark, monkeypatch):
     assert got == 5  # the real count, via the fallback scan
 
 
+def test_snm_recall_eval_curve_and_plan(spark, sf_dir):
+    """dedup_snm_recall_eval: one row per swept window, recall in [0, 1]
+    and nondecreasing in the window (a wider window is a superset of
+    candidate pairs), pairs_compared exactly w·N − w(w+1)/2, planted
+    count bounded by the stride target; plan keeps the family rules —
+    no cartesian beyond the bounded broadcast sides (window/total
+    scalars), no corpus-sized broadcast hint."""
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.dedup import (
+        _SNM_EVAL_WINDOWS,
+        _SNM_PLANT_TARGET,
+        q_dedup_snm_recall_eval,
+    )
+
+    df = q_dedup_snm_recall_eval(spark, sf_dir)
+    # every broadcast hint is a bounded side (offsets table, the 3-row
+    # window set, 1-row totals): 4 sites
+    assert I.broadcast_hint_sites(df) == 4
+    rows = df.orderBy("win").collect()
+    assert [r["win"] for r in rows] == list(_SNM_EVAL_WINDOWS)
+    n_union = None
+    for r in rows:
+        assert 0 <= r["found"] <= r["planted_pairs"] <= _SNM_PLANT_TARGET
+        assert 0.0 <= r["recall"] <= 1.0
+        w = r["win"]
+        derived_n = (r["pairs_compared"] + w * (w + 1) // 2) // w
+        n_union = n_union or derived_n
+        assert derived_n == n_union  # same N at every window
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+
+
+def test_snm_positions_shared_with_pipeline(spark, sf_dir):
+    """The eval's sort positions ARE the pipeline's: _snm_positions over
+    the un-planted corpus reproduces dedup_sorted_neighborhood's global
+    rank exactly (prefix-bucket offsets == one global row_number)."""
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.io import load_table
+    from jp_qcew_spark.queries.dedup import _snm_base, _snm_positions
+
+    base = _snm_base(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    got = _snm_positions(base)
+    from pyspark.sql import Window as W
+
+    ref = base.withColumn(
+        "pos",
+        F.row_number()
+        .over(W.orderBy(F.col("key").asc(), F.col("doc_id").asc()))
+        .cast("long"),
+    ).select("doc_id", "pos")
+    diff = (
+        got.select("doc_id", "pos")
+        .exceptAll(ref)
+        .count()
+    )
+    assert diff == 0
+
+
 def test_broadcast_hint_sites_dedupes_reexpansion(spark):
     """broadcast_hint_sites counts hinted SUBTREES, not analyzer
     re-expansions: one hinted frame referenced twice is one site even

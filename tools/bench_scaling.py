@@ -135,6 +135,8 @@ QUERIES = [
     "dedup_minhash_recall_eval",
     "knn_ivf_recall_curve",
     "knn_pq_recall_eval",
+    # r12 addition (the SNM window's measured recall/cost curve)
+    "dedup_snm_recall_eval",
 ]
 
 

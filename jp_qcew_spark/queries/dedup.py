@@ -932,6 +932,20 @@ def q_dedup_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_*``): the families are complementary, and now both
     sides of that trade carry numbers."""
     n = metadata_row_count(spark, sf_dir, "documents")
+    # the planted-twin id space (doc_id + _SNM_PLANT_OFFSET) must not
+    # alias REAL documents: an aliased twin would join a real row into
+    # the planted-pair ground truth and both engines would agree on the
+    # corrupted recall — no hash gate catches it — so the eval fails
+    # LOUDLY instead of measuring garbage (ADVICE r12). doc_ids are the
+    # 0..n-1 synthetic range; on a corpus where they weren't dense the
+    # right guard is max(doc_id), priced here by the cheap footer count.
+    if n >= _SNM_PLANT_OFFSET:
+        raise ValueError(
+            f"dedup_snm_recall_eval: corpus has {n} documents >= "
+            f"_SNM_PLANT_OFFSET={_SNM_PLANT_OFFSET}; planted twin ids "
+            "would alias real doc_ids and corrupt the measured recall "
+            "— raise the offset above max(doc_id)"
+        )
     stride = max(1, n // _SNM_PLANT_TARGET)
     d = widen_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")

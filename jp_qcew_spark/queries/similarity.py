@@ -34,6 +34,7 @@ from jp_qcew_spark.io import (
     load_table,
     metadata_row_count,
     track_cache,
+    track_local_checkpoint,
     widen_scan,
 )
 
@@ -335,7 +336,12 @@ def _ivf_train(
     """The k-parameterized training loop behind ``_ivf_cells`` (also
     swept by ``knn_ivf_nlist_sweep``): seeds = vectors 0..k-1,
     ``_IVF_ITERS`` spherical Lloyd supersteps, each superstep
-    scope-cached (bounded: k rows)."""
+    scope-cached (bounded: k rows). Cross-engine float caveat: the
+    per-dimension ``F.avg`` shares the partition-order-vs-sequential
+    summation risk documented on ``_pq_codebook`` — here the mean IS
+    over the full corpus, so the evidence is the per-round 3-scale
+    bare-session hash parity of every consumer; the 6-dp rounding has
+    absorbed the reassociation ulps at every tested scale/partitioning."""
     cent = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("long").alias("clabel"),
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
@@ -1388,7 +1394,20 @@ def _pq_codebook(sub: DataFrame, stride: int) -> DataFrame:
     iterations (argmin assignment with (d2, code) tie-break, mean
     recompute rounded 6 dp; an EMPTY cluster keeps its previous codeword
     via the left-join coalesce) — replayed exactly by the oracle's
-    ``_pq_train_sql`` CTE chain. Round 12 replaced the 10 label-mean
+    ``_pq_train_sql`` CTE chain.
+
+    Cross-engine float caveat (ADVICE r12, documented trade): the mean
+    recompute's ``F.avg`` sums in partition order while DuckDB sums
+    sequentially, so equality rests on the 6-dp rounding absorbing the
+    reassociation ulps; an iterated superstep would amplify a boundary
+    flip into cascading assignments. The risk is priced, not ignored:
+    every consumer is hash-verified at sf0.001/0.01/0.1 in bare
+    sessions each round (different partition counts per scale), and the
+    training sample is BOUNDED (~``_PQ_TRAIN_CAP`` rows), so the
+    summation tree stays shallow at any corpus size — the dp-sensitive
+    surface does not grow with data. An order-independent mean
+    (sort-then-fold) would close the gap at ~2× superstep cost if a
+    mismatch ever surfaces. Round 12 replaced the 10 label-mean
     demo codewords: the corpus is label-unstructured, so those collapsed
     near the origin and ``knn_pq_recall_eval`` priced the tier at
     recall@3 = 0.033; trained codebooks measure 0.77-0.90 at the three
@@ -1505,7 +1524,10 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The subvector stream is built on the same projected scan plan as
     ``knn_ivfpq``'s, so when ``knn_pq_recall_eval`` runs BOTH tiers
     under one query scope the scoped cache dedupes the (identical)
-    codebook training between them instead of training twice.
+    codebook training between them instead of training twice. (Both
+    tiers train on RAW vectors; the residual-training alternative is
+    priced — and measured recall-negative on this corpus — by
+    ``knn_pq_residual_eval``.)
     """
     sub = _pq_sub(_vecs(spark, sf_dir).select("vec_id", "v"))
     cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
@@ -1532,59 +1554,74 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_train_sql(vecs: str = "vecs") -> str:
+def _pq_train_sql(
+    vecs: str = "vecs", prefix: str = "pq", with_d2: bool = False
+) -> str:
     """CTE chain (appended after a ``vecs(vec_id, v)`` CTE) that replays
     ``_pq_codebook`` + ``_pq_encode`` + ``_pq_qlut`` exactly: stride
-    ``pq_st``, subvector stream ``pq_sub``, training sample ``pq_tr``,
-    seeds ``pq_cb0``, Lloyd iterations ``pq_b{i}``/``pq_m{i}``/
-    ``pq_cb{i}``, then ``pq_cb``, ``pq_codes(vec_id, m, code)`` and
-    ``pq_qlut(query_id, m, code, qd2)``."""
+    ``{prefix}_st``, subvector stream ``{prefix}_sub``, training sample
+    ``{prefix}_tr``, seeds ``{prefix}_cb0``, Lloyd iterations
+    ``{prefix}_b{{i}}``/``{prefix}_m{{i}}``/``{prefix}_cb{{i}}``, then
+    ``{prefix}_cb``, ``{prefix}_codes(vec_id, m, code)`` and
+    ``{prefix}_qlut(query_id, m, code, qd2)``. Defaults emit the exact
+    chain the r12-verified knn_pq_adc / knn_ivfpq oracles carry; a
+    non-default ``prefix`` lets TWO chains (e.g. raw + residual,
+    ``knn_pq_residual_eval``) coexist in one statement, and ``with_d2``
+    adds the winning codeword's squared distance to ``{prefix}_codes``
+    — the per-subvector reconstruction error the distortion eval
+    aggregates."""
+    p = prefix
     d2 = (
         "(t.x1 - c.c1) * (t.x1 - c.c1)"
         " + (t.x2 - c.c2) * (t.x2 - c.c2)"
     )
+    # with_d2=False emits the inner select BYTE-identical to the
+    # r12-verified chain (no dead d2 projection) so unchanged consumers'
+    # oracle texts don't churn under the evidence policy
+    codes_d2 = ", d2" if with_d2 else ""
+    inner_d2 = f"{d2} AS d2, " if with_d2 else ""
     parts = [
-        f"""pq_st AS (
+        f"""{p}_st AS (
   SELECT greatest(1, CAST(floor(count(*) / {_PQ_TRAIN_CAP}.0) AS BIGINT)) AS s
   FROM {vecs}),
-pq_sub AS (
+{p}_sub AS (
   SELECT vec_id, m,
          v[{_PQ_SUBDIM} * m + 1] AS x1, v[{_PQ_SUBDIM} * m + 2] AS x2
   FROM {vecs} CROSS JOIN range(0, {_PQ_M}) t(m)),
-pq_tr AS (SELECT * FROM pq_sub WHERE vec_id % (SELECT s FROM pq_st) = 0),
-pq_cb0 AS (
+{p}_tr AS (SELECT * FROM {p}_sub WHERE vec_id % (SELECT s FROM {p}_st) = 0),
+{p}_cb0 AS (
   SELECT m, CAST(rn - 1 AS BIGINT) AS code,
          round(x1, 6) AS c1, round(x2, 6) AS c2
   FROM (SELECT *, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
-        FROM pq_tr) WHERE rn <= {_PQ_K})"""
+        FROM {p}_tr) WHERE rn <= {_PQ_K})"""
     ]
-    prev = "pq_cb0"
+    prev = f"{p}_cb0"
     for i in range(1, _PQ_ITERS + 1):
         parts.append(
-            f"""pq_b{i} AS (
+            f"""{p}_b{i} AS (
   SELECT vec_id, m, code FROM (
     SELECT t.vec_id, t.m, c.code, row_number() OVER (
         PARTITION BY t.vec_id, t.m ORDER BY {d2} ASC, c.code ASC) AS rn
-    FROM pq_tr t JOIN {prev} c ON c.m = t.m) WHERE rn = 1),
-pq_m{i} AS (
+    FROM {p}_tr t JOIN {prev} c ON c.m = t.m) WHERE rn = 1),
+{p}_m{i} AS (
   SELECT b.m, b.code, round(avg(t.x1), 6) AS n1, round(avg(t.x2), 6) AS n2
-  FROM pq_b{i} b JOIN pq_tr t ON t.vec_id = b.vec_id AND t.m = b.m
+  FROM {p}_b{i} b JOIN {p}_tr t ON t.vec_id = b.vec_id AND t.m = b.m
   GROUP BY 1, 2),
-pq_cb{i} AS (
+{p}_cb{i} AS (
   SELECT c.m, c.code, coalesce(m.n1, c.c1) AS c1, coalesce(m.n2, c.c2) AS c2
-  FROM {prev} c LEFT JOIN pq_m{i} m ON m.m = c.m AND m.code = c.code)"""
+  FROM {prev} c LEFT JOIN {p}_m{i} m ON m.m = c.m AND m.code = c.code)"""
         )
-        prev = f"pq_cb{i}"
+        prev = f"{p}_cb{i}"
     parts.append(
-        f"""pq_cb AS (SELECT m, code, c1, c2 FROM {prev}),
-pq_codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT t.vec_id, t.m, c.code, row_number() OVER (
+        f"""{p}_cb AS (SELECT m, code, c1, c2 FROM {prev}),
+{p}_codes AS (
+  SELECT vec_id, m, code{codes_d2} FROM (
+    SELECT t.vec_id, t.m, c.code, {inner_d2}row_number() OVER (
         PARTITION BY t.vec_id, t.m ORDER BY {d2} ASC, c.code ASC) AS rn
-    FROM pq_sub t JOIN pq_cb c ON c.m = t.m) WHERE rn = 1),
-pq_qlut AS (
+    FROM {p}_sub t JOIN {p}_cb c ON c.m = t.m) WHERE rn = 1),
+{p}_qlut AS (
   SELECT t.vec_id AS query_id, t.m, c.code, round({d2}, 6) AS qd2
-  FROM pq_sub t JOIN pq_cb c ON c.m = t.m
+  FROM {p}_sub t JOIN {p}_cb c ON c.m = t.m
   WHERE t.vec_id < {_N_QUERIES})"""
     )
     return ",\n".join(parts)
@@ -1632,6 +1669,19 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query LUT broadcast. Recall evidence: ``knn_pq_recall_eval``
     (the ivfpq row adds the nprobe=1 cell-miss loss on top of the
     codebook distortion the pq_adc row isolates).
+
+    ``by_residual`` is OFF — a MEASURED decision, not an omission
+    (round 13): canonical IVFADC (Jégou/Douze/Schmid §III.C) quantizes
+    the residual ``x − centroid(cell(x))``, which wins when the coarse
+    quantizer removes real variance. On THIS corpus it removes 5–7.5%
+    (``knn_pq_residual_eval``'s coarse_rss_ratio = 0.925/0.926/0.948),
+    so residual codebooks buy only a 3-7% reconstruction-distortion cut
+    — inside top-3 ranking noise — while paying a second training
+    chain: measured recall@3 0.700/0.833/0.733 vs raw 0.767/0.833/0.800
+    at sf0.001/0.01/0.1, flat across a 4×-sample / 2×-iteration
+    training sweep. ``knn_pq_residual_eval`` keeps both variants
+    priced; flip to residual when a corpus shows coarse_rss_ratio well
+    below ~0.8.
 
     The PQ stream builds from the RAW scan and the cell map joins onto
     the code table afterwards (one vec_id-keyed equi-join of two compact
@@ -3882,3 +3932,303 @@ ORDER BY t.tier
 
 QUERIES["knn_pq_recall_eval"] = q_knn_pq_recall_eval
 ORACLE["knn_pq_recall_eval"] = ORACLE_KNN_PQ_RECALL
+
+
+# --------------------------------------------------------------------------
+# knn_pq_residual_eval — the by_residual decision, priced (round 13)
+# --------------------------------------------------------------------------
+
+_PQ_RESIDUAL_VARIANTS = ("raw", "residual")
+
+
+def _ivf_residuals(cent: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Residual frame ``x − centroid(cell(x))`` — one broadcast join of
+    the corpus assignment against the bounded centroid table plus an
+    exact IEEE ``zip_with`` subtraction. Both inputs are deterministic
+    (centroids round-trip at 6 dp through the training chain), so the
+    DuckDB oracle replays the subtraction bit-for-bit."""
+    return assigned.join(
+        F.broadcast(cent), F.col("cell") == F.col("clabel")
+    ).select(
+        "vec_id",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+    )
+
+
+def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-vs-RESIDUAL PQ training, priced head-to-head (VERDICT r12 #3):
+    canonical IVFADC (Jégou/Douze/Schmid §III.C) quantizes the residual
+    ``x − centroid(cell(x))`` — the win presumes the coarse quantizer
+    removes real variance. This eval measures BOTH variants under the
+    exact ``knn_ivfpq`` serving convention (same cells, same nprobe=1
+    candidate sets, same ADC arithmetic — only the codebook training
+    input differs) and reports, per variant:
+
+    - ``recall_at3`` against the exact-L2 truth (the tier's loss axis);
+    - ``mean_recon_d2`` — mean reconstruction error of the codes
+      actually served, Σ_m ||x_m − codeword||² averaged over the corpus
+      (the distortion the recall flows through; for the residual
+      variant the reconstruction is ``centroid + decode``, so the two
+      numbers are directly comparable);
+    - ``coarse_rss_ratio`` — Σ||x − centroid(cell)||² / Σ||x − x̄||²,
+      the fraction of variance the coarse quantizer does NOT remove:
+      the mechanism number that predicts which variant wins.
+
+    Measured verdict (sf0.001/0.01/0.1): coarse_rss_ratio
+    0.9249/0.9258/0.9480 — the 10 cosine cells on this
+    label-unstructured corpus remove only 5-7.5% of L2 variance. The
+    residual codebooks DO cut mean reconstruction distortion
+    (0.003875→0.003702 / 0.004219→0.003905 / 0.011600→0.011229 —
+    a 3.2-7.4% cut, i.e. roughly the removed variance minus the
+    per-subspace cost of quantizing a 10-shift MIXTURE), but a
+    few-percent distortion cut is far inside the top-3 ranking noise:
+    recall reads 0.700/0.833/0.733 (residual) vs 0.767/0.833/0.800
+    (raw), flat across a 4×-sample / 2×-iteration training sweep
+    (residual reaches raw parity only at 4 Lloyd iters × 2048 samples —
+    4× the training bill). ``knn_ivfpq`` therefore ships
+    ``by_residual`` OFF, with this eval as the standing price tag: on a
+    clustered corpus (ratio well below ~0.8, distortion cut
+    proportionally larger) the decision flips, and the flip is one
+    measured re-run, not a redesign.
+
+    Scale posture: everything the standalone tiers prove carries over
+    (bounded training samples, broadcast codebooks/LUTs, cell-
+    restricted scans, the pre-amplification repartition in ``_pq_sub``);
+    the eval adds one corpus-linear cached code table per variant and
+    the |queries|×n truth pass. Cross-engine float caveat: the two
+    corpus-wide means (``mean_recon_d2``, the RSS/TSS sums) share the
+    partition-order-vs-sequential summation risk documented on
+    ``_pq_codebook``; at the certified scales the reassociation error
+    (~n·eps·Σ|x|) sits orders of magnitude inside the 6-dp rounding,
+    and the per-dimension global mean is pre-rounded at 6 dp on both
+    engines."""
+    cent, assigned = _ivf_cells(spark, sf_dir)
+    # local checkpoints, not plain caches, at every compact frontier
+    # (cells, truth, ratio, per-variant codes/LUT) — two measured
+    # reasons: (a) LAZY frames here are referenced by several
+    # concurrently-building broadcast subtrees (hits/recon/tot per
+    # variant), whose threads race to recompute the n×M×K encode chain
+    # in parallel — a heap OOM in a bare 1 GiB session at sf0.1; the
+    # eager checkpoint serializes the heavy passes; (b) this eval
+    # composes FOUR trained chains (IVF + 2 codebooks + truth) into one
+    # output plan, and with caches alone the driver re-analyzes that
+    # composite every build — checkpoint truncation took the warm
+    # build+collect from 9.8 s + 16.3 s to plan-free scans of the
+    # materialized frontiers. Blocks are scope-tracked
+    # (io.track_local_checkpoint); the registry contract (collect
+    # before the next query builds) is exactly how the driver runs.
+    cells = track_local_checkpoint(assigned.select("vec_id", "cell"))
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    rvecs = _ivf_residuals(cent, assigned)
+    stride = _pq_train_stride(spark, sf_dir)
+
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact3 = track_local_checkpoint(
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+
+    # coarse variance capture: RSS/TSS (per-dimension global mean
+    # pre-rounded 6 dp — makes the mean EXACTLY equal cross-engine)
+    rss = rvecs.select(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("s")
+    ).agg(F.sum("s").alias("rss"))
+    gm = (
+        vecs.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("gx"))
+    )
+    tss = (
+        vecs.select(F.posexplode("v").alias("pos", "x"))
+        .join(F.broadcast(gm), "pos")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("gx")) * (F.col("x") - F.col("gx"))
+            ).alias("tss")
+        )
+    )
+    ratio = F.broadcast(
+        track_local_checkpoint(
+            rss.crossJoin(tss).select(
+                F.round(F.col("rss") / F.col("tss"), 6).alias(
+                    "coarse_rss_ratio"
+                )
+            )
+        )
+    )
+
+    qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    per_variant = []
+    for name, src in zip(_PQ_RESIDUAL_VARIANTS, (vecs, rvecs)):
+        sub = _pq_sub(src)
+        cb = _pq_codebook(sub, stride)
+        # one argmin pass feeds BOTH consumers: the served code table
+        # and the winning-codeword d2 the distortion mean aggregates;
+        # checkpointed (n×M compact rows) per the frontier note above
+        best = track_local_checkpoint(
+            sub.join(F.broadcast(cb), "m")
+            .select(
+                "vec_id",
+                "m",
+                F.struct(
+                    _pq_d2().alias("d2"), F.col("code").alias("code")
+                ).alias("sc"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("sc").alias("b"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("b.code").alias("code"),
+                F.col("b.d2").alias("d2"),
+            )
+        )
+        recon = (
+            best.groupBy("vec_id")
+            .agg(F.sum("d2").alias("vd2"))
+            .agg(F.round(F.avg("vd2"), 6).alias("mean_recon_d2"))
+        )
+        codes = best.select("vec_id", "m", "code").join(cells, "vec_id")
+        qlut = track_local_checkpoint(
+            _pq_qlut(sub, cb).join(F.broadcast(qcells), "query_id")
+        )
+        adc = (
+            codes.join(F.broadcast(qlut), ["m", "code"])
+            .filter(
+                (F.col("cell") == F.col("qcell"))
+                & (F.col("vec_id") != F.col("query_id"))
+            )
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+        )
+        wv = Window.partitionBy("query_id").orderBy(
+            F.col("adc_d2").asc(), F.col("vec_id").asc()
+        )
+        top3 = (
+            adc.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.row_number().over(wv).alias("rk"),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top3.join(exact3, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("h")
+        )
+        per_variant.append(
+            spark.range(1)
+            .select(F.lit(name).alias("variant"))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(recon))
+            .select(
+                "variant",
+                F.round(F.col("h") / F.col("ex_total"), 6).alias(
+                    "recall_at3"
+                ),
+                "mean_recon_d2",
+            )
+        )
+    return (
+        per_variant[0]
+        .unionByName(per_variant[1])
+        .crossJoin(ratio)
+        .orderBy("variant")
+    )
+
+
+def _pq_residual_adc_sql(p: str) -> str:
+    """Per-variant CTE tail (codebook chain prefix ``p``): distortion
+    mean over the served codes, cell-restricted ADC top-3, truth hits."""
+    return f"""{p}_recon AS (
+  SELECT round(avg(vd2), 6) AS mean_recon_d2 FROM (
+    SELECT vec_id, sum(d2) AS vd2 FROM {p}_codes GROUP BY 1)),
+{p}_qlutc AS (
+  SELECT q.query_id, a.cell AS qcell, q.m, q.code, q.qd2
+  FROM {p}_qlut q JOIN assigned a ON a.vec_id = q.query_id),
+{p}_adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.qd2), 6) AS adc_d2
+  FROM (SELECT k.vec_id, a.cell, k.m, k.code
+        FROM {p}_codes k JOIN assigned a ON a.vec_id = k.vec_id) c
+  JOIN {p}_qlutc q ON q.m = c.m AND q.code = c.code
+  WHERE c.cell = q.qcell AND c.vec_id <> q.query_id
+  GROUP BY 1, 2),
+{p}_top3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+    FROM {p}_adc) WHERE rk <= 3),
+{p}_hits AS (
+  SELECT count(*) AS h
+  FROM {p}_top3 a JOIN exact3 e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)"""
+
+
+ORACLE_KNN_PQ_RESIDUAL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_ivf_train_sql()},
+rvecs AS (
+  SELECT a.vec_id,
+         list_transform(list_zip(a.v, c.cv), x -> x[1] - x[2]) AS v
+  FROM assigned a JOIN cent c ON c.clabel = a.cell),
+{_pq_train_sql(vecs="vecs", prefix="pr", with_d2=True)},
+{_pq_train_sql(vecs="rvecs", prefix="pz", with_d2=True)},
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_PQ_EVAL_L2_SQL}, 6) AS d2
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 3
+),
+tot AS (SELECT count(*) AS ex_total FROM exact3),
+rss AS (SELECT sum(list_sum(list_transform(v, x -> x * x))) AS s FROM rvecs),
+gmean AS (
+  SELECT pos, round(avg(x), 6) AS gx FROM (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs)
+  GROUP BY 1),
+tss AS (
+  SELECT sum((t.x - g.gx) * (t.x - g.gx)) AS s
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM vecs) t
+  JOIN gmean g ON g.pos = t.pos),
+ratio AS (SELECT round(r.s / t.s, 6) AS coarse_rss_ratio
+          FROM rss r CROSS JOIN tss t),
+{_pq_residual_adc_sql("pr")},
+{_pq_residual_adc_sql("pz")}
+SELECT v.variant, v.recall_at3, v.mean_recon_d2, x.coarse_rss_ratio
+FROM (
+  SELECT '{_PQ_RESIDUAL_VARIANTS[0]}' AS variant,
+         round(h.h / t.ex_total, 6) AS recall_at3, r.mean_recon_d2
+  FROM pr_hits h CROSS JOIN tot t CROSS JOIN pr_recon r
+  UNION ALL
+  SELECT '{_PQ_RESIDUAL_VARIANTS[1]}',
+         round(h.h / t.ex_total, 6), r.mean_recon_d2
+  FROM pz_hits h CROSS JOIN tot t CROSS JOIN pz_recon r
+) v CROSS JOIN ratio x
+ORDER BY v.variant
+"""
+
+QUERIES["knn_pq_residual_eval"] = q_knn_pq_residual_eval
+ORACLE["knn_pq_residual_eval"] = ORACLE_KNN_PQ_RESIDUAL

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -861,7 +862,7 @@ _NEARDUP_OUT = StructType(
     ]
 )
 _NEARDUP_STATE = StructType(
-    [StructField("seen_keys", ArrayType(StringType()))]
+    [StructField("seen_keys", ArrayType(BinaryType()))]
 )
 
 # Stateful-op key = crc32(band identity) % _NEARDUP_BUCKETS, NOT the band
@@ -871,8 +872,10 @@ _NEARDUP_STATE = StructType(
 # scaling: the per-key first cut ran 19.98 s at sf0.1 and failed the
 # 120 s quiescence gate at sf1 (~150k key groups). Bucketing bounds the
 # invocation count at min(|keys in batch|, buckets) per micro-batch and
-# moves the per-key flags into an array-of-strings state per bucket —
-# the invocation-count vs state-value-size knob. Production note: with
+# moves the per-key flags into an array-of-identities state per bucket
+# — the invocation-count vs state-value-size knob. (Round 13 packed the
+# identity from the ~35-char "idx:md5hex" string to 18 raw bytes —
+# lossless, same decisions, half the rewrite bytes.) Production note: with
 # transformWithState (map-typed state) each band key would be one map
 # entry and this trade disappears; with value-typed state, bucket count
 # is the tuning lever (state per bucket = |distinct band keys|/buckets
@@ -900,8 +903,8 @@ _NEARDUP_BUCKETS = 512
 
 def _neardup_fn(key, pdfs, state):
     """Bucketed ingest probe against accumulated seen-keys state: the
-    bucket's state holds the set of band identities (``band_idx:band_key``)
-    registered by EARLIER micro-batches. Per band identity in this batch:
+    bucket's state holds the set of band identities (18-byte packed
+    ``band_idx || md5``) registered by EARLIER micro-batches. Per band identity in this batch:
     docs get ``prior=1`` if the identity was already registered; within
     the batch the smallest doc_id per identity is its keeper
     (``lower_in_batch=0``) and the rest are flagged. The per-DOC verdict
@@ -915,15 +918,20 @@ def _neardup_fn(key, pdfs, state):
     import pandas as pd
 
     rows = pd.concat(list(pdfs), ignore_index=True)
-    seen = set(state.get[0]) if state.exists else set()
+    # binary state may round-trip as bytearray (unhashable) — normalize
+    # to bytes before set membership
+    seen = (
+        {bytes(x) for x in state.get[0]} if state.exists else set()
+    )
     out_ids: list[int] = []
     out_prior: list[int] = []
     out_lower: list[int] = []
     # the identity column k arrives pre-built from the plan (one JVM
-    # concat_ws shared with the bucket derivation) — rebuilding it
-    # per-row in pandas here was the hot-path duplicate the late-r11
-    # review removed
+    # unhex shared with the bucket derivation) — rebuilding it per-row
+    # in pandas here was the hot-path duplicate the late-r11 review
+    # removed
     for k, grp in rows.groupby("k", sort=True):
+        k = bytes(k)
         ids = sorted(int(x) for x in grp["doc_id"])
         prior = 1 if k in seen else 0
         seen.add(k)
@@ -1013,11 +1021,16 @@ def stream_dedup_neardup(
     # keys (pinned by test). The replay source emits ONE partition per
     # micro-batch, so repartition FIRST to run the signature at task
     # parallelism (the widen_scan lesson applied to the wire).
-    # the band identity k is projected ONCE (JVM concat_ws) and shared
-    # by the bucket derivation and the stateful op's state keys — a
-    # single point of definition for the identity format (the late-r11
-    # review found it built twice, once JVM-side and once per-row in
-    # pandas)
+    # the band identity k is projected ONCE (JVM unhex) and shared by
+    # the bucket derivation and the stateful op's state keys — a single
+    # point of definition for the identity format (the late-r11 review
+    # found it built twice, once JVM-side and once per-row in pandas).
+    # PACKED binary, not the r11 "idx:md5hex" string: 18 bytes (2-byte
+    # band index + the 16 md5 bytes) vs ~35 UTF-8 chars — LOSSLESS, so
+    # every prior/keeper decision and the oracle are untouched, but the
+    # value-typed state's intrinsic rewrite bill (~B/2 x final state
+    # over a B-batch stream, the measured scale tax documented above)
+    # carries half the bytes per identity.
     keyed = (
         stream.repartition(32)
         .select(
@@ -1028,8 +1041,12 @@ def stream_dedup_neardup(
         )
         .select(
             "doc_id",
-            F.concat_ws(
-                ":", F.col("band_idx"), F.col("band_key")
+            F.unhex(
+                F.concat_ws(
+                    "",
+                    F.lpad(F.hex(F.col("band_idx")), 4, "0"),
+                    F.col("band_key"),
+                )
             ).alias("k"),
         )
         .withColumn("bucket", F.crc32(F.col("k")) % _NEARDUP_BUCKETS)

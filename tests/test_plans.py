@@ -642,6 +642,38 @@ def test_ivfpq_cell_restricted_codes_join(spark, sf_dir):
     )
 
 
+def test_pq_build_job_budget(spark, sf_dir, monkeypatch):
+    """The PQ family is EXEMPT from the zero-pre-query-jobs discipline
+    (each codebook Lloyd superstep materializes via count() — the
+    measured 28 s → 4 s fix for racing broadcast subtrees), so pin the
+    exemption's BOUNDS instead (ADVICE r12): building either PQ query
+    runs exactly _PQ_ITERS count() calls, every one on the M×K-row
+    codebook frame (schema-pinned) — a corpus-sized count() sneaking in
+    under the exemption moves this list."""
+    # classic class — base-class count patches are vacuous (round 13)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from jp_qcew_spark.queries.similarity import (
+        _PQ_ITERS,
+        q_knn_ivfpq,
+        q_knn_pq_adc,
+    )
+
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrame.count
+
+    def _spy(self):
+        calls.append(tuple(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", _spy)
+    q_knn_pq_adc(spark, sf_dir)
+    assert calls == [("m", "code", "c1", "c2")] * _PQ_ITERS
+    calls.clear()
+    q_knn_ivfpq(spark, sf_dir)
+    assert calls == [("m", "code", "c1", "c2")] * _PQ_ITERS
+
+
 def test_widen_scan_noops_on_many_file_corpus(spark, tmp_path):
     """The many-file no-op path (VERDICT r5 #7): when the file index
     already yields at least core-count splits, widen_scan must NOT add an

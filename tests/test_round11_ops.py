@@ -86,7 +86,10 @@ def test_targeted_tier_builds_without_count_job(spark, sf_dir, monkeypatch):
     """Building the targeted queries launches ZERO pre-query jobs: the
     config scalar comes from parquet footers, so DataFrame.count is
     never called during plan construction (VERDICT r10 #6 'pin it')."""
-    from pyspark.sql import DataFrame
+    # patch the CLASSIC implementation class: pyspark 4's base
+    # pyspark.sql.DataFrame.count is overridden there, so a base-class
+    # patch never intercepts (found vacuous in round 13)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from jp_qcew_spark.queries.similarity import (
         q_dedup_embedding_rp_target,
@@ -551,7 +554,10 @@ def test_ivf_curve_plan_and_count_free(spark, sf_dir, monkeypatch):
     training chain is lazy — no superstep count() during build)."""
     import re
 
-    from pyspark.sql import DataFrame
+    # the CLASSIC class, not the pyspark.sql base — the base's count is
+    # overridden there and a base-class patch never intercepts (found
+    # vacuous in round 13)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from jp_qcew_spark.plans import inspect as I
     from jp_qcew_spark.queries.similarity import q_knn_ivf_recall_curve

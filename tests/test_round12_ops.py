@@ -13,7 +13,10 @@ def test_metadata_row_count_empty_listing_falls_back(spark, monkeypatch):
     count, never report n=0 from an empty footer sum (ADVICE r11: an
     LSH config derived from n=0 would silently misconfigure every
     downstream query)."""
-    from pyspark.sql import DataFrame
+    # the CLASSIC class, not the pyspark.sql base — the base's
+    # inputFiles is overridden there and a base-class patch never
+    # intercepts (found vacuous in round 13)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     import jp_qcew_spark.io as io_mod
 
@@ -90,7 +93,8 @@ def test_ivf_nlist_sweep_tradeoff_and_plan(spark, sf_dir, monkeypatch):
     strictly DECREASES as nlist grows (more cells ⇒ smaller home cell)
     while recall stays in [0, 1]; no cartesian product; zero pre-query
     jobs beyond the footer count (the k-means chains are lazy)."""
-    from pyspark.sql import DataFrame
+    # classic class — base-class count patches are vacuous (round 13)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from jp_qcew_spark.plans import inspect as I
     from jp_qcew_spark.queries.similarity import (

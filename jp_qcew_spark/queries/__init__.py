@@ -40,9 +40,13 @@ _GROUPS = [
 # covers only the FIRST 50 registry entries, so registration order is
 # evidence policy. This list pins the ROUND-13 window (VERDICT r12 #2):
 #
-# - knn_pq_residual_eval is NEW this round (the by_residual decision
-#   priced: raw vs residual codebooks under the knn_ivfpq serving
-#   convention — VERDICT r12 #3);
+# - knn_pq_residual_eval and knn_pq_opq_eval are NEW this round (the
+#   two codebook levers priced: by_residual — measured recall-negative,
+#   kept OFF — and the OPQ-lite subspace assignment — measured
+#   recall-POSITIVE at equal scan and ADOPTED, VERDICT r12 #3/#6);
+# - knn_pq_adc / knn_ivfpq / knn_pq_recall_eval CHANGED by that
+#   adoption (served subvector stream = the balanced assignment;
+#   recall +0.03..+0.13 at every scale);
 # - stream_dedup_neardup CHANGED (band identity packed from the
 #   ~35-char "idx:md5hex" string to 18 raw bytes — lossless, same
 #   decisions, half the value-typed-state rewrite volume) and
@@ -55,14 +59,14 @@ _GROUPS = [
 #   evidence once r8 clears), alphabetical: analytic_dist ..
 #   stream_python_source land this round; the rest lead the r14 window.
 # Everything NOT listed follows in module-registration order.
-# (knn_ivfpq / knn_pq_adc / knn_pq_recall_eval are UNCHANGED in
-# behavior and oracle text this round — the residual experiment
-# shipped as the new eval, with ivfpq reverted byte-identical after
-# the measured by_residual=off verdict — so they keep their r12
-# evidence and do not re-enter the window.)
 _WINDOW_PRIORITY = [
     # -- new in round 13
+    "knn_pq_opq_eval",
     "knn_pq_residual_eval",
+    # -- changed in round 13 (OPQ-lite adoption)
+    "knn_pq_adc",
+    "knn_ivfpq",
+    "knn_pq_recall_eval",
     # -- changed in round 13
     "stream_dedup_neardup",
     "dedup_snm_recall_eval",

@@ -1333,43 +1333,6 @@ _PQ_ITERS = 2    # Lloyd iterations over the training sample
 _PQ_TRAIN_CAP = 512  # training-sample target size (stride-sampled)
 
 
-def _pq_sub(vecs: DataFrame) -> DataFrame:
-    """Flattened subvector stream (vec_id, m, x1, x2): with
-    ``_PQ_SUBDIM`` = 2 a subvector is two scalar DOUBLE columns, so every
-    distance in the n×M×K encode join is plain codegen arithmetic — no
-    per-row array allocation on the hot path.
-
-    The stream is explicitly repartitioned by vec_id: every consumer
-    amplifies each row ×K against the broadcast codebook (n×M×K
-    intermediate rows), so task parallelism must be injected BEFORE the
-    amplification — widen_scan's byte gate can't see compute
-    amplification, and a 1-split corpus file otherwise puts the whole
-    16M-row encode sort on one core (measured 13.8 s → 1.3 s at sf0.1).
-    The exchange payload is the compact pre-amplification stream (n×M
-    scalar rows), linear in the corpus and co-keyed with every
-    downstream (vec_id, m) aggregation."""
-    sc = vecs.sparkSession.sparkContext
-    return (
-        vecs.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.element_at("v", m * _PQ_SUBDIM + 1).alias("x1"),
-                            F.element_at("v", m * _PQ_SUBDIM + 2).alias("x2"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("vec_id", "s.m", "s.x1", "s.x2")
-        .repartition(sc.defaultParallelism, "vec_id")
-    )
-
-
 def _pq_d2() -> Column:
     """Subspace squared-L2 — identical scalar IEEE arithmetic to the
     oracle's ``(t.x1-c.c1)*(t.x1-c.c1) + (t.x2-c.c2)*(t.x2-c.c2)``."""
@@ -1500,6 +1463,116 @@ def _pq_qlut(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_dims(src: DataFrame) -> DataFrame:
+    """(vec_id, pos, x) coordinate stream — the pivot input shared by the
+    OPQ-lite assignment trainer and the subvector builders."""
+    return src.select("vec_id", F.posexplode("v").alias("pos", "x"))
+
+
+def _pq_opq_map(vecs: DataFrame) -> DataFrame:
+    """The SERVED subspace assignment (round 13, adopted per the
+    ``knn_pq_opq_eval`` rule "recall-positive at equal scan"): rank the
+    64 coordinates by per-dimension sample variance (rounded 6 dp — raw
+    ranks would let ~1e-13 engine reassociation noise flip near-ties —
+    position tie-break) and pair rank r with rank 2M−1−r
+    (boustrophedon), so each 2-dim subspace holds one high- and one
+    low-variance coordinate and NO subspace holds an adjacent
+    (2m, 2m+1) pair. Measured against the adjacent identity pairing at
+    equal M/K/scan: recall@3 +0.133/+0.067/+0.033 at sf0.001/0.01/0.1
+    (the corpus is near-isotropic — dim-variance spread 1.2× — so the
+    gain is the DE-ADJACENCY, not the balance; the eval keeps both
+    priced). One bounded output (64 rows, broadcast to the pivot);
+    the variance pass is one corpus scan, cached under query scope."""
+    dims = _pq_dims(vecs)
+    dvar = dims.groupBy("pos").agg(
+        F.round(F.var_samp("x"), 6).alias("vr")
+    )
+    wrk = Window.orderBy(F.col("vr").desc(), F.col("pos").asc())
+    rnk = dvar.select(
+        "pos", (F.row_number().over(wrk) - 1).cast("long").alias("r")
+    )
+    return track_cache(
+        rnk.select(
+            "pos",
+            F.when(F.col("r") < _PQ_M, F.col("r"))
+            .otherwise(2 * _PQ_M - 1 - F.col("r"))
+            .alias("m"),
+            F.when(F.col("r") < _PQ_M, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("slot"),
+        )
+    )
+
+
+def _pq_sub_pivot(src: DataFrame, amap: DataFrame) -> DataFrame:
+    """Subvector stream (vec_id, m, x1, x2) under an explicit assignment
+    map: explode → broadcast-join the 64-row map → pivot to the two
+    slot columns. With ``_PQ_SUBDIM`` = 2 a subvector is two scalar
+    DOUBLE columns, so every distance in the n×M×K encode join is plain
+    codegen arithmetic — no per-row array allocation on the hot path.
+
+    The stream is explicitly repartitioned by vec_id: every consumer
+    amplifies each row ×K against the broadcast codebook (n×M×K
+    intermediate rows), so task parallelism must be injected BEFORE the
+    amplification — widen_scan's byte gate can't see compute
+    amplification, and a 1-split corpus file otherwise puts the whole
+    16M-row encode sort on one core (measured 13.8 s → 1.3 s at sf0.1
+    on the r12 projection form of this stream). The exchange payload is
+    the compact pre-amplification stream (n×M scalar rows), linear in
+    the corpus and co-keyed with every downstream (vec_id, m)
+    aggregation."""
+    sc = src.sparkSession.sparkContext
+    return (
+        _pq_dims(src)
+        .join(F.broadcast(amap), "pos")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.max(F.when(F.col("slot") == 1, F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("slot") == 2, F.col("x"))).alias("x2"),
+        )
+        .repartition(sc.defaultParallelism, "vec_id")
+    )
+
+
+def _pq_sub_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED subvector stream: OPQ-lite balanced assignment over
+    the raw corpus. One construction shared by ``knn_pq_adc`` and
+    ``knn_ivfpq`` (identical analyzed plans → the scoped cache dedupes
+    the codebook training when ``knn_pq_recall_eval`` runs both)."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    return _pq_sub_pivot(vecs, _pq_opq_map(vecs))
+
+
+def _pq_opq_map_sql(
+    vecs: str = "vecs", dims: str = "opq_dims", map_name: str = "opq_map"
+) -> str:
+    """CTE chain replaying ``_pq_opq_map`` (+ the ``{dims}`` stream the
+    pivots consume): 0-based positions to match posexplode."""
+    return f"""{dims} AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+  FROM {vecs}),
+{dims}_var AS (
+  SELECT pos, round(var_samp(x), 6) AS vr FROM {dims} GROUP BY 1),
+{dims}_rnk AS (
+  SELECT pos, CAST(row_number() OVER (ORDER BY vr DESC, pos ASC) - 1
+    AS BIGINT) AS r
+  FROM {dims}_var),
+{map_name} AS (
+  SELECT pos,
+         CASE WHEN r < {_PQ_M} THEN r ELSE {2 * _PQ_M - 1} - r END AS m,
+         CASE WHEN r < {_PQ_M} THEN 1 ELSE 2 END AS slot
+  FROM {dims}_rnk)"""
+
+
+def _pq_sub_pivot_sql(src_dims: str, map_name: str, sub_name: str) -> str:
+    """CTE replaying ``_pq_sub_pivot`` over a prebuilt dims stream."""
+    return f"""{sub_name} AS (
+  SELECT d.vec_id, a.m,
+         max(CASE WHEN a.slot = 1 THEN d.x END) AS x1,
+         max(CASE WHEN a.slot = 2 THEN d.x END) AS x2
+  FROM {src_dims} d JOIN {map_name} a ON a.pos = d.pos GROUP BY 1, 2)"""
+
+
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN scan (Jégou/Douze/Schmid IVFADC, the
     memory-bounded path): corpus vectors compress from 64 doubles
@@ -1519,9 +1592,14 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-linear candidate set; this query keeps the full ADC scan so the
     compression arithmetic itself is what the oracle hash-checks.
     Recall evidence: ``knn_pq_recall_eval`` (0.033 with the r11
-    label-mean demo codebook → 0.77-0.90 trained).
+    label-mean demo codebook → 0.77-0.90 trained r12 → 0.87-0.97 with
+    the r13 OPQ-lite assignment).
 
-    The subvector stream is built on the same projected scan plan as
+    The subvector stream is the OPQ-lite BALANCED assignment
+    (``_pq_sub_opq``, adopted round 13: +0.133/+0.067/+0.033 recall@3
+    over the adjacent identity pairing at identical scan cost —
+    ``knn_pq_opq_eval`` is the pricing harness and keeps the identity
+    counterfactual measured), built on the same construction as
     ``knn_ivfpq``'s, so when ``knn_pq_recall_eval`` runs BOTH tiers
     under one query scope the scoped cache dedupes the (identical)
     codebook training between them instead of training twice. (Both
@@ -1529,7 +1607,7 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced — and measured recall-negative on this corpus — by
     ``knn_pq_residual_eval``.)
     """
-    sub = _pq_sub(_vecs(spark, sf_dir).select("vec_id", "v"))
+    sub = _pq_sub_opq(spark, sf_dir)
     cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
     enc = _pq_encode(sub, cb)
     qlut = _pq_qlut(sub, cb)
@@ -1555,7 +1633,10 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_train_sql(
-    vecs: str = "vecs", prefix: str = "pq", with_d2: bool = False
+    vecs: str = "vecs",
+    prefix: str = "pq",
+    with_d2: bool = False,
+    sub: str | None = None,
 ) -> str:
     """CTE chain (appended after a ``vecs(vec_id, v)`` CTE) that replays
     ``_pq_codebook`` + ``_pq_encode`` + ``_pq_qlut`` exactly: stride
@@ -1569,7 +1650,10 @@ def _pq_train_sql(
     ``knn_pq_residual_eval``) coexist in one statement, and ``with_d2``
     adds the winning codeword's squared distance to ``{prefix}_codes``
     — the per-subvector reconstruction error the distortion eval
-    aggregates."""
+    aggregates. ``sub`` names a PREBUILT subvector CTE
+    ``(vec_id, m, x1, x2)`` to train/encode from (the OPQ-lite eval's
+    permuted streams); default None emits the ``{prefix}_sub``
+    projection from ``vecs`` exactly as the r12-verified chain."""
     p = prefix
     d2 = (
         "(t.x1 - c.c1) * (t.x1 - c.c1)"
@@ -1580,15 +1664,21 @@ def _pq_train_sql(
     # oracle texts don't churn under the evidence policy
     codes_d2 = ", d2" if with_d2 else ""
     inner_d2 = f"{d2} AS d2, " if with_d2 else ""
+    sub_name = sub or f"{p}_sub"
+    sub_cte = (
+        ""
+        if sub
+        else f"""{p}_sub AS (
+  SELECT vec_id, m,
+         v[{_PQ_SUBDIM} * m + 1] AS x1, v[{_PQ_SUBDIM} * m + 2] AS x2
+  FROM {vecs} CROSS JOIN range(0, {_PQ_M}) t(m)),
+"""
+    )
     parts = [
         f"""{p}_st AS (
   SELECT greatest(1, CAST(floor(count(*) / {_PQ_TRAIN_CAP}.0) AS BIGINT)) AS s
   FROM {vecs}),
-{p}_sub AS (
-  SELECT vec_id, m,
-         v[{_PQ_SUBDIM} * m + 1] AS x1, v[{_PQ_SUBDIM} * m + 2] AS x2
-  FROM {vecs} CROSS JOIN range(0, {_PQ_M}) t(m)),
-{p}_tr AS (SELECT * FROM {p}_sub WHERE vec_id % (SELECT s FROM {p}_st) = 0),
+{sub_cte}{p}_tr AS (SELECT * FROM {sub_name} WHERE vec_id % (SELECT s FROM {p}_st) = 0),
 {p}_cb0 AS (
   SELECT m, CAST(rn - 1 AS BIGINT) AS code,
          round(x1, 6) AS c1, round(x2, 6) AS c2
@@ -1618,10 +1708,10 @@ def _pq_train_sql(
   SELECT vec_id, m, code{codes_d2} FROM (
     SELECT t.vec_id, t.m, c.code, {inner_d2}row_number() OVER (
         PARTITION BY t.vec_id, t.m ORDER BY {d2} ASC, c.code ASC) AS rn
-    FROM {p}_sub t JOIN {p}_cb c ON c.m = t.m) WHERE rn = 1),
+    FROM {sub_name} t JOIN {p}_cb c ON c.m = t.m) WHERE rn = 1),
 {p}_qlut AS (
   SELECT t.vec_id AS query_id, t.m, c.code, round({d2}, 6) AS qd2
-  FROM {p}_sub t JOIN {p}_cb c ON c.m = t.m
+  FROM {sub_name} t JOIN {p}_cb c ON c.m = t.m
   WHERE t.vec_id < {_N_QUERIES})"""
     )
     return ",\n".join(parts)
@@ -1629,7 +1719,9 @@ def _pq_train_sql(
 
 ORACLE_KNN_PQ_ADC = f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_pq_train_sql()},
+{_pq_opq_map_sql()},
+{_pq_sub_pivot_sql("opq_dims", "opq_map", "pq_subp")},
+{_pq_train_sql(sub="pq_subp")},
 adc AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.qd2), 6) AS adc_d2
   FROM pq_codes c JOIN pq_qlut q ON q.m = c.m AND q.code = c.code
@@ -1675,13 +1767,16 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residual ``x − centroid(cell(x))``, which wins when the coarse
     quantizer removes real variance. On THIS corpus it removes 5–7.5%
     (``knn_pq_residual_eval``'s coarse_rss_ratio = 0.925/0.926/0.948),
-    so residual codebooks buy only a 3-7% reconstruction-distortion cut
-    — inside top-3 ranking noise — while paying a second training
-    chain: measured recall@3 0.700/0.833/0.733 vs raw 0.767/0.833/0.800
-    at sf0.001/0.01/0.1, flat across a 4×-sample / 2×-iteration
-    training sweep. ``knn_pq_residual_eval`` keeps both variants
-    priced; flip to residual when a corpus shows coarse_rss_ratio well
-    below ~0.8.
+    so residual codebooks buy only a 3-11% reconstruction-distortion
+    cut — inside top-3 ranking noise — while paying a second training
+    chain: under the served OPQ-lite assignment, measured recall@3
+    0.800/0.833/0.833 (residual) vs 0.833/0.900/0.867 (raw) at
+    sf0.001/0.01/0.1, and the same sign held for the pre-OPQ identity
+    assignment across a 4×-sample / 2×-iteration training sweep.
+    ``knn_pq_residual_eval`` keeps both variants priced; flip to
+    residual when a corpus shows coarse_rss_ratio well below ~0.8.
+    The OTHER codebook lever, the OPQ-lite subspace assignment, was
+    measured recall-POSITIVE and adopted (``_pq_opq_map``).
 
     The PQ stream builds from the RAW scan and the cell map joins onto
     the code table afterwards (one vec_id-keyed equi-join of two compact
@@ -1694,7 +1789,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _cent, assigned = _ivf_cells(spark, sf_dir)
     cells = assigned.select("vec_id", "cell")
-    sub = _pq_sub(_vecs(spark, sf_dir).select("vec_id", "v"))
+    sub = _pq_sub_opq(spark, sf_dir)
     cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
     codes = _pq_encode(sub, cb).join(cells, "vec_id")
     qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1728,7 +1823,9 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_KNN_IVFPQ = f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 {_ivf_train_sql()},
-{_pq_train_sql()},
+{_pq_opq_map_sql()},
+{_pq_sub_pivot_sql("opq_dims", "opq_map", "pq_subp")},
+{_pq_train_sql(sub="pq_subp")},
 codes AS (
   SELECT c.vec_id, a.cell, c.m, c.code
   FROM pq_codes c JOIN assigned a ON a.vec_id = c.vec_id
@@ -3824,12 +3921,14 @@ def q_knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distortion, no cell-miss — which is exactly what this harness was
     built to expose. Round 12 earned the recall: TRAINED per-subspace
     k-means codebooks (``_pq_codebook``: 32 subspaces x 256 codewords,
-    2 Lloyd iterations over a footer-stride sample) measure
-    pq_adc = 0.767/0.900/0.833 at sf0.001/0.01/0.1, with the ivfpq row
-    giving up only the trained coarse quantizer's small nprobe=1
-    cell-miss on top (0.767/0.833/0.800) — so at this corpus the
-    decomposition now reads: distortion is the residual loss and one
-    probe already buys ~96% of the full-scan ADC recall."""
+    2 Lloyd iterations over a footer-stride sample) measured
+    pq_adc = 0.767/0.900/0.833 at sf0.001/0.01/0.1 with ivfpq at
+    0.767/0.833/0.800. Round 13 added the OPQ-lite balanced subspace
+    assignment (``_pq_opq_map``, adopted per the ``knn_pq_opq_eval``
+    rule): pq_adc = 0.900/0.967/0.867, ivfpq = 0.833/0.900/0.867 —
+    at sf0.1 one probe now matches the full-scan ADC recall outright,
+    and the remaining decomposition reads: distortion is still the
+    dominant loss, cell-miss costs ≤0.067 at the smaller scales."""
     vecs = _vecs(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -3974,22 +4073,24 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       the fraction of variance the coarse quantizer does NOT remove:
       the mechanism number that predicts which variant wins.
 
-    Measured verdict (sf0.001/0.01/0.1): coarse_rss_ratio
-    0.9249/0.9258/0.9480 — the 10 cosine cells on this
-    label-unstructured corpus remove only 5-7.5% of L2 variance. The
-    residual codebooks DO cut mean reconstruction distortion
-    (0.003875→0.003702 / 0.004219→0.003905 / 0.011600→0.011229 —
-    a 3.2-7.4% cut, i.e. roughly the removed variance minus the
-    per-subspace cost of quantizing a 10-shift MIXTURE), but a
-    few-percent distortion cut is far inside the top-3 ranking noise:
-    recall reads 0.700/0.833/0.733 (residual) vs 0.767/0.833/0.800
-    (raw), flat across a 4×-sample / 2×-iteration training sweep
-    (residual reaches raw parity only at 4 Lloyd iters × 2048 samples —
-    4× the training bill). ``knn_ivfpq`` therefore ships
-    ``by_residual`` OFF, with this eval as the standing price tag: on a
-    clustered corpus (ratio well below ~0.8, distortion cut
-    proportionally larger) the decision flips, and the flip is one
-    measured re-run, not a redesign.
+    Measured verdict (sf0.001/0.01/0.1, under the SERVED OPQ-lite
+    assignment — one map for both variants, so the eval isolates the
+    training input): coarse_rss_ratio 0.9249/0.9258/0.9480 — the 10
+    cosine cells on this label-unstructured corpus remove only 5-7.5%
+    of L2 variance. The residual codebooks DO cut mean reconstruction
+    distortion (0.004143→0.003683 / 0.004005→0.003866 /
+    0.011768→0.010926 — a 3.5-11% cut, i.e. roughly the removed
+    variance minus the per-subspace cost of quantizing a 10-shift
+    MIXTURE), but a few-percent distortion cut is far inside the top-3
+    ranking noise: recall reads 0.800/0.833/0.833 (residual) vs
+    0.833/0.900/0.867 (raw); the pre-OPQ identity assignment read the
+    same sign (0.700/0.833/0.733 vs 0.767/0.833/0.800), flat across a
+    4×-sample / 2×-iteration training sweep (residual reached raw
+    parity only at 4 Lloyd iters × 2048 samples — 4× the training
+    bill). ``knn_ivfpq`` therefore ships ``by_residual`` OFF, with this
+    eval as the standing price tag: on a clustered corpus (ratio well
+    below ~0.8, distortion cut proportionally larger) the decision
+    flips, and the flip is one measured re-run, not a redesign.
 
     Scale posture: everything the standalone tiers prove carries over
     (bounded training samples, broadcast codebooks/LUTs, cell-
@@ -4074,9 +4175,14 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
     )
+    # ONE assignment for both variants — the subspace map is part of
+    # the served index config (trained on the raw corpus, as knn_ivfpq
+    # serves it), so the eval isolates the residual-vs-raw TRAINING
+    # INPUT with everything else held fixed
+    amap = _pq_opq_map(vecs)
     per_variant = []
     for name, src in zip(_PQ_RESIDUAL_VARIANTS, (vecs, rvecs)):
-        sub = _pq_sub(src)
+        sub = _pq_sub_pivot(src, amap)
         cb = _pq_codebook(sub, stride)
         # one argmin pass feeds BOTH consumers: the served code table
         # and the winning-codeword d2 the distortion mean aggregates;
@@ -4188,8 +4294,14 @@ rvecs AS (
   SELECT a.vec_id,
          list_transform(list_zip(a.v, c.cv), x -> x[1] - x[2]) AS v
   FROM assigned a JOIN cent c ON c.clabel = a.cell),
-{_pq_train_sql(vecs="vecs", prefix="pr", with_d2=True)},
-{_pq_train_sql(vecs="rvecs", prefix="pz", with_d2=True)},
+{_pq_opq_map_sql()},
+rdims AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+  FROM rvecs),
+{_pq_sub_pivot_sql("opq_dims", "opq_map", "pr_subp")},
+{_pq_sub_pivot_sql("rdims", "opq_map", "pz_subp")},
+{_pq_train_sql(vecs="vecs", prefix="pr", with_d2=True, sub="pr_subp")},
+{_pq_train_sql(vecs="rvecs", prefix="pz", with_d2=True, sub="pz_subp")},
 exact_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_PQ_EVAL_L2_SQL}, 6) AS d2
@@ -4232,3 +4344,217 @@ ORDER BY v.variant
 
 QUERIES["knn_pq_residual_eval"] = q_knn_pq_residual_eval
 ORACLE["knn_pq_residual_eval"] = ORACLE_KNN_PQ_RESIDUAL
+
+
+# --------------------------------------------------------------------------
+# knn_pq_opq_eval — OPQ-lite coordinate permutation, priced (round 13)
+# --------------------------------------------------------------------------
+
+_PQ_OPQ_VARIANTS = ("balanced", "identity")
+
+
+def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite subspace assignment, priced at ZERO query-time cost
+    (VERDICT r12 #6): full OPQ (Ge et al., CVPR'13) learns a rotation
+    matrix before PQ; its cheap deterministic half is a coordinate
+    PERMUTATION that balances variance across subspaces — the adjacent
+    (2m, 2m+1) identity pairing concentrates whatever per-dimension
+    variance structure the data has into few subspaces, and balancing
+    spreads the quantization budget. Both assignments produce the SAME
+    M×K codebook geometry, encode bytes and scan cost, so recall is the
+    only axis — "adopt only if recall-positive at equal scan".
+
+    Assignment rule (deterministic, oracle-replayable): per-dimension
+    sample variance over the corpus, rounded 6 dp (the cross-engine
+    rounding discipline — raw variance ranks would let ~1e-13 engine
+    reassociation noise flip near-ties), ranked DESC with position
+    tie-break; rank r pairs with rank 2M−1−r (boustrophedon), so every
+    subspace holds one high-variance and one low-variance coordinate.
+    Both variants run through the identical join+pivot stream builder —
+    the identity row is the self-check: it must reproduce
+    ``knn_pq_adc``'s exact recall (same codebook, same full-scan ADC),
+    pinned by test.
+
+    Measured verdict (sf0.001/0.01/0.1): recall@3 0.900/0.967/0.867
+    (balanced) vs 0.767/0.900/0.833 (identity) — recall-POSITIVE at
+    every scale at identical scan cost, so per the rule the balanced
+    assignment was ADOPTED as the served config (``_pq_sub_opq``,
+    consumed by ``knn_pq_adc`` / ``knn_ivfpq``; the identity row here
+    is the standing counterfactual, and the balanced row must
+    reproduce ``knn_pq_adc``'s recall exactly — pinned by test).
+    Mechanism note: the corpus is near-isotropic (per-dimension
+    variance spread 1.2×), and the balanced rows' mean distortion is
+    not uniformly lower — so the gain is NOT variance balancing but
+    DE-ADJACENCY: the identity pairing puts generator-correlated
+    adjacent coordinates in one subspace, and correlated pairs make
+    per-subspace quantization errors correlate with the data, biasing
+    ADC rankings; any rank-derived permutation breaks the adjacency.
+    Priced consistently across three independently-sampled corpora.
+
+    Scale posture: the variance pass is one corpus scan aggregated to
+    64 rows; assignment maps are 64-row broadcasts; everything
+    downstream is the ``knn_pq_adc`` architecture with the same bounded
+    training / broadcast-LUT / codes-only-shuffle shape; checkpoint
+    frontiers as in ``knn_pq_residual_eval`` (same race + plan-size
+    reasoning)."""
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    stride = _pq_train_stride(spark, sf_dir)
+
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact3 = track_local_checkpoint(
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+
+    bmap = _pq_opq_map(vecs)
+    imap = spark.range(_PQ_M * _PQ_SUBDIM).select(
+        F.col("id").alias("pos"),
+        F.floor(F.col("id") / _PQ_SUBDIM).cast("long").alias("m"),
+        (F.col("id") % _PQ_SUBDIM + 1).alias("slot"),
+    )
+
+    per_variant = []
+    for name, amap in zip(_PQ_OPQ_VARIANTS, (bmap, imap)):
+        sub = _pq_sub_pivot(vecs, amap)
+        cb = _pq_codebook(sub, stride)
+        best = track_local_checkpoint(
+            sub.join(F.broadcast(cb), "m")
+            .select(
+                "vec_id",
+                "m",
+                F.struct(
+                    _pq_d2().alias("d2"), F.col("code").alias("code")
+                ).alias("sc"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("sc").alias("b"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("b.code").alias("code"),
+                F.col("b.d2").alias("d2"),
+            )
+        )
+        recon = (
+            best.groupBy("vec_id")
+            .agg(F.sum("d2").alias("vd2"))
+            .agg(F.round(F.avg("vd2"), 6).alias("mean_recon_d2"))
+        )
+        qlut = track_local_checkpoint(_pq_qlut(sub, cb))
+        adc = (
+            best.select("vec_id", "m", "code")
+            .join(F.broadcast(qlut), ["m", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+        )
+        wv = Window.partitionBy("query_id").orderBy(
+            F.col("adc_d2").asc(), F.col("vec_id").asc()
+        )
+        top3 = (
+            adc.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.row_number().over(wv).alias("rk"),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+        hits = top3.join(exact3, ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("h")
+        )
+        per_variant.append(
+            spark.range(1)
+            .select(F.lit(name).alias("assignment"))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(recon))
+            .select(
+                "assignment",
+                F.round(F.col("h") / F.col("ex_total"), 6).alias(
+                    "recall_at3"
+                ),
+                "mean_recon_d2",
+            )
+        )
+    return (
+        per_variant[0].unionByName(per_variant[1]).orderBy("assignment")
+    )
+
+
+def _pq_opq_adc_sql(p: str) -> str:
+    """Per-assignment CTE tail: distortion mean over the served codes,
+    FULL-SCAN ADC top-3 (the knn_pq_adc convention — no cell term),
+    truth hits."""
+    return f"""{p}_recon AS (
+  SELECT round(avg(vd2), 6) AS mean_recon_d2 FROM (
+    SELECT vec_id, sum(d2) AS vd2 FROM {p}_codes GROUP BY 1)),
+{p}_adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.qd2), 6) AS adc_d2
+  FROM {p}_codes c JOIN {p}_qlut q ON q.m = c.m AND q.code = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2),
+{p}_top3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+    FROM {p}_adc) WHERE rk <= 3),
+{p}_hits AS (
+  SELECT count(*) AS h
+  FROM {p}_top3 a JOIN exact3 e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)"""
+
+
+ORACLE_KNN_PQ_OPQ = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_pq_opq_map_sql()},
+imap AS (
+  SELECT pos, CAST(floor(pos / {_PQ_SUBDIM}.0) AS BIGINT) AS m,
+         pos % {_PQ_SUBDIM} + 1 AS slot
+  FROM range(0, {_PQ_M * _PQ_SUBDIM}) t(pos)),
+{_pq_sub_pivot_sql("opq_dims", "opq_map", "ob_subp")},
+{_pq_sub_pivot_sql("opq_dims", "imap", "oi_subp")},
+{_pq_train_sql(vecs="vecs", prefix="ob", with_d2=True, sub="ob_subp")},
+{_pq_train_sql(vecs="vecs", prefix="oi", with_d2=True, sub="oi_subp")},
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_PQ_EVAL_L2_SQL}, 6) AS d2
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 3
+),
+tot AS (SELECT count(*) AS ex_total FROM exact3),
+{_pq_opq_adc_sql("ob")},
+{_pq_opq_adc_sql("oi")}
+SELECT '{_PQ_OPQ_VARIANTS[0]}' AS assignment,
+       round(h.h / t.ex_total, 6) AS recall_at3, r.mean_recon_d2
+FROM ob_hits h CROSS JOIN tot t CROSS JOIN ob_recon r
+UNION ALL
+SELECT '{_PQ_OPQ_VARIANTS[1]}',
+       round(h.h / t.ex_total, 6), r.mean_recon_d2
+FROM oi_hits h CROSS JOIN tot t CROSS JOIN oi_recon r
+ORDER BY assignment
+"""
+
+QUERIES["knn_pq_opq_eval"] = q_knn_pq_opq_eval
+ORACLE["knn_pq_opq_eval"] = ORACLE_KNN_PQ_OPQ

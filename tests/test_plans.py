@@ -595,17 +595,18 @@ def test_countmin_broadcasts_sketch_no_cartesian(spark, sf_dir):
 
 
 def test_pq_adc_codes_only_shuffle(spark, sf_dir):
-    """PQ-ADC: the codebook supersteps and the per-query LUT are the ONLY
-    broadcast sides (all bounded: M×K rows per codebook superstep,
-    queries×M×K for the LUT); the ADC join is a keyed (m, code) equi-join
-    whose corpus-side payload is the 32-code table — never the raw
-    64-double vectors; no cartesian anywhere. Site-level pin: seed
-    codebook + one per Lloyd iteration + the LUT."""
+    """PQ-ADC: the codebook supersteps, the 64-row OPQ assignment map
+    and the per-query LUT are the ONLY broadcast sides (all bounded:
+    M×K rows per codebook superstep, 64 for the map, queries×M×K for
+    the LUT); the ADC join is a keyed (m, code) equi-join whose
+    corpus-side payload is the 32-code table — never the raw 64-double
+    vectors; no cartesian anywhere. Site-level pin: seed codebook + one
+    per Lloyd iteration + the assignment map + the LUT."""
     from jp_qcew_spark.queries.similarity import _PQ_ITERS, q_knn_pq_adc
 
     df = q_knn_pq_adc(spark, sf_dir)
     assert not I.has_cartesian_product(df)
-    assert I.broadcast_hint_sites(df) == _PQ_ITERS + 2
+    assert I.broadcast_hint_sites(df) == _PQ_ITERS + 3
     assert I.has_partial_aggregation(df)
     assert all(
         set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)

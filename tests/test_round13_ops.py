@@ -51,6 +51,68 @@ def test_pq_residual_eval_plan(spark, sf_dir):
     )
 
 
+def test_pq_opq_eval_self_check_and_plan(spark, sf_dir):
+    """knn_pq_opq_eval: the BALANCED row is the served assignment, so
+    its recall must reproduce knn_pq_adc's exactly (same map, same
+    codebook training, same full-scan ADC — a drift here means the eval
+    no longer prices what the tier serves); one row per assignment,
+    recall in [0, 1], distortion positive; no cartesian product."""
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.queries.similarity import (
+        _PQ_OPQ_VARIANTS,
+        q_knn_pq_adc,
+        q_knn_pq_opq_eval,
+    )
+
+    rows = q_knn_pq_opq_eval(spark, sf_dir).orderBy("assignment").collect()
+    assert [r["assignment"] for r in rows] == sorted(_PQ_OPQ_VARIANTS)
+    for r in rows:
+        assert 0.0 <= r["recall_at3"] <= 1.0
+        assert r["mean_recon_d2"] > 0.0
+
+    adc = q_knn_pq_adc(spark, sf_dir).select("query_id", "neighbor_id")
+    vecs_n = adc.sparkSession.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).count()
+    assert vecs_n > 0  # sanity: corpus present
+    # recompute knn_pq_adc's recall under the eval's own truth
+    # convention and compare to the balanced row
+    from pyspark.sql import Window
+
+    from jp_qcew_spark.ext import similarity as S
+    from jp_qcew_spark.queries.similarity import _N_QUERIES, _vecs
+
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = adc.join(exact3, ["query_id", "neighbor_id"]).count()
+    total = exact3.count()
+    balanced = [r for r in rows if r["assignment"] == "balanced"][0]
+    assert balanced["recall_at3"] == round(hits / total, 6)
+
+    df = q_knn_pq_opq_eval(spark, sf_dir)
+    from jp_qcew_spark.plans import inspect as I2
+
+    assert not I2.has_cartesian_product(df)
+
+
 def test_snm_plant_offset_guard():
     """The planted-twin id space must fail LOUDLY when the corpus could
     alias it (ADVICE r12): both engines would agree on the corrupted

@@ -139,6 +139,9 @@ QUERIES = [
     # IVF nlist sweep pricing the √n rule)
     "dedup_snm_recall_eval",
     "knn_ivf_nlist_sweep",
+    # r13 additions (the two codebook-lever pricing evals)
+    "knn_pq_residual_eval",
+    "knn_pq_opq_eval",
 ]
 
 

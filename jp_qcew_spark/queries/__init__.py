@@ -111,11 +111,14 @@ _WINDOW_PRIORITY = [
     "stream_cdc_apply",
     "stream_dedup_incremental",
     "stream_python_source",
-    # (the remaining r9 rows — stream_python_source_sharded,
-    # stream_sliding, text_entropy, text_fingerprint, text_langid,
-    # text_lm_bigram, text_lm_score, text_quality, text_repetition,
-    # text_tfidf, tokenizer_pack_pipeline, window_range_frame — lead
-    # the r14 window)
+    "stream_python_source_sharded",
+    "stream_sliding",
+    "text_entropy",
+    "text_fingerprint",
+    # (the remaining r9 rows — text_langid, text_lm_bigram,
+    # text_lm_score, text_quality, text_repetition, text_tfidf,
+    # tokenizer_pack_pipeline, window_range_frame — lead the r14
+    # window)
 ]
 
 

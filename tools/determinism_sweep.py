@@ -55,7 +55,15 @@ def _canon(v):
 def run(tag: str) -> None:
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # bare session EXCEPT driver heap: the determinism property lives in
+    # the SQL confs (which stay driver-default — the engine must pin its
+    # own), not in memory sizing, and a 1 GiB heap OOMs on the r13 PQ
+    # family run back-to-back at sf0.1 (BASELINE.md r13 memory datum)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     import __spark_entry__ as E
 
     hashes = {}

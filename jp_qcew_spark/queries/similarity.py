@@ -4558,3 +4558,222 @@ ORDER BY assignment
 
 QUERIES["knn_pq_opq_eval"] = q_knn_pq_opq_eval
 ORACLE["knn_pq_opq_eval"] = ORACLE_KNN_PQ_OPQ
+
+
+# --------------------------------------------------------------------------
+# knn_ivfpq_recall_curve — the SERVED index's (nprobe, recall, scan) tuner
+# --------------------------------------------------------------------------
+
+
+def q_knn_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured (recall@3, scan-fraction) curve of the FULL IVFADC index
+    — trained coarse cells + trained OPQ-lite PQ codebooks — across
+    nprobe ∈ ``_IVF_CURVE_NPROBES`` (round 13). ``knn_ivf_recall_curve``
+    prices the coarse quantizer with EXACT in-cell scoring; the serving
+    tier (``knn_ivfpq``) scores by compressed-domain ADC, so its curve
+    sits below the exact-IVF curve by the codebook distortion and THIS
+    is the one a production tuner of the composed index reads: both loss
+    sources (cell miss shrinking with nprobe, distortion constant in
+    nprobe) on one measured axis against the true scan cost.
+
+    Because ``by_residual`` is OFF (the measured ``knn_pq_residual_eval``
+    decision), the ADC lookup table is CELL-INDEPENDENT — one LUT per
+    query scores candidates from every probed cell — so multiprobe is a
+    pure widening of the candidate filter: the residual variant would
+    instead need one LUT per (query, probed cell), which is the cost
+    asymmetry FAISS documents for by_residual at high nprobe. The
+    nprobe=1 row must equal ``knn_pq_recall_eval``'s ivfpq row (same
+    cells, same codes, same LUT — pinned by test).
+
+    Measured verdict (recall@3 at nprobe 1/2/4, scan ≈ 0.10/0.20/0.40):
+    sf0.001 0.833/0.867/0.867, sf0.01 0.900/0.900/0.967, sf0.1
+    0.867/0.867/0.867 — each curve FLATTENS at (or near) the full-scan
+    ADC recall (``knn_pq_adc``: 0.900/0.967/0.867) while the exact-IVF
+    curve (``knn_ivf_recall_curve``) keeps climbing to 0.97-1.0: at
+    sf0.1 the served index is distortion-bound from the FIRST probe
+    (cell miss ≈ 0, extra probes buy nothing), so a tuner should spend
+    the next unit of cost on finer codebooks or on re-ranking the ADC
+    top-k against raw vectors, not on more probes. Locating that
+    crossover is exactly what this curve exists for.
+
+    Scale posture: identical to the tiers it composes — bounded query
+    slice, broadcast centroids/codebooks/LUT, cell-keyed candidate
+    join, codes-only shuffle payload, one widening join against the
+    3-row probe table; the truth pass is the |slice|×n linear scan
+    every recall eval pays. Candidate ADC rows are scope-cached (they
+    feed both the per-nprobe ranking and the scan-volume aggregate)."""
+    n_corpus = metadata_row_count(spark, sf_dir, "embeddings")
+    cent, assigned = _ivf_cells(spark, sf_dir)
+    cells = assigned.select("vec_id", "cell")
+    sub = _pq_sub_opq(spark, sf_dir)
+    cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
+    codes = _pq_encode(sub, cb).join(cells, "vec_id")
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("clabel").asc()
+    )
+    qcells = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "clabel",
+            S.cosine(F.col("qv"), F.col("cv")).alias("cscore"),
+        )
+        .withColumn("cellrank", F.row_number().over(wq))
+        .filter(F.col("cellrank") <= max(_IVF_CURVE_NPROBES))
+        .select("query_id", F.col("clabel").alias("qcell"), "cellrank")
+    )
+    qlut = _pq_qlut(sub, cb)
+    adc = track_cache(
+        codes.join(
+            F.broadcast(qcells),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(qlut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id", "cellrank")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _IVF_CURVE_NPROBES])
+        ).alias("nprobe")
+    )
+    pc = adc.join(
+        F.broadcast(probes), F.col("cellrank") <= F.col("nprobe")
+    )
+    wt = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    top3 = (
+        pc.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 3)
+        .select("nprobe", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scanned = pc.groupBy("nprobe").agg(F.count("*").alias("total_scanned"))
+    # exact truth under the PQ-tier convention: squared-L2, ties to the
+    # smaller id
+    vecs = _vecs(spark, sf_dir)
+    qv = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        F.broadcast(qv)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        top3.join(exact3, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("h"))
+    )
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+    return (
+        scanned.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)) / F.col("ex_total"), 6
+            ).alias("recall_at3"),
+            F.round(
+                F.col("total_scanned")
+                / (F.lit(_N_QUERIES) * F.lit(n_corpus - 1)),
+                6,
+            ).alias("scan_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+ORACLE_KNN_IVFPQ_CURVE = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_ivf_train_sql()},
+{_pq_opq_map_sql()},
+{_pq_sub_pivot_sql("opq_dims", "opq_map", "pq_subp")},
+{_pq_train_sql(sub="pq_subp")},
+codes AS (
+  SELECT c.vec_id, a.cell, c.m, c.code
+  FROM pq_codes c JOIN assigned a ON a.vec_id = c.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM assigned
+      WHERE vec_id < {_N_QUERIES}),
+qcell_scored AS (
+  SELECT q.query_id, cent.clabel,
+         {_cos_sql("q.qv", "cent.cv")} AS cscore
+  FROM q CROSS JOIN cent
+),
+qcells AS (
+  SELECT query_id, clabel AS qcell, cellrank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cscore DESC, clabel ASC) AS cellrank
+    FROM qcell_scored
+  ) WHERE cellrank <= {max(_IVF_CURVE_NPROBES)}
+),
+cand_adc AS (
+  SELECT qc.query_id, k.vec_id AS neighbor_id, qc.cellrank,
+         round(sum(l.qd2), 6) AS adc_d2
+  FROM qcells qc
+  JOIN codes k ON k.cell = qc.qcell AND k.vec_id <> qc.query_id
+  JOIN pq_qlut l
+    ON l.query_id = qc.query_id AND l.m = k.m AND l.code = k.code
+  GROUP BY 1, 2, 3
+),
+probes AS ({_IVF_CURVE_PROBES_SQL}),
+pc AS (
+  SELECT p.nprobe, c.query_id, c.neighbor_id, c.adc_d2
+  FROM cand_adc c JOIN probes p ON c.cellrank <= p.nprobe
+),
+ivfpq3 AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+        PARTITION BY nprobe, query_id
+        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+    FROM pc
+  ) WHERE rk <= 3
+),
+scanned AS (SELECT nprobe, count(*) AS total_scanned FROM pc GROUP BY 1),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_PQ_EVAL_L2_SQL}, 6) AS d2
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 3
+),
+hits AS (
+  SELECT i.nprobe, count(*) AS h
+  FROM ivfpq3 i JOIN exact3 e
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS ex_total FROM exact3),
+nn AS (SELECT count(*) AS n FROM vecs)
+SELECT s.nprobe,
+       round(COALESCE(h.h, 0) / t.ex_total, 6) AS recall_at3,
+       round(s.total_scanned / ({_N_QUERIES} * (nn.n - 1)), 6) AS scan_frac
+FROM scanned s
+LEFT JOIN hits h ON h.nprobe = s.nprobe
+CROSS JOIN tot t CROSS JOIN nn
+ORDER BY s.nprobe
+"""
+
+QUERIES["knn_ivfpq_recall_curve"] = q_knn_ivfpq_recall_curve
+ORACLE["knn_ivfpq_recall_curve"] = ORACLE_KNN_IVFPQ_CURVE

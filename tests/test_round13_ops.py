@@ -113,6 +113,32 @@ def test_pq_opq_eval_self_check_and_plan(spark, sf_dir):
     assert not I2.has_cartesian_product(df)
 
 
+def test_ivfpq_curve_monotone_and_plan(spark, sf_dir):
+    """knn_ivfpq_recall_curve: one row per nprobe; scan fraction
+    strictly increasing (a wider probe set scans strictly more cells —
+    every query has max(_IVF_CURVE_NPROBES) ≤ _IVF_K ranked cells);
+    recall nondecreasing (candidate supersets); both in range; no
+    cartesian product; scans pruned to the embedding columns."""
+    from jp_qcew_spark.queries.similarity import (
+        _IVF_CURVE_NPROBES,
+        q_knn_ivfpq_recall_curve,
+    )
+
+    df = q_knn_ivfpq_recall_curve(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    assert all(
+        set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
+    )
+    rows = df.orderBy("nprobe").collect()
+    assert [r["nprobe"] for r in rows] == list(_IVF_CURVE_NPROBES)
+    recalls = [r["recall_at3"] for r in rows]
+    fracs = [r["scan_frac"] for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+    assert recalls == sorted(recalls)
+    assert fracs == sorted(fracs) and len(set(fracs)) == len(fracs)
+    assert all(0.0 < f < 1.0 for f in fracs)
+
+
 def test_snm_plant_offset_guard():
     """The planted-twin id space must fail LOUDLY when the corpus could
     alias it (ADVICE r12): both engines would agree on the corrupted

@@ -142,6 +142,7 @@ QUERIES = [
     # r13 additions (the two codebook-lever pricing evals)
     "knn_pq_residual_eval",
     "knn_pq_opq_eval",
+    "knn_ivfpq_recall_curve",
 ]
 
 

@@ -61,6 +61,7 @@ _GROUPS = [
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
     # -- new in round 13
+    "knn_ivfpq_rerank",
     "knn_ivfpq_recall_curve",
     "knn_pq_opq_eval",
     "knn_pq_residual_eval",
@@ -114,11 +115,10 @@ _WINDOW_PRIORITY = [
     "stream_python_source",
     "stream_python_source_sharded",
     "stream_sliding",
-    "text_entropy",
-    # (the remaining r9 rows — text_fingerprint, text_langid,
-    # text_lm_bigram, text_lm_score, text_quality, text_repetition,
-    # text_tfidf, tokenizer_pack_pipeline, window_range_frame — lead
-    # the r14 window)
+    # (the remaining r9 rows — text_entropy, text_fingerprint,
+    # text_langid, text_lm_bigram, text_lm_score, text_quality,
+    # text_repetition, text_tfidf, tokenizer_pack_pipeline,
+    # window_range_frame — lead the r14 window)
 ]
 
 

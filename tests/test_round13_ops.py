@@ -139,6 +139,73 @@ def test_ivfpq_curve_monotone_and_plan(spark, sf_dir):
     assert all(0.0 < f < 1.0 for f in fracs)
 
 
+def test_ivfpq_rerank_refines_not_regresses(spark, sf_dir):
+    """knn_ivfpq_rerank: the refined top-3 is drawn FROM the ADC
+    shortlist (every returned neighbor is an ivfpq-reachable candidate:
+    same cell as the query), d2 is the exact squared-L2 (nonnegative,
+    ranked ascending per query with rank 1..3), and the refined set's
+    exact-truth hit count is >= the unrefined knn_ivfpq top-3's — the
+    refine stage can only fix mis-rankings inside the candidate set,
+    never lose a hit (both cut top-3 from the same candidates; exact d2
+    ranking is what the truth uses)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jp_qcew_spark.ext import similarity as S
+    from jp_qcew_spark.queries.similarity import (
+        _N_QUERIES,
+        _vecs,
+        q_knn_ivfpq,
+        q_knn_ivfpq_rerank,
+    )
+
+    got = q_knn_ivfpq_rerank(spark, sf_dir)
+    assert not I.has_cartesian_product(got)
+    rows = got.collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["d2"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["d2"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [rk for rk, _ in ranks] == list(range(1, len(ranks) + 1))
+        d2s = [d for _, d in ranks]
+        assert d2s == sorted(d2s)
+
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    qv = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        F.broadcast(qv)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    refined_hits = (
+        got.select("query_id", "neighbor_id")
+        .join(exact3, ["query_id", "neighbor_id"])
+        .count()
+    )
+    plain_hits = (
+        q_knn_ivfpq(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .join(exact3, ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert refined_hits >= plain_hits
+
+
 def test_snm_plant_offset_guard():
     """The planted-twin id space must fail LOUDLY when the corpus could
     alias it (ADVICE r12): both engines would agree on the corrupted

@@ -143,6 +143,7 @@ QUERIES = [
     "knn_pq_residual_eval",
     "knn_pq_opq_eval",
     "knn_ivfpq_recall_curve",
+    "knn_ivfpq_rerank",
 ]
 
 

@@ -4370,10 +4370,12 @@ def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassociation noise flip near-ties), ranked DESC with position
     tie-break; rank r pairs with rank 2M−1−r (boustrophedon), so every
     subspace holds one high-variance and one low-variance coordinate.
-    Both variants run through the identical join+pivot stream builder —
-    the identity row is the self-check: it must reproduce
-    ``knn_pq_adc``'s exact recall (same codebook, same full-scan ADC),
-    pinned by test.
+    Both variants run through the identical join+pivot stream builder.
+    Since the balanced assignment IS the served config, the BALANCED
+    row is the self-check — it must reproduce ``knn_pq_adc``'s exact
+    recall (same subspace map, same codebook, same full-scan ADC),
+    pinned by test — and the identity row is the standing
+    counterfactual the adoption was measured against.
 
     Measured verdict (sf0.001/0.01/0.1): recall@3 0.900/0.967/0.867
     (balanced) vs 0.767/0.900/0.833 (identity) — recall-POSITIVE at

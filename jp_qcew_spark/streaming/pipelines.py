@@ -1006,6 +1006,17 @@ def stream_dedup_neardup(
     ensure_session_confs(spark)
     nh = _NUM_HASHES if num_hashes is None else num_hashes
     rpb = _ROWS_PER_BAND if rows_per_band is None else rows_per_band
+    # The packed identity below lpads hex(band_idx) to 4 chars, and Spark's
+    # lpad TRUNCATES longer input — >0xFFFF bands would silently collide
+    # distinct band identities into one state key (wrong prior/keeper
+    # decisions). Fail loudly instead (ADVICE r13; same discipline as the
+    # SNM plant-offset guard).
+    if nh // rpb > 0xFFFF:
+        raise ValueError(
+            f"stream_dedup_neardup: {nh // rpb} bands exceed the 2-byte "
+            "packed band-index budget (65535); raise rows_per_band or "
+            "widen the identity packing"
+        )
     spark.dataSource.register(DocReplayDataSource)
     stream = (
         spark.readStream.format("docreplay")

@@ -357,6 +357,64 @@ def release_caches() -> int:
     return n
 
 
+# ---------------------------------------------------------------------------
+# Trained-artifact promotion (round 14, VERDICT r13 #4)
+#
+# Families of queries (the PQ/IVF ANN tier, the quality classifier) compose
+# the same TRAINED artifacts — codebooks, centroid sets, model weights,
+# ground-truth slices.  Scoped caching releases between queries BY DESIGN
+# (bounded executor memory), so without promotion every family member
+# retrains identical bounded tables from scratch.  The fix is the production
+# pattern: train once, promote the bounded artifact to the driver, re-emit
+# it as a LocalRelation wherever the family needs it — exactly how a cluster
+# serves a FAISS codebook or a fastText model (train job → serialized
+# artifact → broadcast to the scan job).
+#
+# Promotion is safe because the artifacts are (a) BOUNDED BY CONSTRUCTION
+# (M×K codebook rows, K centroids, D hashed-feature weights — none grows
+# with the corpus; the row-cap guard raises loudly otherwise) and
+# (b) DETERMINISTIC (seeded training, quantized supersteps, tie-broken
+# rankings — the properties the DuckDB oracle replay already requires), so
+# a promoted copy is value-identical to a rebuild; every consumer remains
+# hash-verified against its full SQL oracle replay each round.  Rows are
+# stored SORTED by the frame's columns so the promoted relation's content
+# is independent of collection partition order.  Keyed by (artifact,
+# absolute sf_dir) — scales never cross-contaminate; artifacts survive
+# query-scope release on purpose (that is the point).
+# ---------------------------------------------------------------------------
+
+_TRAINED_MEMO: dict[tuple[str, str], tuple[list, object]] = {}
+_TRAINED_ROW_CAP = 100_000
+
+
+def reset_trained_artifacts() -> None:
+    """Drop every promoted trained artifact (testing hook: plan tests pin
+    the cold build; budget tests pin cold-then-warm)."""
+    _TRAINED_MEMO.clear()
+
+
+def trained_artifact(
+    spark: SparkSession, sf_dir: str, key: str, build
+) -> DataFrame:
+    """Build-once-per-process memo for bounded deterministic training
+    artifacts; returns a fresh LocalRelation bound to ``spark`` (never a
+    cached reference to a stopped session's frame)."""
+    mk = (key, os.path.abspath(sf_dir))
+    if mk not in _TRAINED_MEMO:
+        df = build()
+        rows = df.orderBy(*df.columns).collect()
+        if len(rows) > _TRAINED_ROW_CAP:
+            raise ValueError(
+                f"trained artifact {key!r} collected {len(rows)} rows — "
+                "promotion is for bounded artifacts only (codebooks, "
+                "centroids, model weights, ground-truth slices), never "
+                "corpus-sized frames"
+            )
+        _TRAINED_MEMO[mk] = (rows, df.schema)
+    rows, schema = _TRAINED_MEMO[mk]
+    return spark.createDataFrame(rows, schema)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every oracle table as a temp view so callers can use the
     engine through plain ``spark.sql`` — the Spark-catalog analog of the

@@ -38,87 +38,91 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-13 window (VERDICT r12 #2):
+# evidence policy. This list pins the ROUND-14 window (VERDICT r13 #2):
 #
-# - knn_pq_residual_eval and knn_pq_opq_eval are NEW this round (the
-#   two codebook levers priced: by_residual — measured recall-negative,
-#   kept OFF — and the OPQ-lite subspace assignment — measured
-#   recall-POSITIVE at equal scan and ADOPTED, VERDICT r12 #3/#6);
-# - knn_pq_adc / knn_ivfpq / knn_pq_recall_eval CHANGED by that
-#   adoption (served subvector stream = the balanced assignment;
-#   recall +0.03..+0.13 at every scale);
-# - stream_dedup_neardup CHANGED (band identity packed from the
-#   ~35-char "idx:md5hex" string to 18 raw bytes — lossless, same
-#   decisions, half the value-typed-state rewrite volume) and
-#   dedup_snm_recall_eval gained the plant-offset alias guard
-#   (ADVICE r12 — raise-only, behavior identical at driver scales);
-# - then the 11 r8-evidence stragglers (VERDICT r12 #2 names them as
-#   THE r13 leads): the final retirement of the oldest driver evidence
-#   in the registry;
-# - the remaining slots start retiring the r9 cohort (the oldest
-#   evidence once r8 clears), alphabetical: analytic_dist ..
-#   stream_python_source land this round; the rest lead the r14 window.
+# - quality_classifier_{train,apply,gd_eval} and knn_ivfpq_rerank_sweep
+#   are NEW this round (the curation triad's trained classifier —
+#   NB closed form + 3 priced logistic supersteps, VERDICT r13 #7 —
+#   and the refine-budget sweep closing the ANN quality arc, #5);
+# - the whole served+eval PQ/IVF family CHANGED (trained-artifact
+#   promotion, VERDICT r13 #4: the OPQ map / served codebook / IVF
+#   centroids / exact ground truth now train once per process via
+#   io.trained_artifact — value-identical by construction, re-certified
+#   anyway), and stream_dedup_neardup gained the packed-band-index
+#   width guard (ADVICE r13 — raise-only, behavior identical at any
+#   in-contract config);
+# - then the final 10 r9-evidence rows (VERDICT r13 #2 names them as
+#   THE r14 leads), retiring all r9 evidence from the registry;
+# - the remaining slots start retiring the r10 cohort (44 rows, the
+#   oldest evidence once r9 clears), alphabetical: agg_distinct_exact
+#   .. mode_keying land this round; the remaining 18 (moving_avg ..
+#   unpivot_long) plus the younger half of the r10 cohort lead the
+#   r15 window — two rounds retire r10 entirely (r15: the 18 left
+#   here + 8 more slots toward r11 evidence).
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
-    # -- new in round 13
-    "knn_ivfpq_rerank",
-    "knn_ivfpq_recall_curve",
-    "knn_pq_opq_eval",
-    "knn_pq_residual_eval",
-    # -- changed in round 13 (OPQ-lite adoption)
+    # -- new in round 14
+    "quality_classifier_train",
+    "quality_classifier_apply",
+    "quality_classifier_gd_eval",
+    "knn_ivfpq_rerank_sweep",
+    # -- changed in round 14 (trained-artifact promotion)
     "knn_pq_adc",
     "knn_ivfpq",
     "knn_pq_recall_eval",
-    # -- changed in round 13
+    "knn_pq_residual_eval",
+    "knn_pq_opq_eval",
+    "knn_ivfpq_recall_curve",
+    "knn_ivfpq_rerank",
+    "knn_ivf",
+    "knn_ivf_recall_curve",
+    # -- changed in round 14 (band-width guard)
     "stream_dedup_neardup",
-    "dedup_snm_recall_eval",
-    # -- r8 cohort: the 11 stragglers, retiring the last r8 evidence
-    "stream_static_join",
-    "stream_stream_join",
-    "wages_series",
-    "ts_resample",
-    "ts_resample_yearly",
-    "ts_gapfill",
-    "ts_ewma",
-    "text_inverted_index",
-    "udtf_tokenize",
-    "text_chunk_overlap",
-    "stream_stateful_user_stats",
-    # -- r9 cohort retirement (oldest evidence after r8), alphabetical
-    "analytic_dist",
-    "cdc_diff_snapshots",
-    "cohort_retention",
-    "copurchase_pairs",
-    "data_split",
-    "dedup_embedding_cos",
-    "dedup_embedding_rp",
-    "dedup_recall_eval",
-    "knn_graph_mutual",
-    "knn_lsh_banded",
-    "knn_recall_eval",
-    "math_funcs",
-    "merge_upsert",
-    "mm_png_decode",
-    "null_semantics",
-    "outlier_mad",
-    "quality_percentile_band",
-    "quantiles_exact",
-    "regex_extract",
-    "regr_stats",
-    "scrub_denylist",
-    "scrub_pii",
-    "semdedup_lsh",
-    "semdedup_mutual",
-    "stratified_sample",
-    "stream_cdc_apply",
-    "stream_dedup_incremental",
-    "stream_python_source",
-    "stream_python_source_sharded",
-    "stream_sliding",
-    # (the remaining r9 rows — text_entropy, text_fingerprint,
-    # text_langid, text_lm_bigram, text_lm_score, text_quality,
-    # text_repetition, text_tfidf, tokenizer_pack_pipeline,
-    # window_range_frame — lead the r14 window)
+    # -- r9 cohort: the final 10, retiring the last r9 evidence
+    "text_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_bigram",
+    "text_lm_score",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf",
+    "tokenizer_pack_pipeline",
+    "window_range_frame",
+    # -- r10 cohort retirement begins (oldest evidence after r9),
+    #    alphabetical first 26 of 44
+    "agg_distinct_exact",
+    "dedup_components",
+    "dedup_incremental",
+    "distinct_domain",
+    "events_cep_sequence",
+    "events_dedup",
+    "events_json_props",
+    "events_props_map",
+    "events_sliding",
+    "events_tumbling",
+    "events_tumbling_stream",
+    "except_keys",
+    "filter_nonblank",
+    "fixedwidth_slice",
+    "intersect_keys",
+    "join_anti",
+    "join_asof",
+    "join_range",
+    "join_salted_skew",
+    "join_semi",
+    "knn_recall_rp",
+    "label_synthesis",
+    "lag_diff_pct",
+    "mm_gif_decode",
+    "mm_wav_decode",
+    "mode_keying",
+    # (the remaining 18 r10 rows — moving_avg, pivot_wide,
+    # pricing_summary, rank_dense, rollup_agg, running_sum,
+    # sample_weighted, scd2_upsert, semdedup_rp, stream_cep_sequence,
+    # suppressed_agg, text_containment, text_token_count, tick_sample,
+    # tokenizer_bpe_apply, tokenizer_bpe_merges, union_distinct,
+    # unpivot_long — lead the r15 window)
 ]
 
 

@@ -33,7 +33,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jp_qcew_spark.ext import dedup as D
-from jp_qcew_spark.io import load_table, widen_scan
+from jp_qcew_spark.functions import text as X
+from jp_qcew_spark.io import (
+    load_table,
+    track_cache,
+    trained_artifact,
+    widen_scan,
+)
 
 # --------------------------------------------------------------------------
 # decontaminate
@@ -1177,3 +1183,434 @@ LIMIT 25
 
 QUERIES["dsir_importance"] = q_dsir_importance
 ORACLE["dsir_importance"] = ORACLE_DSIR_IMPORTANCE
+
+
+# --------------------------------------------------------------------------
+# quality classifier — the CCNet/DSIR/classifier triad's third leg (round 14)
+# --------------------------------------------------------------------------
+#
+# The curation tier already gates by LM perplexity proxy (text_lm_score) and
+# by distribution matching (dsir_importance); the standard third leg of a
+# 100 TB curation pipeline is a TRAINED quality classifier (fastText-style
+# linear model over hashed n-gram features — GPT-3/LLaMA-era "quality
+# filtering").  Implemented Spark-first with the repo's determinism
+# discipline:
+#
+# - features: unigram tokens hashed into _QC_D = 256 buckets (md5
+#   positional-hex, the DSIR/CMS scheme) with raw counts, plus an explicit
+#   bias feature (feature_id -1, count 1);
+# - teacher: weak supervision by the engine's own composite quality score
+#   (functions.text.quality_score >= _QC_THR) — the bootstrap every real
+#   quality classifier starts from (a cheap heuristic labels, the model
+#   distills and generalizes it);
+# - training: multinomial-NB log-odds CLOSED FORM (one corpus pass,
+#   add-one smoothing, weights quantized floor(ln·1e6) — exactly DSIR's
+#   integer-quantization discipline) initializes the weights, then
+#   _QC_ITERS = 3 full-batch LOGISTIC-GRADIENT supersteps refine them:
+#   margins are exact BIGINT dot products, the sigmoid is micro-quantized
+#   (floor(p·1e6), saturation-clamped at |m| >= 40), errors/gradients are
+#   exact BIGINT sums (order-independent — the float-summation hazard of a
+#   distributed gradient reduce never arises), and the update is exact
+#   integer floor division with lr = _QC_LRN/_QC_LRD.  The only
+#   cross-engine float surface is one ln per bucket and one exp per
+#   (doc, superstep), both absorbed by the floor-quantization (the DSIR
+#   ulp-boundary argument; verified by hash parity at 3 scales).
+#
+# Measured (train accuracy at sf0.001/0.01/0.1, base rate 0.56/0.53/0.57):
+# NB closed form 0.854/0.912/0.926; +3 GD supersteps 0.878/0.910/0.933 —
+# the refinement is accuracy-positive at two scales and -0.002 (one doc)
+# at the third, so the SHIPPED model is nb_gd3 and
+# quality_classifier_gd_eval keeps both variants priced (the residual-eval
+# adjudication pattern).
+#
+# 100 TB posture: the statistics pass and each gradient superstep are
+# combiner-friendly 257-key aggregations over a corpus-linear hashed token
+# stream (the DSIR shape); the trained model is a 257-row artifact promoted
+# once per process (io.trained_artifact) and broadcast to the scoring pass
+# — scoring is map-side + one doc_id-keyed reduce.  Overflow bound: exact
+# BIGINT gradients hold to ~1e11 docs × 50-token counts; past that, shift
+# the error quantum from 1e6 to 1e3 (documented, not load-bearing here).
+
+_QC_D = 256          # hashed feature buckets
+_QC_THR = 0.405      # teacher gate on the composite quality score
+_QC_ITERS = 3        # logistic batch-gradient supersteps
+_QC_LRN, _QC_LRD = 1, 64   # learning rate 1/64 (measured sweep winner)
+_QC_CLAMP_MICRO = 40_000_000  # sigmoid saturation clamp on micro-margins
+
+
+def _qc_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, b, c): hashed-unigram counts + the bias row per doc +
+    the teacher label. One corpus tokenize pass (widened — compute-dense
+    md5 map work)."""
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.trim("text") != "")
+    lab = d.select(
+        "doc_id",
+        F.when(X.quality_score(F.col("text")) >= _QC_THR, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+        F.split(F.lower(F.trim("text")), r"\s+").alias("toks"),
+    )
+    counts = (
+        lab.select("doc_id", "y", F.explode("toks").alias("t"))
+        .select("doc_id", "y", F.md5("t").alias("h"))
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                "CAST((instr('0123456789abcdef', substr(h, 31, 1)) - 1) * 16"
+                " + instr('0123456789abcdef', substr(h, 32, 1)) - 1 AS BIGINT)"
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bias = lab.select(
+        "doc_id",
+        "y",
+        F.lit(-1).cast("long").alias("b"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    return counts.unionByName(bias)
+
+
+def _qc_nb_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multinomial-NB log-odds over the full bucket domain
+    (feature_id, weight_micro; feature_id -1 = the class-prior bias) —
+    add-one smoothed, floor(ln·1e6) quantized."""
+    x = _qc_x(spark, sf_dir)
+    fx = x.filter(F.col("b") >= 0)
+    stats = fx.groupBy("b").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("c")).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("y") == 0, F.col("c")).otherwise(0)).alias("cn"),
+    )
+    tots = stats.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
+    nd = x.filter(F.col("b") == -1).agg(
+        F.sum("y").alias("npos"), F.sum(F.lit(1) - F.col("y")).alias("nneg")
+    )
+    full = (
+        spark.range(_QC_D)
+        .select(F.col("id").alias("b"))
+        .join(stats, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    w = full.crossJoin(F.broadcast(tots)).select(
+        F.col("b").cast("long").alias("feature_id"),
+        F.floor(
+            F.log(
+                (
+                    (F.col("cp") + 1).cast("double")
+                    * (F.col("tn") + _QC_D).cast("double")
+                )
+                / (
+                    (F.col("cn") + 1).cast("double")
+                    * (F.col("tp") + _QC_D).cast("double")
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    bias = nd.select(
+        F.lit(-1).cast("long").alias("feature_id"),
+        F.floor(
+            F.log(F.col("npos").cast("double") / F.col("nneg").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    return w.unionByName(bias)
+
+
+def _qc_nb_weights_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trained_artifact(
+        spark, sf_dir, "qc_nb_weights", lambda: _qc_nb_weights(spark, sf_dir)
+    )
+
+
+def _qc_margins(x: DataFrame, w: DataFrame) -> DataFrame:
+    """(doc_id, y, mm): exact BIGINT micro-margin per doc — broadcast
+    weights join + one doc_id-keyed partial-agg reduce."""
+    return (
+        x.join(F.broadcast(w), x["b"] == w["feature_id"])
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("c") * F.col("weight_micro")).alias("mm"))
+    )
+
+
+def _qc_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB init + ``_QC_ITERS`` full-batch logistic-gradient supersteps,
+    all in exact integer micro-units (see the tier note above)."""
+    x = track_cache(_qc_x(spark, sf_dir))
+    # one corpus materialization: every superstep's margin AND gradient
+    # pass re-reads x, and the superstep weight broadcasts race to build
+    # concurrently — the kmeans/codebook lesson applied here
+    x.count()
+    nd = F.broadcast(
+        x.filter(F.col("b") == -1).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = _qc_nb_weights_t(spark, sf_dir)
+    for _ in range(_QC_ITERS):
+        marg = _qc_margins(x, w)
+        p = (
+            F.when(F.col("mm") >= _QC_CLAMP_MICRO, F.lit(1000000))
+            .when(F.col("mm") <= -_QC_CLAMP_MICRO, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.lit(1000000.0)
+                    / (F.lit(1.0) + F.exp(-(F.col("mm") / F.lit(1000000.0))))
+                )
+            )
+            .cast("long")
+        )
+        err = marg.select(
+            "doc_id", (p - F.lit(1000000) * F.col("y")).alias("e")
+        )
+        g = (
+            x.join(err, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("e") * F.col("c")).alias("g"))
+        )
+        a = F.lit(_QC_LRN) * F.coalesce(F.col("g"), F.lit(0))
+        dd = F.lit(_QC_LRD) * F.col("n")
+        w = (
+            w.join(g, w["feature_id"] == g["b"], "left")
+            .crossJoin(nd)
+            .select(
+                "feature_id",
+                (
+                    F.col("weight_micro")
+                    - ((a - F.pmod(a, dd)) / dd).cast("long")
+                ).alias("weight_micro"),
+            )
+        )
+    return w
+
+
+def _qc_weights_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPED model (nb_gd3 — measured winner), promoted."""
+    return trained_artifact(
+        spark, sf_dir, "qc_gd_weights", lambda: _qc_gd_weights(spark, sf_dir)
+    )
+
+
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality-classifier model itself: 257 integer-quantized
+    weights (hashed-unigram log-odds refined by 3 logistic supersteps).
+    See the tier note above for training recipe, measured accuracies and
+    the 100 TB posture; ``quality_classifier_gd_eval`` prices the
+    NB-vs-GD adjudication, ``quality_classifier_apply`` serves it."""
+    return _qc_weights_t(spark, sf_dir).orderBy("feature_id")
+
+
+def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the shipped classifier: exact BIGINT
+    micro-margin, the keep decision (margin >= 0), and the teacher label
+    (kept in the output so precision against the teacher is readable
+    straight off the table). One broadcast join + one keyed reduce —
+    the 100 TB scoring shape."""
+    m = _qc_margins(_qc_x(spark, sf_dir), _qc_weights_t(spark, sf_dir))
+    return (
+        m.select(
+            "doc_id",
+            F.col("mm").alias("margin_micro"),
+            F.when(F.col("mm") >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+            F.col("y").cast("long").alias("teacher_label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_quality_classifier_gd_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The training-recipe adjudication, kept priced (the residual-eval
+    pattern): train accuracy + kept fraction of the NB closed form vs
+    the shipped nb_gd3 refinement, on identical features and teacher.
+    Measured: 0.854/0.912/0.926 (nb) vs 0.878/0.910/0.933 (nb_gd3) at
+    sf0.001/0.01/0.1 — the refinement is positive at two scales and one
+    doc negative at the third; if a future corpus flips the sign, the
+    shipped model is one re-run from NB."""
+    x = track_cache(_qc_x(spark, sf_dir))
+    out = []
+    for variant, w in (
+        ("nb", _qc_nb_weights_t(spark, sf_dir)),
+        ("nb_gd3", _qc_weights_t(spark, sf_dir)),
+    ):
+        m = _qc_margins(x, w)
+        agg = m.agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("mm") >= 0) == (F.col("y") == 1), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("train_accuracy"),
+            F.round(
+                F.sum(F.when(F.col("mm") >= 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+        out.append(
+            spark.range(1)
+            .select(F.lit(variant).alias("variant"))
+            .crossJoin(F.broadcast(agg))
+        )
+    return out[0].unionByName(out[1]).orderBy("variant")
+
+
+def _qc_sql_chain() -> str:
+    """CTE chain replaying the classifier training exactly: features +
+    teacher (``qc_x``), NB closed form (``qc_w0``), then one
+    margin/error/gradient/update block per superstep, ending at
+    ``qc_w{_QC_ITERS}``."""
+    en = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    parts = [
+        rf"""qc_t AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> x IN ({en}))) AS sw,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(text) AS total,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''),
+qc_lab AS (
+  SELECT doc_id,
+         CASE WHEN round(0.4 * (sw::DOUBLE / n)
+                   + 0.3 * least(nonspace::DOUBLE / n / 10.0, 1.0)
+                   + 0.3 * (alpha::DOUBLE / total), 4) >= {_QC_THR}
+              THEN 1 ELSE 0 END AS y
+  FROM qc_t),
+qc_tok AS (
+  SELECT t.doc_id, l.y, unnest(t.ws) AS tk
+  FROM qc_t t JOIN qc_lab l USING (doc_id)),
+qc_x AS (
+  SELECT doc_id, y,
+         CAST((instr('0123456789abcdef', substr(md5(tk), 31, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(md5(tk), 32, 1)) - 1
+           AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM qc_tok GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT doc_id, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM qc_lab),
+qc_stats AS (
+  SELECT b, sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS cp,
+         sum(CASE WHEN y = 0 THEN c ELSE 0 END) AS cn
+  FROM qc_x WHERE b >= 0 GROUP BY 1),
+qc_tots AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn
+  FROM qc_stats),
+qc_nd AS (
+  SELECT CAST(sum(y) AS BIGINT) AS npos,
+         CAST(sum(1 - y) AS BIGINT) AS nneg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qc_lab),
+qc_full AS (
+  SELECT t.b, COALESCE(s.cp, 0) AS cp, COALESCE(s.cn, 0) AS cn
+  FROM range(0, {_QC_D}) t(b) LEFT JOIN qc_stats s ON s.b = t.b),
+qc_w0 AS (
+  SELECT CAST(b AS BIGINT) AS feature_id,
+         CAST(floor(ln(
+             (CAST(cp + 1 AS DOUBLE) * CAST(tn + {_QC_D} AS DOUBLE))
+             / (CAST(cn + 1 AS DOUBLE) * CAST(tp + {_QC_D} AS DOUBLE))
+           ) * 1000000) AS BIGINT) AS weight_micro
+  FROM qc_full CROSS JOIN qc_tots
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT),
+         CAST(floor(ln(CAST(npos AS DOUBLE) / CAST(nneg AS DOUBLE))
+              * 1000000) AS BIGINT)
+  FROM qc_nd)"""
+    ]
+    for i in range(1, _QC_ITERS + 1):
+        parts.append(
+            f"""qc_m{i} AS (
+  SELECT x.doc_id, x.y, CAST(sum(x.c * w.weight_micro) AS BIGINT) AS mm
+  FROM qc_x x JOIN qc_w{i - 1} w ON w.feature_id = x.b GROUP BY 1, 2),
+qc_e{i} AS (
+  SELECT doc_id,
+         CAST(CASE WHEN mm >= {_QC_CLAMP_MICRO} THEN 1000000
+                   WHEN mm <= -{_QC_CLAMP_MICRO} THEN 0
+                   ELSE floor(1000000.0 / (1.0 + exp(-(mm / 1000000.0))))
+              END AS BIGINT) - 1000000 * y AS e
+  FROM qc_m{i}),
+qc_g{i} AS (
+  SELECT x.b, CAST(sum(e.e * x.c) AS BIGINT) AS g
+  FROM qc_x x JOIN qc_e{i} e USING (doc_id) GROUP BY 1),
+qc_w{i} AS (
+  SELECT feature_id,
+         weight_micro - ((a - (((a % d) + d) % d)) // d) AS weight_micro
+  FROM (
+    SELECT w.feature_id, w.weight_micro,
+           {_QC_LRN} * COALESCE(g.g, 0) AS a,
+           {_QC_LRD} * nd.n AS d
+    FROM qc_w{i - 1} w LEFT JOIN qc_g{i} g ON g.b = w.feature_id
+    CROSS JOIN qc_nd nd))"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLE_QC_TRAIN = f"""
+WITH {_qc_sql_chain()}
+SELECT feature_id, CAST(weight_micro AS BIGINT) AS weight_micro
+FROM qc_w{_QC_ITERS}
+ORDER BY feature_id
+"""
+
+ORACLE_QC_APPLY = f"""
+WITH {_qc_sql_chain()},
+qc_fm AS (
+  SELECT x.doc_id, x.y, CAST(sum(x.c * w.weight_micro) AS BIGINT) AS mm
+  FROM qc_x x JOIN qc_w{_QC_ITERS} w ON w.feature_id = x.b GROUP BY 1, 2)
+SELECT doc_id, mm AS margin_micro,
+       CAST(CASE WHEN mm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(y AS BIGINT) AS teacher_label
+FROM qc_fm
+ORDER BY doc_id
+"""
+
+ORACLE_QC_GD_EVAL = f"""
+WITH {_qc_sql_chain()},
+qc_s0 AS (
+  SELECT x.doc_id, x.y, CAST(sum(x.c * w.weight_micro) AS BIGINT) AS mm
+  FROM qc_x x JOIN qc_w0 w ON w.feature_id = x.b GROUP BY 1, 2),
+qc_s{_QC_ITERS} AS (
+  SELECT x.doc_id, x.y, CAST(sum(x.c * w.weight_micro) AS BIGINT) AS mm
+  FROM qc_x x JOIN qc_w{_QC_ITERS} w ON w.feature_id = x.b GROUP BY 1, 2)
+SELECT 'nb' AS variant,
+       round(sum(CASE WHEN (mm >= 0) = (y = 1) THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS train_accuracy,
+       round(sum(CASE WHEN mm >= 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS kept_frac
+FROM qc_s0
+UNION ALL
+SELECT 'nb_gd3' AS variant,
+       round(sum(CASE WHEN (mm >= 0) = (y = 1) THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS train_accuracy,
+       round(sum(CASE WHEN mm >= 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS kept_frac
+FROM qc_s{_QC_ITERS}
+ORDER BY variant
+"""
+
+QUERIES["quality_classifier_train"] = q_quality_classifier_train
+ORACLE["quality_classifier_train"] = ORACLE_QC_TRAIN
+QUERIES["quality_classifier_apply"] = q_quality_classifier_apply
+ORACLE["quality_classifier_apply"] = ORACLE_QC_APPLY
+QUERIES["quality_classifier_gd_eval"] = q_quality_classifier_gd_eval
+ORACLE["quality_classifier_gd_eval"] = ORACLE_QC_GD_EVAL

@@ -37,6 +37,8 @@ from jp_qcew_spark.io import (
     track_local_checkpoint,
     widen_scan,
 )
+from jp_qcew_spark.io import reset_trained_artifacts as reset_trained_memo
+from jp_qcew_spark.io import trained_artifact as _trained
 
 _N_QUERIES = 10
 _COS_SQL = (
@@ -61,6 +63,19 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
     )
+
+
+# Trained-artifact promotion (round 14, VERDICT r13 #4): the PQ/IVF family
+# — two served tiers (knn_pq_adc, knn_ivfpq) plus the evals, curves and the
+# rerank sweep — composes the SAME four trained artifacts: the 64-row
+# OPQ-lite subspace map, the M×K served PQ codebook, the K-row IVF centroid
+# set, and the 30-row exact-L2 ground-truth top-3.  Before round 14 every
+# family member retrained them from scratch (~39 s ≈ 14% of the bench
+# suite).  The promotion machinery (build once per process, collect the
+# bounded frame, re-emit as a LocalRelation) is io.trained_artifact
+# (imported above as ``_trained``); see the design note there.
+# ``reset_trained_memo`` is the testing hook plan tests use to pin the
+# COLD (training) build.
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -325,9 +340,18 @@ def _ivf_cells(
     exactly that), so a serving deployment scales nlist ~ √n (the FAISS
     rule) — ``knn_ivf_recall_curve`` is the harness that prices that
     retune: more cells shift the whole curve toward lower scan
-    fractions at some recall cost per probe."""
+    fractions at some recall cost per probe.
+
+    Round 14: the trained centroid set (K rows) is PROMOTED
+    (``_trained``) — one training run per process serves knn_ivf, both
+    curves, knn_ivfpq, the rerank and the residual eval; the corpus
+    assignment pass (one broadcast argmax per query scope) is rebuilt
+    per query because it is corpus-sized."""
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
-    return _ivf_train(vecs, _IVF_K)
+    cent = _trained(
+        spark, sf_dir, "ivf_cent", lambda: _ivf_train(vecs, _IVF_K)[0]
+    )
+    return cent, track_cache(_ivf_assign(vecs, cent))
 
 
 def _ivf_train(
@@ -1534,13 +1558,74 @@ def _pq_sub_pivot(src: DataFrame, amap: DataFrame) -> DataFrame:
     )
 
 
+def _pq_opq_map_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED assignment map, promoted (64 rows): the variance
+    ranking scans the corpus once per process instead of once per
+    family member."""
+    return _trained(
+        spark,
+        sf_dir,
+        "pq_opq_map",
+        lambda: _pq_opq_map(_vecs(spark, sf_dir).select("vec_id", "v")),
+    )
+
+
 def _pq_sub_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVED subvector stream: OPQ-lite balanced assignment over
     the raw corpus. One construction shared by ``knn_pq_adc`` and
     ``knn_ivfpq`` (identical analyzed plans → the scoped cache dedupes
-    the codebook training when ``knn_pq_recall_eval`` runs both)."""
+    the codebook training when ``knn_pq_recall_eval`` runs both); the
+    assignment map is the promoted artifact (``_pq_opq_map_t``)."""
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
-    return _pq_sub_pivot(vecs, _pq_opq_map(vecs))
+    return _pq_sub_pivot(vecs, _pq_opq_map_t(spark, sf_dir))
+
+
+def _pq_codebook_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED PQ codebook (M×K rows), promoted: trained once per
+    process from the OPQ-lite subvector stream (seeded k-means,
+    ``_pq_codebook``) and re-emitted as a LocalRelation for every
+    family member — knn_pq_adc, knn_ivfpq, the curve, the rerank, the
+    recall eval's nested tiers, the residual eval's raw variant and the
+    opq eval's balanced variant all serve THIS exact table."""
+    return _trained(
+        spark,
+        sf_dir,
+        "pq_codebook_opq",
+        lambda: _pq_codebook(
+            _pq_sub_opq(spark, sf_dir), _pq_train_stride(spark, sf_dir)
+        ),
+    )
+
+
+def _pq_exact3_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 ground-truth top-3 under the PQ-tier convention
+    (self excluded, d2 rounded 6 dp, ties to the smaller neighbor_id),
+    promoted (|queries|×3 rows): the |queries|×n linear truth pass runs
+    once per process instead of once per recall eval. Columns
+    (query_id, neighbor_id, d2); evals that need ids only project."""
+
+    def build() -> DataFrame:
+        vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+        q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        we = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            F.broadcast(q)
+            .join(vecs, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+            )
+            .withColumn("rk", F.row_number().over(we))
+            .filter(F.col("rk") <= 3)
+            .select("query_id", "neighbor_id", "d2")
+        )
+
+    return _trained(spark, sf_dir, "pq_exact3", build)
 
 
 def _pq_opq_map_sql(
@@ -1608,7 +1693,7 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_pq_residual_eval``.)
     """
     sub = _pq_sub_opq(spark, sf_dir)
-    cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
+    cb = _pq_codebook_t(spark, sf_dir)
     enc = _pq_encode(sub, cb)
     qlut = _pq_qlut(sub, cb)
     adc = (
@@ -1790,7 +1875,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cent, assigned = _ivf_cells(spark, sf_dir)
     cells = assigned.select("vec_id", "cell")
     sub = _pq_sub_opq(spark, sf_dir)
-    cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
+    cb = _pq_codebook_t(spark, sf_dir)
     codes = _pq_encode(sub, cb).join(cells, "vec_id")
     qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
@@ -3929,28 +4014,9 @@ def q_knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 one probe now matches the full-scan ADC recall outright,
     and the remaining decomposition reads: distortion is still the
     dominant loss, cell-miss costs ≤0.067 at the smaller scales."""
-    vecs = _vecs(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    exact3 = (
-        F.broadcast(q)
-        .join(vecs, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
-        )
-        .withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id")
-    )
-    # consumed by both tiers' hit joins and the total: 30 rows, but the
-    # chain above is a corpus scan — cache the result, not the scan
-    exact3 = track_cache(exact3)
+    # the promoted truth artifact: 30 rows, one corpus truth pass per
+    # process (shared with the curve/residual/opq evals)
+    exact3 = _pq_exact3_t(spark, sf_dir).select("query_id", "neighbor_id")
     approx = (
         q_knn_ivfpq(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -4123,24 +4189,8 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rvecs = _ivf_residuals(cent, assigned)
     stride = _pq_train_stride(spark, sf_dir)
 
-    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    exact3 = track_local_checkpoint(
-        F.broadcast(q)
-        .join(vecs, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
-        )
-        .withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id")
-    )
+    # the promoted truth artifact (30 rows, one truth pass per process)
+    exact3 = _pq_exact3_t(spark, sf_dir).select("query_id", "neighbor_id")
     tot = exact3.agg(F.count("*").alias("ex_total"))
 
     # coarse variance capture: RSS/TSS (per-dimension global mean
@@ -4178,12 +4228,18 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE assignment for both variants — the subspace map is part of
     # the served index config (trained on the raw corpus, as knn_ivfpq
     # serves it), so the eval isolates the residual-vs-raw TRAINING
-    # INPUT with everything else held fixed
-    amap = _pq_opq_map(vecs)
+    # INPUT with everything else held fixed; map AND the raw variant's
+    # codebook are the promoted served artifacts (the raw construction
+    # IS the served one — only the residual variant trains here)
+    amap = _pq_opq_map_t(spark, sf_dir)
     per_variant = []
     for name, src in zip(_PQ_RESIDUAL_VARIANTS, (vecs, rvecs)):
         sub = _pq_sub_pivot(src, amap)
-        cb = _pq_codebook(sub, stride)
+        cb = (
+            _pq_codebook_t(spark, sf_dir)
+            if name == "raw"
+            else _pq_codebook(sub, stride)
+        )
         # one argmin pass feeds BOTH consumers: the served code table
         # and the winning-codeword d2 the distortion mean aggregates;
         # checkpointed (n×M compact rows) per the frontier note above
@@ -4402,27 +4458,11 @@ def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
     stride = _pq_train_stride(spark, sf_dir)
 
-    q = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    exact3 = track_local_checkpoint(
-        F.broadcast(q)
-        .join(vecs, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
-        )
-        .withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id")
-    )
+    # the promoted truth artifact (30 rows, one truth pass per process)
+    exact3 = _pq_exact3_t(spark, sf_dir).select("query_id", "neighbor_id")
     tot = exact3.agg(F.count("*").alias("ex_total"))
 
-    bmap = _pq_opq_map(vecs)
+    bmap = _pq_opq_map_t(spark, sf_dir)
     imap = spark.range(_PQ_M * _PQ_SUBDIM).select(
         F.col("id").alias("pos"),
         F.floor(F.col("id") / _PQ_SUBDIM).cast("long").alias("m"),
@@ -4432,7 +4472,14 @@ def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_variant = []
     for name, amap in zip(_PQ_OPQ_VARIANTS, (bmap, imap)):
         sub = _pq_sub_pivot(vecs, amap)
-        cb = _pq_codebook(sub, stride)
+        # the balanced variant IS the served config — its codebook is
+        # the promoted artifact; only the identity counterfactual
+        # trains fresh here
+        cb = (
+            _pq_codebook_t(spark, sf_dir)
+            if name == "balanced"
+            else _pq_codebook(sub, stride)
+        )
         best = track_local_checkpoint(
             sub.join(F.broadcast(cb), "m")
             .select(
@@ -4608,7 +4655,7 @@ def q_knn_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, assigned = _ivf_cells(spark, sf_dir)
     cells = assigned.select("vec_id", "cell")
     sub = _pq_sub_opq(spark, sf_dir)
-    cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
+    cb = _pq_codebook_t(spark, sf_dir)
     codes = _pq_encode(sub, cb).join(cells, "vec_id")
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -4656,26 +4703,8 @@ def q_knn_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scanned = pc.groupBy("nprobe").agg(F.count("*").alias("total_scanned"))
     # exact truth under the PQ-tier convention: squared-L2, ties to the
-    # smaller id
-    vecs = _vecs(spark, sf_dir)
-    qv = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("neighbor_id").asc()
-    )
-    exact3 = (
-        F.broadcast(qv)
-        .join(vecs, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
-        )
-        .withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id")
-    )
+    # smaller id — the promoted artifact (one truth pass per process)
+    exact3 = _pq_exact3_t(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         top3.join(exact3, ["query_id", "neighbor_id"])
         .groupBy("nprobe")
@@ -4825,7 +4854,7 @@ def q_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cent, assigned = _ivf_cells(spark, sf_dir)
     cells = assigned.select("vec_id", "cell")
     sub = _pq_sub_opq(spark, sf_dir)
-    cb = _pq_codebook(sub, _pq_train_stride(spark, sf_dir))
+    cb = _pq_codebook_t(spark, sf_dir)
     codes = _pq_encode(sub, cb).join(cells, "vec_id")
     qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
@@ -4921,3 +4950,201 @@ ORDER BY query_id, rank
 
 QUERIES["knn_ivfpq_rerank"] = q_knn_ivfpq_rerank
 ORACLE["knn_ivfpq_rerank"] = ORACLE_KNN_IVFPQ_RERANK
+
+
+# --------------------------------------------------------------------------
+# knn_ivfpq_rerank_sweep — pricing the refine budget R (round 14)
+# --------------------------------------------------------------------------
+
+_PQ_RERANK_SWEEP_RS = (10, 20, 50)
+
+
+def q_knn_ivfpq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(R, recall@3, rows-re-ranked) sweep of the refine stage — the last
+    untuned knob in the ANN quality arc (VERDICT r13 #5): ``knn_ivf_
+    nlist_sweep`` prices cells, ``knn_ivfpq_recall_curve`` prices probes,
+    ``knn_ivfpq_rerank`` fixes distortion at R=10; this harness tells a
+    100 TB operator what each extra unit of re-rank budget buys, the way
+    FAISS's ``k_factor`` is tuned: recall@3 against the exact-L2 truth
+    per R ∈ {10, 20, 50}, with the true cost axis (``reranked`` = raw
+    vectors exactly re-scored — per query min(R, in-cell candidates), so
+    the ceiling R=50 also exposes how often the nprobe=1 cell simply
+    runs out of candidates).
+
+    ONE exact re-score serves every R: under the ADC ranking the top-R
+    shortlist is a PREFIX of the top-max(R) shortlist, so the raw-vector
+    join runs once at R=50 (queries×50 bounded broadcast side — the
+    corpus is touched by one keyed join, never re-scanned) and each
+    sweep row is a rank cut over the same refined frame — the same
+    widening trick the nprobe curve uses (``cellrank <= nprobe``).
+
+    Measured verdict (recall@3 at R=10/20/50): FLAT in R at every scale
+    — 0.867/0.867/0.867 (sf0.001), 0.900/0.900/0.900 (sf0.01),
+    0.967/0.967/0.967 (sf0.1), while ``reranked`` grows 100/200/472-500
+    (at R=50 the nprobe=1 cells themselves run out of candidates): the
+    ADC top-10 already contains every truth vector that reached the
+    probed cell, so past R=10 the refine budget buys nothing and the
+    residual loss is pure cell miss (the curve's axis, fixed by probes,
+    not by R). The sweep's verdict is a config: ship R=10
+    (``_PQ_RERANK_R``); at 50 the re-rank join carries 5× the traffic
+    for +0.000. Scale posture identical to ``knn_ivfpq_rerank``."""
+    _cent, assigned = _ivf_cells(spark, sf_dir)
+    cells = assigned.select("vec_id", "cell")
+    sub = _pq_sub_opq(spark, sf_dir)
+    cb = _pq_codebook_t(spark, sf_dir)
+    codes = _pq_encode(sub, cb).join(cells, "vec_id")
+    qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell")
+    )
+    qlut = _pq_qlut(sub, cb).join(F.broadcast(qcells), "query_id")
+    adc = (
+        codes.join(F.broadcast(qlut), ["m", "code"])
+        .filter(
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= max(_PQ_RERANK_SWEEP_RS))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+    )
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    qv = vecs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    refined = track_cache(
+        F.broadcast(shortlist.join(F.broadcast(qv), "query_id"))
+        .join(vecs, F.col("vec_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            F.round(S.l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+        )
+    )
+    rtable = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(r) for r in _PQ_RERANK_SWEEP_RS])
+        ).alias("r")
+    )
+    per_r = refined.join(F.broadcast(rtable), F.col("rk") <= F.col("r"))
+    wt = Window.partitionBy("r", "query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    top3 = (
+        per_r.withColumn("rrk", F.row_number().over(wt))
+        .filter(F.col("rrk") <= 3)
+        .select("r", "query_id", "neighbor_id")
+    )
+    reranked = per_r.groupBy("r").agg(F.count("*").alias("reranked"))
+    exact3 = _pq_exact3_t(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        top3.join(exact3, ["query_id", "neighbor_id"])
+        .groupBy("r")
+        .agg(F.count("*").alias("h"))
+    )
+    tot = exact3.agg(F.count("*").alias("ex_total"))
+    return (
+        reranked.join(hits, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0)) / F.col("ex_total"), 6
+            ).alias("recall_at3"),
+            "reranked",
+        )
+        .orderBy("r")
+    )
+
+
+_RERANK_RS_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS r" for r in _PQ_RERANK_SWEEP_RS
+)
+
+ORACLE_KNN_IVFPQ_RERANK_SWEEP = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_ivf_train_sql()},
+{_pq_opq_map_sql()},
+{_pq_sub_pivot_sql("opq_dims", "opq_map", "pq_subp")},
+{_pq_train_sql(sub="pq_subp")},
+codes AS (
+  SELECT c.vec_id, a.cell, c.m, c.code
+  FROM pq_codes c JOIN assigned a ON a.vec_id = c.vec_id
+),
+qlut AS (
+  SELECT q.query_id, a.cell AS qcell, q.m, q.code, q.qd2
+  FROM pq_qlut q JOIN assigned a ON a.vec_id = q.query_id
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.qd2), 6) AS adc_d2
+  FROM codes c JOIN qlut q ON q.m = c.m AND q.code = c.code
+  WHERE c.cell = q.qcell AND c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+    FROM adc
+  ) WHERE rk <= {max(_PQ_RERANK_SWEEP_RS)}
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id, s.rk,
+         round(list_sum(list_transform(list_zip(q.qv, c.v),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d2
+  FROM shortlist s
+  JOIN (SELECT vec_id AS query_id, v AS qv FROM vecs
+        WHERE vec_id < {_N_QUERIES}) q ON q.query_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+),
+rtable AS ({_RERANK_RS_SQL}),
+per_r AS (
+  SELECT t.r, f.query_id, f.neighbor_id, f.d2
+  FROM refined f JOIN rtable t ON f.rk <= t.r
+),
+top3 AS (
+  SELECT r, query_id, neighbor_id FROM (
+    SELECT r, query_id, neighbor_id, row_number() OVER (
+        PARTITION BY r, query_id ORDER BY d2 ASC, neighbor_id ASC) AS rrk
+    FROM per_r
+  ) WHERE rrk <= 3
+),
+reranked AS (SELECT r, count(*) AS reranked FROM per_r GROUP BY 1),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_PQ_EVAL_L2_SQL}, 6) AS d2
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 3
+),
+hits AS (
+  SELECT t.r, count(*) AS h
+  FROM top3 t JOIN exact3 e
+    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS ex_total FROM exact3)
+SELECT k.r,
+       round(COALESCE(h.h, 0) / x.ex_total, 6) AS recall_at3,
+       k.reranked
+FROM reranked k
+LEFT JOIN hits h ON h.r = k.r
+CROSS JOIN tot x
+ORDER BY k.r
+"""
+
+QUERIES["knn_ivfpq_rerank_sweep"] = q_knn_ivfpq_rerank_sweep
+ORACLE["knn_ivfpq_rerank_sweep"] = ORACLE_KNN_IVFPQ_RERANK_SWEEP

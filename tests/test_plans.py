@@ -595,18 +595,20 @@ def test_countmin_broadcasts_sketch_no_cartesian(spark, sf_dir):
 
 
 def test_pq_adc_codes_only_shuffle(spark, sf_dir):
-    """PQ-ADC: the codebook supersteps, the 64-row OPQ assignment map
-    and the per-query LUT are the ONLY broadcast sides (all bounded:
-    M×K rows per codebook superstep, 64 for the map, queries×M×K for
-    the LUT); the ADC join is a keyed (m, code) equi-join whose
+    """PQ-ADC (round-14 promoted-artifact shape): the 64-row OPQ
+    assignment map, the M×K codebook and the per-query LUT are the ONLY
+    broadcast sides — all bounded, and the map/codebook arrive as
+    PROMOTED LocalRelations (trained once per process, ``_trained``),
+    so the served plan contains exactly 3 hint sites and NO training
+    chain; the ADC join is a keyed (m, code) equi-join whose
     corpus-side payload is the 32-code table — never the raw 64-double
-    vectors; no cartesian anywhere. Site-level pin: seed codebook + one
-    per Lloyd iteration + the assignment map + the LUT."""
-    from jp_qcew_spark.queries.similarity import _PQ_ITERS, q_knn_pq_adc
+    vectors; no cartesian anywhere. (The training plan itself is pinned
+    by test_pq_build_job_budget's cold-build superstep schema list.)"""
+    from jp_qcew_spark.queries.similarity import q_knn_pq_adc
 
     df = q_knn_pq_adc(spark, sf_dir)
     assert not I.has_cartesian_product(df)
-    assert I.broadcast_hint_sites(df) == _PQ_ITERS + 3
+    assert I.broadcast_hint_sites(df) == 3
     assert I.has_partial_aggregation(df)
     assert all(
         set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
@@ -647,10 +649,13 @@ def test_pq_build_job_budget(spark, sf_dir, monkeypatch):
     """The PQ family is EXEMPT from the zero-pre-query-jobs discipline
     (each codebook Lloyd superstep materializes via count() — the
     measured 28 s → 4 s fix for racing broadcast subtrees), so pin the
-    exemption's BOUNDS instead (ADVICE r12): building either PQ query
-    runs exactly _PQ_ITERS count() calls, every one on the M×K-row
-    codebook frame (schema-pinned) — a corpus-sized count() sneaking in
-    under the exemption moves this list."""
+    exemption's BOUNDS instead (ADVICE r12), in the round-14
+    promoted-artifact shape: a COLD build (reset memo) trains once —
+    exactly _PQ_ITERS count() calls, every one on the M×K-row codebook
+    frame (schema-pinned; a corpus-sized count() sneaking in under the
+    exemption moves this list) — and every SUBSEQUENT family build runs
+    ZERO counts, proving the promotion actually shares the training
+    (VERDICT r13 #4) instead of silently retraining per query."""
     # classic class — base-class count patches are vacuous (round 13)
     from pyspark.sql.classic.dataframe import DataFrame
 
@@ -658,6 +663,7 @@ def test_pq_build_job_budget(spark, sf_dir, monkeypatch):
         _PQ_ITERS,
         q_knn_ivfpq,
         q_knn_pq_adc,
+        reset_trained_memo,
     )
 
     calls: list[tuple[str, ...]] = []
@@ -668,11 +674,15 @@ def test_pq_build_job_budget(spark, sf_dir, monkeypatch):
         return orig(self)
 
     monkeypatch.setattr(DataFrame, "count", _spy)
+    reset_trained_memo()
     q_knn_pq_adc(spark, sf_dir)
     assert calls == [("m", "code", "c1", "c2")] * _PQ_ITERS
     calls.clear()
-    q_knn_ivfpq(spark, sf_dir)
-    assert calls == [("m", "code", "c1", "c2")] * _PQ_ITERS
+    q_knn_ivfpq(spark, sf_dir)  # warm: serves the promoted codebook
+    assert calls == []
+    calls.clear()
+    q_knn_pq_adc(spark, sf_dir)  # warm rebuild of the trainer itself
+    assert calls == []
 
 
 def test_widen_scan_noops_on_many_file_corpus(spark, tmp_path):

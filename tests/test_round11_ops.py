@@ -545,13 +545,16 @@ def test_metadata_row_count_skips_hidden_files(spark, tmp_path):
 
 def test_ivf_curve_plan_and_count_free(spark, sf_dir, monkeypatch):
     """knn_ivf_recall_curve plan pins: no cartesian product, every
-    broadcast hint on a corpus-INDEPENDENT side (the trained-centroid
-    chain — seeds + one per Lloyd superstep, the bounded query cell
-    set, the 3-row probe table, the bounded query slice, the 1-row
-    exact-total scalar — exactly 7 SITES), top-k windows per
-    (nprobe, query_id), and ZERO pre-query jobs (corpus count from
-    parquet footers, the VERDICT r10 #6 discipline; the k-means
-    training chain is lazy — no superstep count() during build)."""
+    broadcast hint on a corpus-INDEPENDENT side — since round 14 the
+    trained centroid set arrives as ONE promoted LocalRelation
+    (``_trained``; the seed/superstep chain runs once per process
+    inside the promotion build), so the sites are: the promoted
+    centroids in the assignment pass, the centroid ranking join, the
+    bounded query cell set, the 3-row probe table, the 1-row
+    exact-total scalar — exactly 5 SITES. Top-k windows per
+    (nprobe, query_id), and NO count() during build (corpus count from
+    parquet footers, the VERDICT r10 #6 discipline — the promotion
+    collects, it never counts)."""
     import re
 
     # the CLASSIC class, not the pyspark.sql base — the base's count is
@@ -571,12 +574,12 @@ def test_ivf_curve_plan_and_count_free(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", _boom)
     df = q_knn_ivf_recall_curve(spark, sf_dir)
     assert not I.has_cartesian_product(df)
-    # 7 hint SITES (all bounded sides), deduped by hinted-subtree
+    # 5 hint SITES (all bounded sides), deduped by hinted-subtree
     # semantic hash — the occurrence counter multiplies with analyzer
     # re-expansion of shared subtrees and is planner-version noise
     # (ADVICE r11); a NEW hint on a corpus-sized side moves the site
     # count, which is the invariant that matters
-    assert I.broadcast_hint_sites(df) == 7
+    assert I.broadcast_hint_sites(df) == 5
     plan = I.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(nprobe#\d+, query_id#\d+", plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -69,6 +69,18 @@ class TestTrainedArtifactPromotion:
         assert a.count() == 1 and b.count() == 2
 
 
+def test_neardup_band_width_guard(spark, sf_dir):
+    """ADVICE r13: lpad(hex(band_idx), 4) TRUNCATES past 0xFFFF bands,
+    silently colliding distinct band identities into one state key — the
+    guard must fail loudly BEFORE any stream starts."""
+    from jp_qcew_spark.streaming.pipelines import stream_dedup_neardup
+
+    with pytest.raises(ValueError, match="packed band-index budget"):
+        stream_dedup_neardup(
+            spark, sf_dir, num_hashes=131072, rows_per_band=1
+        )
+
+
 def test_rerank_sweep_flat_recall_and_costs(spark, sf_dir):
     """knn_ivfpq_rerank_sweep: one row per swept R; recall@3 in range and
     NONDECREASING in R (exact re-ranking of a shortlist SUPERSET can

@@ -104,7 +104,20 @@ HEADLINERS = [
      "Product quantization + ADC: codebooks and the per-query LUT "
      "broadcast; the ADC scan joins the 4-codes-per-vector table on "
      "(subspace, code) — the corpus shuffle payload is codes, never the "
-     "64-double vectors."),
+     "64-double vectors. Since r14 the codebook and assignment map are "
+     "PROMOTED trained artifacts (io.trained_artifact): the plan shows "
+     "LocalRelations where the training chain used to be — trained once "
+     "per process, broadcast everywhere."),
+    ("knn_ivfpq_rerank_sweep",
+     "Refine-budget sweep (r14): ONE exact re-score of the ADC top-50 "
+     "(queries x R broadcast side, one keyed join back to raw vectors) "
+     "serves every swept R via rank cuts — the corpus is never "
+     "re-scanned; recall measured flat in R, so R=10 ships."),
+    ("quality_classifier_apply",
+     "Trained quality classifier scoring (r14): the 257-row promoted "
+     "model broadcasts into a map-side hashed-token join + one "
+     "doc_id-keyed partial-agg reduce — margins are exact BIGINT dot "
+     "products; the 100 TB scoring pass is one corpus scan."),
     ("cdc_diff_snapshots",
      "Snapshot diff (r6): ONE full-outer sort-merge join on the snapshot "
      "key classifies I/U/D in a codegen'd CASE; the audit is a 3-group "

@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = [
     "quality_classifier_apply",
     "quality_classifier_gd_eval",
     "knn_ivfpq_rerank_sweep",
+    "dedup_keep_best",
     # -- changed in round 14 (trained-artifact promotion)
     "knn_pq_adc",
     "knn_ivfpq",
@@ -116,8 +117,7 @@ _WINDOW_PRIORITY = [
     "lag_diff_pct",
     "mm_gif_decode",
     "mm_wav_decode",
-    "mode_keying",
-    # (the remaining 18 r10 rows — moving_avg, pivot_wide,
+    # (the remaining 19 r10 rows — mode_keying, moving_avg, pivot_wide,
     # pricing_summary, rank_dense, rollup_agg, running_sum,
     # sample_weighted, scd2_upsert, semdedup_rp, stream_cep_sequence,
     # suppressed_agg, text_containment, text_token_count, tick_sample,

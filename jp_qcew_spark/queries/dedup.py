@@ -568,6 +568,159 @@ QUERIES["dedup_components"] = q_dedup_components
 ORACLE["dedup_components"] = ORACLE_DEDUP_COMPONENTS
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-cluster dedup — the production KEEP POLICY on top of the
+    cluster structure (round 14): ``dedup_exact`` keeps min-id,
+    ``semdedup_*`` keeps the centroid; a real curation pipeline keeps
+    the HIGHEST-QUALITY member of each near-dup cluster and drops the
+    rest, so the dedup pass and the quality pass compose instead of
+    fighting (dropping a high-quality doc because its low-quality twin
+    had a smaller id is a measurable corpus-quality loss).
+
+    Composition: the exact ``dedup_components`` cluster structure
+    (Jaccard ≥ 0.1 shingle graph → hash-min connected components) +
+    the engine's composite quality score as the ranking, ties to the
+    smaller doc_id, quality NULLs (empty text) ranked last — pinned
+    NULLS LAST on both engines because DuckDB's DESC default is
+    nulls-first while Spark's is nulls-last (a silent cross-engine flip
+    otherwise). Every document gets a verdict: ``kept_best`` (cluster
+    winner), ``dropped_dup`` (outranked member), ``singleton``
+    (unclustered; component label = own id).
+
+    100 TB posture: identical to ``dedup_components`` through the CC
+    labels (df-capped candidate pairs, diameter-bounded label
+    propagation), plus one quality projection over the corpus scan and
+    one comp-keyed window whose partition size is the CLUSTER size —
+    bounded by the dedup structure, never corpus-scale."""
+    from jp_qcew_spark.ext.graph import connected_components
+    from jp_qcew_spark.functions import text as X
+
+    ex = cache_parallel(D.stop_shingle_filter(_exploded(spark, sf_dir)))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    edges = (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            >= 0.1
+        )
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(edges, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    )
+    lab = docs.join(
+        labels, docs["doc_id"] == labels["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+        "quality",
+        F.col("comp").isNull().alias("single"),
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return (
+        lab.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "comp",
+            "quality",
+            F.when(F.col("single"), F.lit("singleton"))
+            .when(F.col("rk") == 1, F.lit("kept_best"))
+            .otherwise(F.lit("dropped_dup"))
+            .alias("action"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = rf"""
+WITH RECURSIVE sh AS ({_SH_SQL}),
+ex0 AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+ex AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex0
+  ) WHERE df <= {D.DF_CAP_DEFAULT}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pedges AS (
+  SELECT doc_a, doc_b
+  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pedges
+  UNION ALL SELECT doc_b, doc_a FROM pedges
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+qt AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it',
+                        'that', 'for'))) AS sw,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(text) AS total
+  FROM documents
+),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 OR total = 0 THEN NULL
+              ELSE round(0.4 * (sw::DOUBLE / n)
+                   + 0.3 * least(nonspace::DOUBLE / n / 10.0, 1.0)
+                   + 0.3 * (alpha::DOUBLE / total), 4) END AS quality
+  FROM qt
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.quality,
+         (c.comp IS NULL) AS single
+  FROM docs d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY comp
+      ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rk
+  FROM lab
+)
+SELECT doc_id, comp, quality,
+       CASE WHEN single THEN 'singleton'
+            WHEN rk = 1 THEN 'kept_best'
+            ELSE 'dropped_dup' END AS action
+FROM ranked
+ORDER BY doc_id
+"""
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLE["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST
+
+
 # --------------------------------------------------------------------------
 # dedup_fuzzy — edit-distance record linkage with blocking
 # --------------------------------------------------------------------------

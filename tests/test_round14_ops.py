@@ -110,6 +110,39 @@ def test_rerank_sweep_flat_recall_and_costs(spark, sf_dir):
         assert r["reranked"] <= r["r"] * _N_QUERIES
 
 
+def test_keep_best_policy(spark, sf_dir):
+    """dedup_keep_best: every doc gets exactly one verdict; each
+    multi-member component keeps EXACTLY one member and it is a
+    quality-maximal one (ties to the smaller doc_id); singletons carry
+    their own id as the component label; no cartesian product."""
+    from collections import defaultdict
+
+    from jp_qcew_spark.queries.dedup import q_dedup_keep_best
+
+    df = q_dedup_keep_best(spark, sf_dir)
+    assert not I.has_cartesian_product(df)
+    rows = df.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    comps = defaultdict(list)
+    for r in rows:
+        if r["action"] == "singleton":
+            assert r["comp"] == r["doc_id"]
+        else:
+            comps[r["comp"]].append(r)
+    for comp, members in comps.items():
+        kept = [r for r in members if r["action"] == "kept_best"]
+        assert len(kept) == 1 and len(members) >= 2
+        qmax = max(
+            (r["quality"] for r in members if r["quality"] is not None),
+            default=None,
+        )
+        assert kept[0]["quality"] == qmax
+        best_ids = [
+            r["doc_id"] for r in members if r["quality"] == qmax
+        ]
+        assert kept[0]["doc_id"] == min(best_ids)
+
+
 class TestQualityClassifier:
     def test_train_model_shape(self, spark, sf_dir):
         from jp_qcew_spark.queries.curation import (

@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = [
     "knn_ivfpq_rerank_sweep",
     "dedup_keep_best",
     "dedup_keep_best_eval",
+    "stream_quality_gate",
     # -- changed in round 14 (trained-artifact promotion)
     "knn_pq_adc",
     "knn_ivfpq",
@@ -116,8 +117,8 @@ _WINDOW_PRIORITY = [
     "knn_recall_rp",
     "label_synthesis",
     "lag_diff_pct",
-    "mm_gif_decode",
-    # (the remaining 20 r10 rows — mm_wav_decode, mode_keying, moving_avg, pivot_wide,
+    # (the remaining 21 r10 rows — mm_gif_decode, mm_wav_decode,
+    # mode_keying, moving_avg, pivot_wide,
     # pricing_summary, rank_dense, rollup_agg, running_sum,
     # sample_weighted, scd2_upsert, semdedup_rp, stream_cep_sequence,
     # suppressed_agg, text_containment, text_token_count, tick_sample,

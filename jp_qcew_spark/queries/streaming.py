@@ -839,3 +839,42 @@ FROM per_doc ORDER BY doc_id
 
 QUERIES["stream_dedup_neardup"] = q_stream_dedup_neardup
 ORACLE["stream_dedup_neardup"] = _oracle_stream_neardup()
+
+
+# --------------------------------------------------------------------------
+# stream_quality_gate — online classifier scoring on the wire (round 14)
+# --------------------------------------------------------------------------
+
+
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``quality_classifier_apply`` — see
+    streaming/pipelines.stream_quality_gate for the full design (doc
+    replay micro-batches, promoted 257-weight model in an Arrow
+    ``mapInPandas`` closure, zero-shuffle zero-state map-side scoring,
+    bit-exact tokenize/hash parity with the batch feature pipeline)."""
+    from jp_qcew_spark.streaming.pipelines import stream_quality_gate
+
+    return stream_quality_gate(spark, sf_dir).orderBy("doc_id")
+
+
+def _oracle_stream_quality_gate() -> str:
+    """The batch classifier's own scoring chain IS the oracle: a pure
+    per-row function of (model, text) is batch/stream invariant, so the
+    hash check proves the wire adds nothing — no dropped batch, no
+    tokenizer drift between the JVM plan and the Arrow closure."""
+    from jp_qcew_spark.queries.curation import _QC_ITERS, _qc_sql_chain
+
+    return f"""
+WITH {_qc_sql_chain()},
+qc_fm AS (
+  SELECT x.doc_id, CAST(sum(x.c * w.weight_micro) AS BIGINT) AS mm
+  FROM qc_x x JOIN qc_w{_QC_ITERS} w ON w.feature_id = x.b GROUP BY 1)
+SELECT doc_id, mm AS margin_micro,
+       CAST(CASE WHEN mm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM qc_fm
+ORDER BY doc_id
+"""
+
+
+QUERIES["stream_quality_gate"] = q_stream_quality_gate
+ORACLE["stream_quality_gate"] = _oracle_stream_quality_gate()

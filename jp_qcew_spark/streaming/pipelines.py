@@ -1083,3 +1083,83 @@ def stream_dedup_neardup(
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming quality gate — online classifier scoring on the wire (round 14)
+# --------------------------------------------------------------------------
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``quality_classifier_apply`` — the online shape
+    of a crawl pipeline's quality gate: documents arrive as deterministic
+    micro-batches (``DocReplayDataSource``), the TRAINED 257-weight model
+    (``io.trained_artifact``-promoted, collected once on the driver) ships
+    into an Arrow ``mapInPandas`` closure, and every arriving doc is
+    scored map-side — **zero shuffles, zero state**: a linear classifier
+    over hashed token counts is a pure per-row function once the model is
+    a broadcastable constant, so unlike the dedup twins there is nothing
+    to synchronize; the streaming and batch outputs are equal row-for-row
+    by construction, and the oracle hash-checks exactly that.
+
+    Scoring parity is bit-exact with the batch plan: tokens from an ASCII
+    ``\\s+`` split of the space-trimmed lowered text (the
+    ``ext.dedup.minhash_band_keys`` convention — Python ``re.ASCII``
+    matches Java's ASCII ``\\s`` and ``strip(' ')`` matches Spark/DuckDB
+    space-only ``trim``), buckets from the same md5 positional-hex as the
+    batch feature hasher, margins as exact BIGINT micro-sums (bias at
+    feature -1, count 1), keep = margin >= 0. Empty-after-trim docs are
+    skipped exactly as the batch gate filters them.
+
+    100 TB posture: the model is O(D) regardless of corpus; per-batch
+    work is one repartition of the raw text (the replay source emits one
+    partition per micro-batch — the widen-the-wire lesson) + one Arrow
+    map stage; no state store, no aggregation, so throughput is pure map
+    parallelism — this is the cheapest possible streaming operator shape
+    and the right one for an online quality filter."""
+    from jp_qcew_spark.queries.curation import _qc_weights_t
+    from jp_qcew_spark.sources.stream_replay import DocReplayDataSource
+
+    ensure_session_confs(spark)
+    weights = {
+        int(r["feature_id"]): int(r["weight_micro"])
+        for r in _qc_weights_t(spark, sf_dir).collect()
+    }
+    spark.dataSource.register(DocReplayDataSource)
+    stream = (
+        spark.readStream.format("docreplay")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("batch_rows", "auto")
+        .load()
+    )
+
+    def score(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        hexd = "0123456789abcdef"
+        bias = weights[-1]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                st = text.strip(" ") if isinstance(text, str) else ""
+                if not st:
+                    continue  # the batch gate filters empty-after-trim
+                m = bias
+                for tok in ws.split(st.lower()):
+                    h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                    m += weights[
+                        (hexd.index(h[30])) * 16 + hexd.index(h[31])
+                    ]
+                rows.append((int(doc_id), m, 1 if m >= 0 else 0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "margin_micro", "keep"]
+            )
+
+    scored = stream.repartition(32).mapInPandas(
+        score, "doc_id long, margin_micro long, keep long"
+    )
+    return run_to_quiescence(scored, "append", "sink_quality_gate")

@@ -632,13 +632,18 @@ def test_pit_scd2_keyed_join_no_cartesian(spark, sf_dir):
 
 
 def test_ivfpq_cell_restricted_codes_join(spark, sf_dir):
-    """IVFADC composition: no cartesian, only bounded broadcasts (centroids,
-    codebooks, per-query LUT), partial aggregation present, scans pruned to
-    the embedding columns."""
+    """IVFADC composition: no cartesian, only bounded broadcasts — with
+    the round-14 promoted artifacts the served plan carries exactly 5
+    hint SITES (promoted centroids in the assignment pass, the 64-row
+    map under the pivot, the promoted codebook in encode, the
+    query-cell slice, the LUT); partial aggregation present, scans
+    pruned to the embedding columns. A NEW hint on a corpus-sized side
+    moves the site count — the invariant that matters."""
     from jp_qcew_spark.queries.similarity import q_knn_ivfpq
 
     df = q_knn_ivfpq(spark, sf_dir)
     assert not I.has_cartesian_product(df)
+    assert I.broadcast_hint_sites(df) == 5
     assert I.has_partial_aggregation(df)
     assert all(
         set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)

@@ -96,6 +96,11 @@ def test_rerank_sweep_flat_recall_and_costs(spark, sf_dir):
 
     df = q_knn_ivfpq_rerank_sweep(spark, sf_dir)
     assert not I.has_cartesian_product(df)
+    # 9 hint sites, every one bounded: the 5 ivfpq serving sites + the
+    # queries×R refine side, the query-vector slice, the 3-row R table,
+    # the 1-row exact-total scalar — a NEW hint on a corpus-sized side
+    # moves this count
+    assert I.broadcast_hint_sites(df) == 9
     assert all(
         set(s) <= {"vec_id", "label", "embedding"} for s in I.read_schemas(df)
     )
@@ -222,6 +227,9 @@ class TestQualityClassifier:
 
         df = q_quality_classifier_apply(spark, sf_dir)
         assert not I.has_cartesian_product(df)
+        # exactly ONE hint site: the promoted 257-row model — scoring
+        # never broadcasts (or shuffles) anything corpus-sized
+        assert I.broadcast_hint_sites(df) == 1
         assert I.has_partial_aggregation(df)
         assert all(
             set(s) <= {"doc_id", "text"} for s in I.read_schemas(df)

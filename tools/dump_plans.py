@@ -118,6 +118,12 @@ HEADLINERS = [
      "model broadcasts into a map-side hashed-token join + one "
      "doc_id-keyed partial-agg reduce — margins are exact BIGINT dot "
      "products; the 100 TB scoring pass is one corpus scan."),
+    ("dedup_keep_best",
+     "Best-of-cluster keep policy (r14): the dedup_components keyed "
+     "candidate join + CC label propagation, then one quality "
+     "projection and one comp-keyed window whose partition size is the "
+     "CLUSTER size — the dedup and quality passes compose in a single "
+     "plan with no corpus-scale window."),
     ("cdc_diff_snapshots",
      "Snapshot diff (r6): ONE full-outer sort-merge join on the snapshot "
      "key classifies I/U/D in a codegen'd CASE; the audit is a 3-group "

@@ -96,26 +96,35 @@ class _ReplayReader(SimpleDataSourceStreamReader):
     def _feed(self) -> list[tuple]:
         """Load + globally order the feed once per reader instance (driver
         side, by design of the Simple variant). (ts, event_id) is a total
-        order, so batch boundaries are deterministic across restarts."""
+        order, so batch boundaries are deterministic across restarts.
+
+        Feed prep runs through Arrow kernels (``Table.sort_by``), not a
+        Python ``list.sort`` over ``to_pylist()`` dicts (guide §4.2: hand
+        whole batches to vectorized native code). Value-identical by
+        construction: ``ts`` is timestamp[us], whose int64 comparison is
+        the datetime comparison, and ``event_id`` is unique — the same
+        total order either way."""
         if self._rows is None:
             import pyarrow.parquet as pq
 
             t = pq.read_table(
                 self._path,
                 columns=["event_id", "ts", "user_id", "event_type", "value"],
-            )
-            rows = t.to_pylist()
-            rows.sort(key=lambda r: (r["ts"], r["event_id"]))
-            self._rows = [
-                (
-                    r["event_id"],
-                    r["ts"],
-                    r["user_id"],
-                    r["event_type"],
-                    r["value"],
+            ).sort_by([("ts", "ascending"), ("event_id", "ascending")])
+            self._rows = list(
+                zip(
+                    *(
+                        t.column(c).to_pylist()
+                        for c in (
+                            "event_id",
+                            "ts",
+                            "user_id",
+                            "event_type",
+                            "value",
+                        )
+                    )
                 )
-                for r in rows
-            ]
+            )
         return self._rows
 
     def initialOffset(self) -> dict:
@@ -152,6 +161,18 @@ class EventReplayDataSource(DataSource):
 # --------------------------------------------------------------------------
 
 
+def _shard_mod(uid, n: int):
+    """``uid % n`` with Python's floored-modulo semantics as Arrow
+    kernels (pyarrow has no modulo kernel; integer ``divide`` truncates,
+    so correct the remainder's sign for negative ids — testdata ids are
+    non-negative, but the semantics must match the Python ``%`` this
+    replaces for ANY input)."""
+    import pyarrow.compute as pc
+
+    m = pc.subtract(uid, pc.multiply(pc.divide(uid, n), n))
+    return pc.if_else(pc.less(m, 0), pc.add(m, n), m)
+
+
 class _ShardedReplayReader(DataSourceStreamReader):
     """``DataSourceStreamReader`` variant of the replay source: the feed is
     hash-sharded by ``user_id % n_shards`` (the Kafka-partition shape), the
@@ -181,12 +202,14 @@ class _ShardedReplayReader(DataSourceStreamReader):
 
     def _shard_counts(self) -> dict[str, int]:
         if self._counts is None:
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             uid = pq.read_table(self._path, columns=["user_id"])["user_id"]
             counts = dict.fromkeys((str(s) for s in range(self._n)), 0)
-            for u in uid.to_pylist():
-                counts[str(u % self._n)] += 1
+            vc = pc.value_counts(_shard_mod(uid, self._n).combine_chunks())
+            for entry in vc.to_pylist():
+                counts[str(entry["values"])] = entry["counts"]
             self._counts = counts
         return self._counts
 
@@ -208,21 +231,28 @@ class _ShardedReplayReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         path, n, shard, lo, hi = partition.value
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         t = pq.read_table(
             path, columns=["event_id", "ts", "user_id", "event_type", "value"]
         )
-        rows = [r for r in t.to_pylist() if r["user_id"] % n == shard]
-        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
-        for r in rows[lo:hi]:
-            yield (
-                r["event_id"],
-                r["ts"],
-                r["user_id"],
-                r["event_type"],
-                r["value"],
+        # Shard filter + (ts, event_id) sort as Arrow kernels, converting
+        # only the served [lo:hi) slice to Python (guide §4.2) — the old
+        # path to_pylist'ed and Python-filtered/sorted the WHOLE table per
+        # partition read. Same rows in the same order: the filter is exact
+        # integer arithmetic and (ts, event_id) is a total order (event_id
+        # unique), so the pre-sort row order never matters.
+        t = t.filter(pc.equal(_shard_mod(t["user_id"], n), shard)).sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.slice(lo, hi - lo)
+        yield from zip(
+            *(
+                t.column(c).to_pylist()
+                for c in ("event_id", "ts", "user_id", "event_type", "value")
             )
+        )
 
     def commit(self, end: dict) -> None:
         pass
@@ -297,16 +327,22 @@ class _DocReplayReader(SimpleDataSourceStreamReader):
         return self._batch
 
     def _feed(self) -> list[tuple]:
+        # Arrow concat + sort_by (guide §4.2), not Python list.sort over
+        # to_pylist() dicts; doc_id is unique, so the order is identical.
         if self._rows is None:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            rows = []
-            for f in self._files():
-                rows.extend(
-                    pq.read_table(f, columns=["doc_id", "text"]).to_pylist()
+            t = pa.concat_tables(
+                pq.read_table(f, columns=["doc_id", "text"])
+                for f in self._files()
+            ).sort_by([("doc_id", "ascending")])
+            self._rows = list(
+                zip(
+                    t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist(),
                 )
-            rows.sort(key=lambda r: r["doc_id"])
-            self._rows = [(r["doc_id"], r["text"]) for r in rows]
+            )
         return self._rows
 
     def initialOffset(self) -> dict:

@@ -67,6 +67,78 @@ def test_quiescence_drain_surfaces_source_errors(spark):
     assert not isinstance(ei.value, TimeoutError)
 
 
+def test_arrow_feed_prep_matches_row_loop_reference():
+    """r14 vectorization (guide §4.2): the Arrow-kernel feed preparation
+    (sort_by / filter / value_counts) must be row- and order-identical to
+    the Python row-loop it replaced, for all three sites — events feed,
+    doc feed, and the sharded reader's per-partition filter+sort+counts."""
+    import pyarrow.parquet as pq
+
+    from jp_qcew_spark.sources.stream_replay import (
+        _DocReplayReader,
+        _ShardedReplayReader,
+    )
+
+    # events feed: reference = to_pylist + list.sort (the pre-r14 code)
+    t = pq.read_table(
+        SF, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ref = t.to_pylist()
+    ref.sort(key=lambda r: (r["ts"], r["event_id"]))
+    ref = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in ref
+    ]
+    assert _reader()._feed() == ref
+
+    # doc feed
+    doc_path = os.path.join(SF_SMOKE, "documents.parquet")
+    dref = pq.read_table(doc_path, columns=["doc_id", "text"]).to_pylist()
+    dref.sort(key=lambda r: r["doc_id"])
+    dref = [(r["doc_id"], r["text"]) for r in dref]
+    assert _DocReplayReader({"path": doc_path})._feed() == dref
+
+    # sharded reader: per-shard counts and served rows
+    n = 4
+    r = _ShardedReplayReader({"path": SF, "n_shards": str(n)})
+    counts_ref = {str(s): 0 for s in range(n)}
+    for row in t.to_pylist():
+        counts_ref[str(row["user_id"] % n)] += 1
+    assert r._shard_counts() == counts_ref
+    from pyspark.sql.datasource import InputPartition
+
+    for shard in range(n):
+        sref = [row for row in t.to_pylist() if row["user_id"] % n == shard]
+        sref.sort(key=lambda x: (x["ts"], x["event_id"]))
+        sref = [
+            (
+                x["event_id"],
+                x["ts"],
+                x["user_id"],
+                x["event_type"],
+                x["value"],
+            )
+            for x in sref
+        ]
+        lo, hi = 3, len(sref) - 2  # a strict sub-range exercises the slice
+        got = list(
+            r.read(InputPartition((SF, n, shard, lo, hi)))
+        )
+        assert got == sref[lo:hi]
+
+
+def test_shard_mod_matches_python_semantics():
+    """_shard_mod must equal Python's %, including for negative ids."""
+    import pyarrow as pa
+
+    from jp_qcew_spark.sources.stream_replay import _shard_mod
+
+    vals = [-7, -4, -1, 0, 1, 3, 4, 5, 123456789]
+    for n in (3, 4, 7):
+        got = _shard_mod(pa.chunked_array([vals]), n).to_pylist()
+        assert got == [v % n for v in vals]
+
+
 def test_cep_fn_carries_state_across_batches():
     """The CEP matcher's whole point is the 1-event lookahead surviving a
     micro-batch boundary: a click that ENDS batch 1 must pair with the

@@ -81,6 +81,16 @@ _WINDOW_PRIORITY = [
     "knn_ivf_recall_curve",
     # -- changed in round 14 (band-width guard)
     "stream_dedup_neardup",
+    # -- changed late in round 14 (optimization pass): the recall
+    #    evals gained the pre-amplification repartition on the truth
+    #    pass's corpus side, and the replay sources' feed prep was
+    #    vectorized (Arrow sort_by/filter) — these two streams plus
+    #    stream_quality_gate (already a window lead above) exercise
+    #    every changed reader path directly
+    "dedup_recall_eval",
+    "dedup_recall_target_eval",
+    "stream_python_source",
+    "stream_python_source_sharded",
     # -- r9 cohort: the final 10, retiring the last r9 evidence
     "text_entropy",
     "text_fingerprint",
@@ -113,17 +123,15 @@ _WINDOW_PRIORITY = [
     "join_asof",
     "join_range",
     "join_salted_skew",
-    "join_semi",
-    "knn_recall_rp",
-    "label_synthesis",
-    "lag_diff_pct",
-    # (the remaining 21 r10 rows — mm_gif_decode, mm_wav_decode,
+    # (the remaining 25 r10 rows — join_semi, knn_recall_rp,
+    # label_synthesis, lag_diff_pct, mm_gif_decode, mm_wav_decode,
     # mode_keying, moving_avg, pivot_wide,
     # pricing_summary, rank_dense, rollup_agg, running_sum,
     # sample_weighted, scd2_upsert, semdedup_rp, stream_cep_sequence,
     # suppressed_agg, text_containment, text_token_count, tick_sample,
     # tokenizer_bpe_apply, tokenizer_bpe_merges, union_distinct,
-    # unpivot_long — lead the r15 window)
+    # unpivot_long — lead the r15 window; four were displaced here by
+    # the late-r14 optimization-changed leads)
 ]
 
 

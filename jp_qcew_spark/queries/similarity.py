@@ -2998,14 +2998,25 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus (bounded side broadcast, one linear pass — never
     the n^2 all-pairs); the generators under eval are the registry
     queries themselves (composition, not re-derivation), filtered to the
-    slice; the final agg is a 4-group rollup."""
+    slice; the final agg is a 4-group rollup.
+
+    The corpus side of the truth pass is explicitly repartitioned
+    before the broadcast join: the join amplifies every corpus row
+    ×|slice| (200 cosine folds per row), and widen_scan's byte gate
+    cannot see compute amplification — a one-split embeddings file
+    otherwise puts the whole |slice|×n scoring pass on ONE core (the
+    `_pq_sub_pivot` lesson; measured 8.5 s single-task CPU at sf0.1,
+    ~90% of this eval's bill). The exchange payload is the compact
+    pre-amplification corpus stream (n rows), linear and evenly keyed
+    by the unique vec_id."""
+    sc = spark.sparkContext
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
     a = vecs.filter(F.col("vec_id") < _EVAL_SLICE).select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )
     b = vecs.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
+    ).repartition(sc.defaultParallelism, "id_b")
     truth = (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
@@ -3490,11 +3501,16 @@ def q_dedup_recall_target_eval(
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
+    # Pre-amplification repartition of the corpus side: the broadcast
+    # truth join folds |slice| cosines per corpus row, and the cached
+    # vecs frame inherits the scan's 1-2 splits — same single-core
+    # amplification as dedup_recall_eval's truth pass (the
+    # `_pq_sub_pivot` lesson), fixed the same way.
     b = vecs.select(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "id_b")
     truth = (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))

@@ -1298,3 +1298,27 @@ def test_bpe_apply_type_table_join(spark, sf_dir):
     plan = I.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_recall_eval_truth_pass_pre_amplification_repartition(
+    spark, sf_dir
+):
+    """Both embedding recall evals broadcast the bounded eval slice
+    against the corpus, folding |slice| cosines per corpus ROW — compute
+    amplification widen_scan's byte gate cannot see (the `_pq_sub_pivot`
+    lesson: a one-split embeddings file put the whole |slice|×n scoring
+    pass on ONE core, 8.5 s of single-task CPU ≈ 90% of the eval's
+    sf0.1 bill). The corpus side must therefore enter the truth join
+    through an explicit hashpartitioning exchange on its unique id —
+    linear payload, even spread — and the slice side must stay the
+    broadcast (never the corpus)."""
+    from jp_qcew_spark.queries.similarity import (
+        q_dedup_recall_eval,
+        q_dedup_recall_target_eval,
+    )
+
+    for builder in (q_dedup_recall_eval, q_dedup_recall_target_eval):
+        df = builder(spark, sf_dir)
+        plan = I.formatted_plan(df)
+        assert not I.has_cartesian_product(df)
+        assert re.search(r"hashpartitioning\(id_b", plan), builder.__name__

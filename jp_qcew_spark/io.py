@@ -188,8 +188,19 @@ def _local_file_size(uri: str) -> int | None:
     return None
 
 
-def widen_scan(df: DataFrame) -> DataFrame:
+def widen_scan(df: DataFrame, density: int = 1) -> DataFrame:
     """Guarantee a compute-dense scan at least core-count parallelism.
+
+    ``density`` is the caller's compute-amplification declaration: how
+    many times denser the per-byte work is than the plain projections
+    the byte floor was tuned for (regex/histogram passes, density 1).
+    The gate compares ``total_bytes × density`` against the floor, so a
+    pass that cryptographically hashes every n-gram (``dsir_importance``:
+    two md5-per-bigram corpus passes, measured 3.6 s of single-task CPU
+    at sf0.1 on a 580 KB file the density-1 gate skips) widens earlier
+    while every density-1 caller is untouched. Scale behavior unchanged:
+    on a many-split corpus the split count already exceeds the core
+    count and no exchange is added regardless of density.
 
     Spark sizes file splits by BYTES (``spark.sql.files.maxPartitionBytes``,
     128 MB): a compressed single-file corpus scans as 1-2 splits, so a
@@ -227,7 +238,7 @@ def widen_scan(df: DataFrame) -> DataFrame:
         if size is None:
             return df
         total += size
-    if total < _WIDEN_MIN_BYTES:
+    if total * max(density, 1) < _WIDEN_MIN_BYTES:
         return df
     max_split = _byte_string_as_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")

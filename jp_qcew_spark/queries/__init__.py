@@ -86,11 +86,17 @@ _WINDOW_PRIORITY = [
     #    pass's corpus side, and the replay sources' feed prep was
     #    vectorized (Arrow sort_by/filter) — these two streams plus
     #    stream_quality_gate (already a window lead above) exercise
-    #    every changed reader path directly
+    #    every changed reader path directly; bloom_prefilter's
+    #    membership probe moved from a linear array_contains scan to an
+    #    O(1) bitmap get, and dsir_importance declared density=16 to
+    #    io.widen_scan (md5-per-bigram amplification) — both
+    #    value-identical, re-certified under the changed plans
     "dedup_recall_eval",
     "dedup_recall_target_eval",
     "stream_python_source",
     "stream_python_source_sharded",
+    "bloom_prefilter",
+    "dsir_importance",
     # -- r9 cohort: the final 10, retiring the last r9 evidence
     "text_entropy",
     "text_fingerprint",
@@ -121,16 +127,15 @@ _WINDOW_PRIORITY = [
     "intersect_keys",
     "join_anti",
     "join_asof",
-    "join_range",
-    "join_salted_skew",
-    # (the remaining 25 r10 rows — join_semi, knn_recall_rp,
+    # (the remaining 27 r10 rows — join_range, join_salted_skew,
+    # join_semi, knn_recall_rp,
     # label_synthesis, lag_diff_pct, mm_gif_decode, mm_wav_decode,
     # mode_keying, moving_avg, pivot_wide,
     # pricing_summary, rank_dense, rollup_agg, running_sum,
     # sample_weighted, scd2_upsert, semdedup_rp, stream_cep_sequence,
     # suppressed_agg, text_containment, text_token_count, tick_sample,
     # tokenizer_bpe_apply, tokenizer_bpe_merges, union_distinct,
-    # unpivot_long — lead the r15 window; four were displaced here by
+    # unpivot_long — lead the r15 window; six were displaced here by
     # the late-r14 optimization-changed leads)
 ]
 

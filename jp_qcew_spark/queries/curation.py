@@ -290,6 +290,22 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     then drops non-members map-side before the exact join pays its shuffle.
     The `false_negs` column is structurally 0 (blooms never false-negative)
     and the oracle pins that.
+
+    The broadcast ships the set as an m-slot 0/1 ARRAY (a real bloom
+    bitmap), not the sorted position list: ``array_contains`` over the
+    ~m/2-position list is a LINEAR scan per probe, so the map-side
+    prefilter cost was 3·|pset| comparisons per fact row — ~2 billion at
+    sf0.1, measured 2.65 s of single-task CPU ≈ 80% of the query (the
+    per-task-work rung of guide §1.2; repartitioning the fact side would
+    instead add the very exchange this pattern exists to avoid). The
+    bitmap itself is assembled by a keyed join of the m slot ids against
+    the bounded position set and one O(m) sorted fold — NOT by a
+    ``transform(sequence(m), i -> array_contains(pset, i))`` pass, which
+    is an INTERPRETED higher-order function (no codegen) doing m×|pset|
+    element compares: measured 2.1 s in the broadcast build, i.e. the
+    same quadratic it was supposed to remove, just moved. Each probe is
+    three O(1) ``get`` lookups — membership identical position for
+    position, so every output count is unchanged.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -299,14 +315,26 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = dim_keys.select(
         F.explode(F.array(*_bloom_hashes(F.col("k")))).alias("p")
     ).distinct()
-    bloom = pos.agg(F.sort_array(F.collect_set("p")).alias("pset"))
+    slots = spark.range(_BLOOM_M).select(F.col("id").alias("slot"))
+    marks = slots.join(pos, F.col("slot") == F.col("p"), "left").select(
+        "slot", F.col("p").isNotNull().cast("int").alias("bit")
+    )
+    # content-sorted fold to one row: collect_list order is partition-
+    # dependent, so sort the (slot, bit) structs before extracting — the
+    # engine's standard order-independent collect discipline
+    bits = marks.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("slot", "bit"))),
+            lambda x: x["bit"],
+        ).alias("bits")
+    )
 
-    probe = orders.select(F.col("o_custkey").alias("k")).join(F.broadcast(bloom))
+    probe = orders.select(F.col("o_custkey").alias("k")).join(F.broadcast(bits))
     h = _bloom_hashes(F.col("k"))
     passed = (
-        F.array_contains("pset", h[0])
-        & F.array_contains("pset", h[1])
-        & F.array_contains("pset", h[2])
+        (F.get("bits", h[0].cast("int")) == 1)
+        & (F.get("bits", h[1].cast("int")) == 1)
+        & (F.get("bits", h[2].cast("int")) == 1)
     ).cast("long")
     flags = probe.select(
         passed.alias("pass"),
@@ -1055,14 +1083,20 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is widened (io.widen_scan): both passes re-tokenize + md5 the
     corpus — compute-dense map work a few-split compressed file must not
     pin to 1-2 cores (measured at sf1: 24.4 → ~6 s; no-op on many-file
-    corpora).  Reference parity: extends the reference's filter/derive
+    corpora).  Widened at density 16: md5-per-bigram is ~6 s of CPU per
+    input MB (measured: 3.6 s single-task CPU on the 0.58 MB sf0.1 file
+    the density-1 byte floor skips) vs the ~0.2-0.4 s/MB regex tier the
+    floor was tuned for — the declared amplification makes the gate see
+    the real per-byte work, and on many-split corpora it changes
+    nothing.  Reference parity: extends the reference's filter/derive
     curation surface (data_process/clean_data.py) to the published
     distribution-matching selector; no reference counterpart."""
     d = (
         widen_scan(
             load_table(spark, sf_dir, "documents").select(
                 "doc_id", "lang", "text"
-            )
+            ),
+            density=16,
         )
         .filter(F.trim("text") != "")
         .withColumn("toks", F.split(F.lower(F.trim("text")), r"\s+"))

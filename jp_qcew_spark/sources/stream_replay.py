@@ -66,12 +66,42 @@ _SCHEMA = StructType(
 )
 
 
+def _cast_feed_table(t, schema: StructType):
+    """Cast an Arrow table to the EXACT Arrow schema Spark's data-source
+    runner derives from the declared source schema
+    (``pyspark.sql.pandas.types.to_arrow_schema`` — the same call the
+    tuple path's ``records_to_arrow_batches`` makes), so record batches
+    served directly are byte-compatible with what the tuple conversion
+    would have produced. Parquet naive ``timestamp[us]`` relabels to
+    ``timestamp[us, tz=UTC]`` (value-preserving: the old row path's
+    naive-datetime conversion interpreted wall times as UTC under the
+    engine's pinned UTC session); a nanosecond feed truncates exactly as
+    ``to_pylist``'s datetime conversion did."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    cols = []
+    for field in target:
+        col = t.column(field.name)
+        if col.type != field.type:
+            col = pc.cast(
+                col,
+                options=pc.CastOptions(
+                    target_type=field.type, allow_time_truncate=True
+                ),
+            )
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=target).combine_chunks()
+
+
 class _ReplayReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self._path = options["path"]
         self._batch_opt = options.get("batch_rows", "auto")
         self._batch: int | None = None
-        self._rows: list[tuple] | None = None
+        self._table = None
 
     def _batch_rows(self) -> int:
         """Micro-batch size. ``auto`` = ~1/8 of the feed (parquet metadata
@@ -93,52 +123,44 @@ class _ReplayReader(SimpleDataSourceStreamReader):
                 self._batch = int(self._batch_opt)
         return self._batch
 
-    def _feed(self) -> list[tuple]:
+    def _feed(self):
         """Load + globally order the feed once per reader instance (driver
         side, by design of the Simple variant). (ts, event_id) is a total
         order, so batch boundaries are deterministic across restarts.
 
-        Feed prep runs through Arrow kernels (``Table.sort_by``), not a
-        Python ``list.sort`` over ``to_pylist()`` dicts (guide §4.2: hand
-        whole batches to vectorized native code). Value-identical by
-        construction: ``ts`` is timestamp[us], whose int64 comparison is
-        the datetime comparison, and ``event_id`` is unique — the same
-        total order either way."""
-        if self._rows is None:
+        The feed stays an ARROW TABLE end to end (r15, guide §4.2): the
+        r14 form still materialized Python tuples, and Spark's simple-
+        reader transport then re-converted every row back to Arrow per
+        micro-batch (``records_to_arrow_batches``: one converter call
+        per field per row). ``read`` now serves zero-copy RecordBatch
+        slices, which the runner ships to the JVM directly — no Python
+        row objects exist anywhere on the wire. Value-identical: same
+        sort, same columns, and ``_cast_feed_table`` pins the exact
+        Arrow schema the tuple path would have built."""
+        if self._table is None:
             import pyarrow.parquet as pq
 
             t = pq.read_table(
                 self._path,
                 columns=["event_id", "ts", "user_id", "event_type", "value"],
             ).sort_by([("ts", "ascending"), ("event_id", "ascending")])
-            self._rows = list(
-                zip(
-                    *(
-                        t.column(c).to_pylist()
-                        for c in (
-                            "event_id",
-                            "ts",
-                            "user_id",
-                            "event_type",
-                            "value",
-                        )
-                    )
-                )
-            )
-        return self._rows
+            self._table = _cast_feed_table(t, _SCHEMA)
+        return self._table
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
     def read(self, start: dict) -> tuple:
-        rows = self._feed()
+        tbl = self._feed()
         lo = start["idx"]
-        hi = min(lo + self._batch_rows(), len(rows))
-        return iter(rows[lo:hi]), {"idx": hi}
+        hi = min(lo + self._batch_rows(), tbl.num_rows)
+        return iter(tbl.slice(lo, hi - lo).to_batches()), {"idx": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows = self._feed()
-        return iter(rows[start["idx"] : end["idx"]])
+        tbl = self._feed()
+        return iter(
+            tbl.slice(start["idx"], end["idx"] - start["idx"]).to_batches()
+        )
 
     def commit(self, end: dict) -> None:
         pass  # nothing to prune: the feed is an immutable file
@@ -206,6 +228,17 @@ class _ShardedReplayReader(DataSourceStreamReader):
             import pyarrow.parquet as pq
 
             uid = pq.read_table(self._path, columns=["user_id"])["user_id"]
+            if uid.null_count:
+                # fail loudly, matching the replaced Python row-loop's
+                # TypeError on None % n (ADVICE r14): a null id has no
+                # shard, and silently dropping it would violate the
+                # exactly-once contract the source exists to prove
+                raise ValueError(
+                    "eventreplay_sharded: feed contains NULL user_id "
+                    f"({uid.null_count} rows) — every row must be "
+                    "shardable for the per-shard cursor offsets to "
+                    "cover the feed exactly once"
+                )
             counts = dict.fromkeys((str(s) for s in range(self._n)), 0)
             vc = pc.value_counts(_shard_mod(uid, self._n).combine_chunks())
             for entry in vc.to_pylist():
@@ -237,22 +270,18 @@ class _ShardedReplayReader(DataSourceStreamReader):
         t = pq.read_table(
             path, columns=["event_id", "ts", "user_id", "event_type", "value"]
         )
-        # Shard filter + (ts, event_id) sort as Arrow kernels, converting
-        # only the served [lo:hi) slice to Python (guide §4.2) — the old
-        # path to_pylist'ed and Python-filtered/sorted the WHOLE table per
-        # partition read. Same rows in the same order: the filter is exact
-        # integer arithmetic and (ts, event_id) is a total order (event_id
+        # Shard filter + (ts, event_id) sort as Arrow kernels, and the
+        # served [lo:hi) slice leaves as RECORD BATCHES (guide §4.2): the
+        # executor read worker forwards pyarrow.RecordBatch yields to the
+        # JVM as-is, so no Python row objects are built at all — the r14
+        # form still paid one converter call per field per served row.
+        # Same rows in the same order: the filter is exact integer
+        # arithmetic and (ts, event_id) is a total order (event_id
         # unique), so the pre-sort row order never matters.
         t = t.filter(pc.equal(_shard_mod(t["user_id"], n), shard)).sort_by(
             [("ts", "ascending"), ("event_id", "ascending")]
         )
-        t = t.slice(lo, hi - lo)
-        yield from zip(
-            *(
-                t.column(c).to_pylist()
-                for c in ("event_id", "ts", "user_id", "event_type", "value")
-            )
-        )
+        yield from _cast_feed_table(t.slice(lo, hi - lo), _SCHEMA).to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -299,7 +328,7 @@ class _DocReplayReader(SimpleDataSourceStreamReader):
         self._path = options["path"]
         self._batch_opt = options.get("batch_rows", "auto")
         self._batch: int | None = None
-        self._rows: list[tuple] | None = None
+        self._table = None
 
     def _files(self) -> list[str]:
         """The feed path may be a single parquet file (the driver
@@ -326,10 +355,13 @@ class _DocReplayReader(SimpleDataSourceStreamReader):
                 self._batch = int(self._batch_opt)
         return self._batch
 
-    def _feed(self) -> list[tuple]:
-        # Arrow concat + sort_by (guide §4.2), not Python list.sort over
-        # to_pylist() dicts; doc_id is unique, so the order is identical.
-        if self._rows is None:
+    def _feed(self):
+        # Arrow end to end (guide §4.2): concat + sort_by, then the table
+        # is served as zero-copy RecordBatch slices — no Python row
+        # objects (the r14 form still zipped the table into tuples that
+        # the runner re-converted to Arrow per batch). doc_id is unique,
+        # so the order is identical to the replaced row-loop.
+        if self._table is None:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
@@ -337,26 +369,23 @@ class _DocReplayReader(SimpleDataSourceStreamReader):
                 pq.read_table(f, columns=["doc_id", "text"])
                 for f in self._files()
             ).sort_by([("doc_id", "ascending")])
-            self._rows = list(
-                zip(
-                    t.column("doc_id").to_pylist(),
-                    t.column("text").to_pylist(),
-                )
-            )
-        return self._rows
+            self._table = _cast_feed_table(t, _DOC_SCHEMA)
+        return self._table
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
     def read(self, start: dict) -> tuple:
-        rows = self._feed()
+        tbl = self._feed()
         lo = start["idx"]
-        hi = min(lo + self._batch_rows(), len(rows))
-        return iter(rows[lo:hi]), {"idx": hi}
+        hi = min(lo + self._batch_rows(), tbl.num_rows)
+        return iter(tbl.slice(lo, hi - lo).to_batches()), {"idx": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows = self._feed()
-        return iter(rows[start["idx"] : end["idx"]])
+        tbl = self._feed()
+        return iter(
+            tbl.slice(start["idx"], end["idx"] - start["idx"]).to_batches()
+        )
 
     def commit(self, end: dict) -> None:
         pass

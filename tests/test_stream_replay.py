@@ -16,6 +16,28 @@ def _reader(batch=100):
     return _ReplayReader({"path": SF, "batch_rows": str(batch)})
 
 
+def _rows(batch_iter):
+    """Flatten a reader's RecordBatch iterator (the r15 Arrow transport —
+    Spark's data-source runner forwards pyarrow.RecordBatch yields to the
+    JVM as-is) into the plain row tuples the pre-r15 readers served, with
+    timestamps normalized back to the naive datetimes the row path carried
+    (the Arrow schema pins tz=UTC; values are identical instants)."""
+    import datetime
+
+    out = []
+    for rb in batch_iter:
+        for row in zip(*(rb.column(i).to_pylist() for i in range(rb.num_columns))):
+            out.append(
+                tuple(
+                    v.replace(tzinfo=None)
+                    if isinstance(v, datetime.datetime)
+                    else v
+                    for v in row
+                )
+            )
+    return out
+
+
 def test_batches_partition_the_feed_in_order():
     r = _reader(100)
     off = r.initialOffset()
@@ -23,7 +45,7 @@ def test_batches_partition_the_feed_in_order():
     seen, n_batches = [], 0
     while True:
         it, nxt = r.read(off)
-        rows = list(it)
+        rows = _rows(it)
         if not rows:
             assert nxt == off  # end of feed: offset must not advance
             break
@@ -45,8 +67,9 @@ def test_read_between_offsets_reserves_exactly():
     rows — the exactly-once guarantee the streaming engine relies on."""
     r = _reader(64)
     it, nxt = r.read({"idx": 64})
-    planned = list(it)
-    replayed = list(_reader(64).readBetweenOffsets({"idx": 64}, nxt))
+    planned = _rows(it)
+    assert planned
+    replayed = _rows(_reader(64).readBetweenOffsets({"idx": 64}, nxt))
     assert replayed == planned
 
 
@@ -68,10 +91,10 @@ def test_quiescence_drain_surfaces_source_errors(spark):
 
 
 def test_arrow_feed_prep_matches_row_loop_reference():
-    """r14 vectorization (guide §4.2): the Arrow-kernel feed preparation
-    (sort_by / filter / value_counts) must be row- and order-identical to
-    the Python row-loop it replaced, for all three sites — events feed,
-    doc feed, and the sharded reader's per-partition filter+sort+counts."""
+    """r14/r15 vectorization (guide §4.2): the Arrow feed preparation AND
+    the r15 RecordBatch transport must be row- and order-identical to the
+    Python row-loop they replaced, for all three sites — events feed, doc
+    feed, and the sharded reader's per-partition filter+sort+counts."""
     import pyarrow.parquet as pq
 
     from jp_qcew_spark.sources.stream_replay import (
@@ -89,14 +112,14 @@ def test_arrow_feed_prep_matches_row_loop_reference():
         (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
         for r in ref
     ]
-    assert _reader()._feed() == ref
+    assert _rows(_reader()._feed().to_batches()) == ref
 
     # doc feed
     doc_path = os.path.join(SF_SMOKE, "documents.parquet")
     dref = pq.read_table(doc_path, columns=["doc_id", "text"]).to_pylist()
     dref.sort(key=lambda r: r["doc_id"])
     dref = [(r["doc_id"], r["text"]) for r in dref]
-    assert _DocReplayReader({"path": doc_path})._feed() == dref
+    assert _rows(_DocReplayReader({"path": doc_path})._feed().to_batches()) == dref
 
     # sharded reader: per-shard counts and served rows
     n = 4
@@ -121,10 +144,54 @@ def test_arrow_feed_prep_matches_row_loop_reference():
             for x in sref
         ]
         lo, hi = 3, len(sref) - 2  # a strict sub-range exercises the slice
-        got = list(
-            r.read(InputPartition((SF, n, shard, lo, hi)))
-        )
+        got = _rows(r.read(InputPartition((SF, n, shard, lo, hi))))
         assert got == sref[lo:hi]
+
+
+def test_feed_schema_matches_runner_expectation():
+    """The served RecordBatches must carry the EXACT Arrow schema Spark's
+    data-source runner derives from the declared source schema — that is
+    what makes the direct-batch path byte-compatible with the tuple
+    conversion it replaces (plan_data_source_read.records_to_arrow_batches
+    validates names/count only, so a type drift would silently reach the
+    JVM)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from jp_qcew_spark.sources.stream_replay import _DOC_SCHEMA, _SCHEMA
+
+    tbl = _reader()._feed()
+    assert tbl.schema == to_arrow_schema(_SCHEMA)
+    doc_path = os.path.join(SF_SMOKE, "documents.parquet")
+    from jp_qcew_spark.sources.stream_replay import _DocReplayReader
+
+    assert (
+        _DocReplayReader({"path": doc_path})._feed().schema
+        == to_arrow_schema(_DOC_SCHEMA)
+    )
+
+
+def test_sharded_null_user_id_fails_loudly():
+    """ADVICE r14: a NULL user_id has no shard — the counts pass must
+    raise (matching the replaced row-loop's TypeError), never silently
+    drop rows from the offset ledger."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from jp_qcew_spark.sources.stream_replay import _ShardedReplayReader
+
+    t = pq.read_table(SF).slice(0, 4)
+    uid = t.column("user_id").to_pylist()
+    uid[1] = None
+    t = t.set_column(
+        t.schema.get_field_index("user_id"),
+        "user_id",
+        pa.array(uid, type=pa.int64()),
+    )
+    bad = os.path.join("/tmp", "events_null_uid.parquet")
+    pq.write_table(t, bad)
+    with pytest.raises(ValueError, match="NULL user_id"):
+        _ShardedReplayReader({"path": bad, "n_shards": "4"})._shard_counts()
 
 
 def test_shard_mod_matches_python_semantics():

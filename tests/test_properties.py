@@ -196,26 +196,54 @@ def test_replay_offsets_partition_any_feed(n_rows, batch):
     into loss-free, overlap-free, ordered batches — the pure invariant
     behind the exactly-once proof in test_stream_replay.py (which pins it
     on the real parquet; this drives it over arbitrary sizes)."""
-    from jp_qcew_spark.sources.stream_replay import _ReplayReader
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from jp_qcew_spark.sources.stream_replay import (
+        _SCHEMA,
+        _cast_feed_table,
+        _ReplayReader,
+    )
 
     r = _ReplayReader.__new__(_ReplayReader)
     r._batch_opt = str(batch)
     r._batch = None
-    r._rows = [(i, i, i, "t", 0.0) for i in range(n_rows)]
+    # the feed is an Arrow table since r15 (read serves RecordBatch slices)
+    epoch = dt.datetime(2020, 1, 1)
+    r._table = _cast_feed_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_rows), pa.int64()),
+                "ts": pa.array(
+                    [epoch + dt.timedelta(seconds=i) for i in range(n_rows)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(range(n_rows), pa.int64()),
+                "event_type": pa.array(["t"] * n_rows),
+                "value": pa.array([0.0] * n_rows),
+            }
+        ),
+        _SCHEMA,
+    )
+
+    def rows(batches):
+        return [row for b in batches for row in b.to_pylist()]
+
     off, out, rounds = r.initialOffset(), [], 0
     while True:
         it, nxt = r.read(off)
-        got = list(it)
+        got = rows(it)
         if not got:
             assert nxt == off
             break
         out += got
         # the recovery path must re-serve the planned batch exactly
-        assert list(r.readBetweenOffsets(off, nxt)) == got
+        assert rows(r.readBetweenOffsets(off, nxt)) == got
         off = nxt
         rounds += 1
         assert rounds <= n_rows + 1  # termination guard
-    assert [row[0] for row in out] == list(range(n_rows))
+    assert [row["event_id"] for row in out] == list(range(n_rows))
 
 
 @given(n=st.integers(min_value=1, max_value=10**9))

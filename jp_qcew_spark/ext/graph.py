@@ -53,6 +53,54 @@ from jp_qcew_spark.io import track_local_checkpoint
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Local-finish gate (round 15): below this many raw edges the component
+# structure is solved ON THE DRIVER with union-find instead of iterating
+# alternating-star rounds. Rationale, measured at sf0.1: the mutual-kNN
+# graph is 2,065 edges, yet the star loop costs ~5-7 s — each round is
+# ~10 sequential AQE stage-jobs (two star rewrites + a convergence
+# probe), so wall clock is round-trip LATENCY, not data; a driver
+# union-find over the same edges is sub-millisecond. This is the
+# standard two-phase CC design (distributed contraction while the graph
+# is big, local solve once the residual is bounded — the MapReduce CC
+# literature and GraphFrames both finish small graphs locally), and the
+# same runtime size-gating AQE applies to joins: an EXACT count of the
+# materialized edge frame decides, never a hint. 2^18 edges collect to
+# ~4 MB (two longs/row) — far below broadcast-relation sizes the
+# session already ships — and the resulting labels become a
+# LocalRelation that downstream joins broadcast instead of shuffling.
+# Above the gate (a 100 TB pair graph) the alternating-star path runs
+# unchanged.
+_CC_LOCAL_MAX_EDGES = 1 << 18
+
+
+def _local_components(rows) -> list[tuple[int, int]]:
+    """Union-find with min-id roots over an edge list: attach the larger
+    root under the smaller, so every component's root IS its minimum node
+    id — the exact fixpoint labeling the star loop converges to (unique,
+    so the two paths are interchangeable row for row)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for a, b in rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    return sorted((x, find(x)) for x in nodes)
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round over the (hi > lo canonical) edge set: for
@@ -133,6 +181,20 @@ def connected_components(
             F.col(dst).cast("long").alias("b"),
         )
     )
+    # Local finish (see _CC_LOCAL_MAX_EDGES): one exact count on the
+    # checkpointed frame decides the path at runtime — the AQE
+    # size-decision pattern, not a broadcast hint. Only the DEFAULT
+    # (max_iter=None) takes it: an explicit max_iter is a caller pinning
+    # the distributed contraction budget (and the rail tests pin that
+    # error surface on tiny graphs).
+    if max_iter is None:
+        n_raw = raw.count()
+        if n_raw <= _CC_LOCAL_MAX_EDGES:
+            spark = raw.sparkSession
+            labels = _local_components(
+                (r[0], r[1]) for r in raw.collect()
+            )
+            return spark.createDataFrame(labels, "id long, comp long")
     # node universe BEFORE dropping self-loops: an isolated node that
     # arrives as (x, x) must still come back labeled (x, x)
     nodes = (

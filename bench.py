@@ -157,6 +157,13 @@ def main() -> None:
             statistics.median(runs), 3
         )
 
+    # Cold-build visibility (VERDICT r14 #5): promoted trained artifacts
+    # build once per process, so under 3-run medians the cold training
+    # cost would otherwise vanish from every reported median. Record the
+    # per-artifact build seconds in the committed detail file (additive;
+    # the compact driver line is unchanged — it drops config anyway).
+    from jp_qcew_spark.io import TRAINED_BUILD_SECONDS
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "suite_seconds_median_per_query",
@@ -171,6 +178,9 @@ def main() -> None:
             "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             "runs_per_query": RUNS,
             "overhead_floor_sec": overhead_floor,
+            "trained_cold_build_sec": dict(
+                sorted(TRAINED_BUILD_SECONDS.items())
+            ),
         },
     }
     # full-precision per-round history for mechanical regression diffs

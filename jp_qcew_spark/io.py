@@ -409,6 +409,17 @@ def release_caches() -> int:
 
 _TRAINED_MEMO: dict[tuple[str, str], tuple[list, object]] = {}
 _TRAINED_ROW_CAP = 100_000
+# Re-entrant: builds nest (the served codebook's build pulls the OPQ map
+# artifact), and the eval queries now materialize independent variants
+# from driver THREADS (guide §2.6 job overlap) — the lock makes a cold
+# build happen exactly once under concurrency instead of twice.
+import threading as _threading  # noqa: E402
+
+_TRAINED_LOCK = _threading.RLock()
+# Build wall-clock per artifact key, recorded every cold build (VERDICT
+# r14 #5: the promotion's one-per-process training cost must stay
+# visible round-over-round) — bench.py publishes it in BENCH_LOCAL.json.
+TRAINED_BUILD_SECONDS: dict[str, float] = {}
 
 
 def reset_trained_artifacts() -> None:
@@ -425,16 +436,24 @@ def trained_artifact(
     cached reference to a stopped session's frame)."""
     mk = (key, os.path.abspath(sf_dir))
     if mk not in _TRAINED_MEMO:
-        df = build()
-        rows = df.orderBy(*df.columns).collect()
-        if len(rows) > _TRAINED_ROW_CAP:
-            raise ValueError(
-                f"trained artifact {key!r} collected {len(rows)} rows — "
-                "promotion is for bounded artifacts only (codebooks, "
-                "centroids, model weights, ground-truth slices), never "
-                "corpus-sized frames"
-            )
-        _TRAINED_MEMO[mk] = (rows, df.schema)
+        with _TRAINED_LOCK:
+            if mk not in _TRAINED_MEMO:
+                import time as _time
+
+                t0 = _time.perf_counter()
+                df = build()
+                rows = df.orderBy(*df.columns).collect()
+                if len(rows) > _TRAINED_ROW_CAP:
+                    raise ValueError(
+                        f"trained artifact {key!r} collected {len(rows)} "
+                        "rows — promotion is for bounded artifacts only "
+                        "(codebooks, centroids, model weights, "
+                        "ground-truth slices), never corpus-sized frames"
+                    )
+                TRAINED_BUILD_SECONDS[key] = round(
+                    _time.perf_counter() - t0, 3
+                )
+                _TRAINED_MEMO[mk] = (rows, df.schema)
     rows, schema = _TRAINED_MEMO[mk]
     return spark.createDataFrame(rows, schema)
 

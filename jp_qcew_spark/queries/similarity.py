@@ -4228,14 +4228,8 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tss")
         )
     )
-    ratio = F.broadcast(
-        track_local_checkpoint(
-            rss.crossJoin(tss).select(
-                F.round(F.col("rss") / F.col("tss"), 6).alias(
-                    "coarse_rss_ratio"
-                )
-            )
-        )
+    ratio_lazy = rss.crossJoin(tss).select(
+        F.round(F.col("rss") / F.col("tss"), 6).alias("coarse_rss_ratio")
     )
 
     qcells = cells.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -4248,8 +4242,8 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook are the promoted served artifacts (the raw construction
     # IS the served one — only the residual variant trains here)
     amap = _pq_opq_map_t(spark, sf_dir)
-    per_variant = []
-    for name, src in zip(_PQ_RESIDUAL_VARIANTS, (vecs, rvecs)):
+
+    def build_variant(name: str, src: DataFrame) -> DataFrame:
         sub = _pq_sub_pivot(src, amap)
         cb = (
             _pq_codebook_t(spark, sf_dir)
@@ -4310,7 +4304,7 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = top3.join(exact3, ["query_id", "neighbor_id"]).agg(
             F.count("*").alias("h")
         )
-        per_variant.append(
+        return (
             spark.range(1)
             .select(F.lit(name).alias("variant"))
             .crossJoin(F.broadcast(hits))
@@ -4324,6 +4318,28 @@ def q_knn_pq_residual_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_recon_d2",
             )
         )
+
+    # Overlap the two variants' independent job chains (guide §2.6): the
+    # raw variant's encode/LUT checkpoints run on one driver thread while
+    # the residual variant trains its fresh codebook on the other, and
+    # the main thread materializes the RSS/TSS ratio frontier meanwhile —
+    # the driver previously serialized ~10 eager materializations that
+    # share no lineage. Values are untouched: each chain is deterministic
+    # in isolation (seeded training, promoted artifacts under a build
+    # lock), and the final plan is the same union either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                inheritable_thread_target(spark)(build_variant), name, src
+            )
+            for name, src in zip(_PQ_RESIDUAL_VARIANTS, (vecs, rvecs))
+        ]
+        ratio = F.broadcast(track_local_checkpoint(ratio_lazy))
+        per_variant = [f.result() for f in futs]
     return (
         per_variant[0]
         .unionByName(per_variant[1])
@@ -4485,8 +4501,7 @@ def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % _PQ_SUBDIM + 1).alias("slot"),
     )
 
-    per_variant = []
-    for name, amap in zip(_PQ_OPQ_VARIANTS, (bmap, imap)):
+    def build_variant(name: str, amap: DataFrame) -> DataFrame:
         sub = _pq_sub_pivot(vecs, amap)
         # the balanced variant IS the served config — its codebook is
         # the promoted artifact; only the identity counterfactual
@@ -4542,7 +4557,7 @@ def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = top3.join(exact3, ["query_id", "neighbor_id"]).agg(
             F.count("*").alias("h")
         )
-        per_variant.append(
+        return (
             spark.range(1)
             .select(F.lit(name).alias("assignment"))
             .crossJoin(F.broadcast(hits))
@@ -4556,6 +4571,24 @@ def q_knn_pq_opq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_recon_d2",
             )
         )
+
+    # Overlap the two assignments' independent job chains (guide §2.6):
+    # the balanced variant's encode/LUT checkpoints run concurrently
+    # with the identity counterfactual's fresh codebook training — the
+    # chains share only the promoted artifacts (built once under the
+    # memo lock), so overlap changes wall clock, never values.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                inheritable_thread_target(spark)(build_variant), name, amap
+            )
+            for name, amap in zip(_PQ_OPQ_VARIANTS, (bmap, imap))
+        ]
+        per_variant = [f.result() for f in futs]
     return (
         per_variant[0].unionByName(per_variant[1]).orderBy("assignment")
     )

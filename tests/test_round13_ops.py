@@ -263,3 +263,24 @@ def test_neardup_state_identity_is_packed_binary(spark, sf_dir):
         assert r["b"] == bytes.fromhex(f"{int(idx):04x}") + bytes.fromhex(
             hexpart
         )
+
+
+def test_pq_eval_threaded_variants_deterministic(spark, sf_dir):
+    """Round 15: the residual/opq evals materialize their two variants on
+    concurrent driver threads (guide §2.6 job overlap). Overlap must
+    change wall clock only — two builds, with the trained-artifact memo
+    reset in between (so one build is fully cold under concurrency),
+    must produce identical rows."""
+    from jp_qcew_spark.io import release_caches, reset_trained_artifacts
+    from jp_qcew_spark.queries.similarity import q_knn_pq_opq_eval
+
+    first = sorted(
+        map(tuple, q_knn_pq_opq_eval(spark, sf_dir).collect())
+    )
+    release_caches()
+    reset_trained_artifacts()
+    second = sorted(
+        map(tuple, q_knn_pq_opq_eval(spark, sf_dir).collect())
+    )
+    release_caches()
+    assert first == second

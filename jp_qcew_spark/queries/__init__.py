@@ -38,7 +38,24 @@ _GROUPS = [
 
 # Driver-window rotation (VERDICT r2 #1): the driver's CORRECTNESS snapshot
 # covers only the FIRST 50 registry entries, so registration order is
-# evidence policy. This list pins the ROUND-14 window (VERDICT r13 #2):
+# evidence policy. This list pins the ROUND-15 window (VERDICT r14 #8:
+# r15-changed queries first, then the two joins displaced in r14, then
+# the oldest r10 evidence):
+#
+# - CHANGED in r15, optimization round 2: (a) the five connected-
+#   components consumers (size-gated local union-find finish,
+#   ext/graph.py); (b) the two PQ pricing evals (variants built on
+#   concurrent driver threads); (c) every stream that drains through
+#   run_to_memory/run_to_quiescence — RAM-backed ephemeral checkpoints,
+#   key-cardinality-derived state width for the dedup twins, PLUS the
+#   inherited r15 commit's Arrow record-batch replay feeds and the
+#   checkpoint-checksum default — the 17 registered stream consumers
+#   all sit in the window;
+# - then join_range / join_salted_skew (displaced from the r14 leads);
+# - then the r10 cohort's remaining rows (oldest evidence),
+#   alphabetical.
+#
+# Previous round's rationale, kept for the audit trail:
 #
 # - quality_classifier_{train,apply,gd_eval} and knn_ivfpq_rerank_sweep
 #   are NEW this round (the curation triad's trained classifier —
@@ -61,82 +78,66 @@ _GROUPS = [
 #   here + 8 more slots toward r11 evidence).
 # Everything NOT listed follows in module-registration order.
 _WINDOW_PRIORITY = [
-    # -- new in round 14
-    "quality_classifier_train",
-    "quality_classifier_apply",
-    "quality_classifier_gd_eval",
-    "knn_ivfpq_rerank_sweep",
+    # -- changed in round 15: connected-components local finish
+    "semdedup_mutual",
+    "semdedup_rp",
+    "dedup_components",
     "dedup_keep_best",
     "dedup_keep_best_eval",
-    "stream_quality_gate",
-    # -- changed in round 14 (trained-artifact promotion)
-    "knn_pq_adc",
-    "knn_ivfpq",
-    "knn_pq_recall_eval",
+    # -- changed in round 15: threaded eval variants
     "knn_pq_residual_eval",
     "knn_pq_opq_eval",
-    "knn_ivfpq_recall_curve",
-    "knn_ivfpq_rerank",
-    "knn_ivf",
-    "knn_ivf_recall_curve",
-    # -- changed in round 14 (band-width guard)
+    # -- changed in round 15: streaming drains (Arrow replay feeds +
+    #    checksum default from the inherited commit; ephemeral-checkpoint
+    #    location + derived state width this session) — all 17 registered
+    #    stream consumers
+    "stream_dedup_incremental",
     "stream_dedup_neardup",
-    # -- changed late in round 14 (optimization pass): the recall
-    #    evals gained the pre-amplification repartition on the truth
-    #    pass's corpus side, and the replay sources' feed prep was
-    #    vectorized (Arrow sort_by/filter) — these two streams plus
-    #    stream_quality_gate (already a window lead above) exercise
-    #    every changed reader path directly; bloom_prefilter's
-    #    membership probe moved from a linear array_contains scan to an
-    #    O(1) bitmap get, and dsir_importance declared density=16 to
-    #    io.widen_scan (md5-per-bigram amplification) — both
-    #    value-identical, re-certified under the changed plans
-    "dedup_recall_eval",
-    "dedup_recall_target_eval",
+    "stream_cep_sequence",
     "stream_python_source",
     "stream_python_source_sharded",
-    "bloom_prefilter",
-    "dsir_importance",
-    # -- r9 cohort: the final 10, retiring the last r9 evidence
-    "text_entropy",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_bigram",
-    "text_lm_score",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf",
-    "tokenizer_pack_pipeline",
-    "window_range_frame",
-    # -- r10 cohort retirement begins (oldest evidence after r9),
-    #    alphabetical first 26 of 44
-    "agg_distinct_exact",
-    "dedup_components",
-    "dedup_incremental",
-    "distinct_domain",
-    "events_cep_sequence",
-    "events_dedup",
-    "events_json_props",
-    "events_props_map",
-    "events_sliding",
-    "events_tumbling",
+    "stream_quality_gate",
+    "stream_hll_distinct",
+    "stream_countmin_topk",
+    "stream_quantile_hist",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful_user_stats",
+    "stream_cdc_apply",
+    "stream_sliding",
+    "stream_static_join",
+    "stream_stream_join",
     "events_tumbling_stream",
-    "except_keys",
-    "filter_nonblank",
-    "fixedwidth_slice",
-    "intersect_keys",
-    "join_anti",
-    "join_asof",
-    # (the remaining 27 r10 rows — join_range, join_salted_skew,
-    # join_semi, knn_recall_rp,
-    # label_synthesis, lag_diff_pct, mm_gif_decode, mm_wav_decode,
-    # mode_keying, moving_avg, pivot_wide,
-    # pricing_summary, rank_dense, rollup_agg, running_sum,
-    # sample_weighted, scd2_upsert, semdedup_rp, stream_cep_sequence,
-    # suppressed_agg, text_containment, text_token_count, tick_sample,
-    # tokenizer_bpe_apply, tokenizer_bpe_merges, union_distinct,
-    # unpivot_long — lead the r15 window; six were displaced here by
-    # the late-r14 optimization-changed leads)
+    # -- displaced from the r14 leads by the late-r14 optimization pass
+    "join_range",
+    "join_salted_skew",
+    # -- r10 cohort retirement continues (oldest evidence), alphabetical;
+    #    semdedup_rp / stream_cep_sequence / events_tumbling_stream /
+    #    tokenizer_* from that cohort are already covered above as
+    #    r15-changed paths
+    "join_semi",
+    "knn_recall_rp",
+    "label_synthesis",
+    "lag_diff_pct",
+    "mm_gif_decode",
+    "mm_wav_decode",
+    "mode_keying",
+    "moving_avg",
+    "pivot_wide",
+    "pricing_summary",
+    "rank_dense",
+    "rollup_agg",
+    "running_sum",
+    "sample_weighted",
+    "scd2_upsert",
+    "suppressed_agg",
+    "text_containment",
+    "text_token_count",
+    "tick_sample",
+    "tokenizer_bpe_apply",
+    "tokenizer_bpe_merges",
+    "union_distinct",
+    "unpivot_long",
 ]
 
 

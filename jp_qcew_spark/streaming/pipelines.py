@@ -59,6 +59,33 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _ephemeral_checkpoint_dir() -> str | None:
+    """Checkpoint directory for the engine's EPHEMERAL test-sink drains.
+
+    These checkpoints exist only for the seconds a bounded replay takes —
+    the memory-sink result is the output; nothing ever restarts from
+    them — yet they default under ``java.io.tmpdir`` on DISK, so every
+    micro-batch pays offset-log + state-delta fsyncs to /tmp (profiled
+    r15: the disk path also reads up to 2× slower run-to-run under page-
+    cache pressure). A RAM-backed tmpfs dir removes that I/O from the
+    drain's critical path. Resolution order: ``SPARK_GRAFT_STREAM_CKPT``
+    (a production-like run points this at durable storage), else a fresh
+    dir under /dev/shm when present, else None (Spark's own temp dir —
+    the pre-r15 behavior, so non-tmpfs platforms are unchanged). One
+    fresh dir per drain: a reused location would make the second run try
+    to RECOVER a finished query (memory sinks refuse). Best-effort
+    removal after the drain; production checkpoints (explicit
+    ``checkpoint_dir`` arguments, e.g. ``stream_qcew_ingest``) do not
+    route through this."""
+    forced = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    base = forced or "/dev/shm"
+    if not os.path.isdir(base) or not os.access(base, os.W_OK):
+        return None
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="jp_qcew_ckpt_", dir=base)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
@@ -88,18 +115,42 @@ def run_to_memory(
     name = name or f"sink_{uuid.uuid4().hex[:12]}"
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = _ephemeral_checkpoint_dir()
     try:
-        query = (
+        writer = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        query = writer.start()
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def state_width(spark: SparkSession, n_keys: int) -> int:
+    """State-store width from KEY CARDINALITY — the engine's measured
+    rule (every state partition costs a store open + commit per
+    micro-batch, so width beyond ~keys/1000 is pure overhead), made
+    scale-adaptive instead of per-query constants. Re-measured in r15
+    after the checkpoint-checksum fix: with the per-file checksum waits
+    gone, the per-partition store overhead dominates and the old
+    32-wide setting INVERTED for the dedup streams
+    (stream_dedup_incremental 10.9 → 6.9 s at sf0.1 going 32 → 8;
+    stream_dedup_neardup ~16-20 → ~12-14). The width still grows with
+    the key space (sf1's ~50k fingerprints derive 32+ again, capped at
+    core count locally; a cluster's defaultParallelism raises the cap),
+    so this is the deployment rule, not a local[32] constant."""
+    dp = spark.sparkContext.defaultParallelism
+    return max(8, min(dp, n_keys // 1000))
 
 
 def run_to_quiescence(
@@ -131,14 +182,17 @@ def run_to_quiescence(
     spark = stream_df.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = _ephemeral_checkpoint_dir()
     try:
-        query = (
+        writer = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .trigger(processingTime="50 milliseconds")
-            .start()
         )
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
+        query = writer.start()
         deadline = time.time() + timeout_s
         settled = 0
         while time.time() < deadline:
@@ -168,6 +222,10 @@ def run_to_quiescence(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        if ckpt:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -841,12 +899,19 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # fingerprints are near-unique, so the stateful pass is per-KEY pandas
-    # invocations over ~|corpus| keys — the highest key cardinality of any
-    # stream in the book; task parallelism over key groups is the lever
-    # (the stream_cep_sequence 8→32 lesson; measured 57 s → ~17 s at sf0.1)
+    # fingerprints are near-unique (~|corpus| keys), so the width derives
+    # from the feed's parquet-metadata row count via the keys/1000 rule
+    # (state_width): 8 at sf0.1, 32+ at sf1. The old constant 32 was
+    # measured under the checkpoint-checksum regime the r15 fix removed;
+    # re-measured without it, 32 partitions cost 10.9 s vs 6.9 s at 8.
+    from jp_qcew_spark.io import metadata_row_count
+
+    n_docs = metadata_row_count(spark, sf_dir, "documents")
     return run_to_quiescence(
-        out, "append", "sink_dedup_incremental", state_partitions=32
+        out,
+        "append",
+        "sink_dedup_incremental",
+        state_partitions=state_width(spark, n_docs),
     )
 
 
@@ -1069,8 +1134,16 @@ def stream_dedup_neardup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # width from the STATE-key space (the crc32 buckets, not the band
+    # keys): keys/1000 floors at 8 for _NEARDUP_BUCKETS=512 — post-
+    # checksum-fix re-measure put 32 partitions at ~16-20 s vs ~12-14 s
+    # at 8-16 (sf0.1); a production wire raising the bucket count
+    # derives a wider store through the same rule
     sink = run_to_quiescence(
-        out, "append", "sink_dedup_neardup", state_partitions=32
+        out,
+        "append",
+        "sink_dedup_neardup",
+        state_partitions=state_width(spark, _NEARDUP_BUCKETS),
     )
     folded = sink.groupBy("doc_id").agg(
         F.max("prior").alias("p"),

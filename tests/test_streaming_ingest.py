@@ -123,3 +123,30 @@ def test_foreach_batch_sink_idempotent(spark, sf_dir, tmp_path):
     second = {r.batch_id: r.n for r in
               got2.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
     assert second == first
+
+
+def test_state_width_rule(spark):
+    """Round 15: state-store width derives from key cardinality
+    (keys/1000, floor 8, capped at defaultParallelism) — scale-adaptive,
+    not a per-query constant."""
+    from jp_qcew_spark.streaming.pipelines import state_width
+
+    dp = spark.sparkContext.defaultParallelism
+    assert state_width(spark, 0) == 8
+    assert state_width(spark, 5_000) == 8          # sf0.1 fingerprints
+    assert state_width(spark, 50_000) == min(dp, 50)   # sf1 derives wider
+    assert state_width(spark, 10**9) == dp         # capped at core count
+
+
+def test_ephemeral_checkpoint_dir_is_fresh_and_writable(tmp_path, monkeypatch):
+    """Each drain gets a FRESH checkpoint dir (a reused one would make
+    the second run try to recover a finished memory-sink query), and the
+    env override redirects the parent."""
+    from jp_qcew_spark.streaming.pipelines import _ephemeral_checkpoint_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT", str(tmp_path))
+    a, b = _ephemeral_checkpoint_dir(), _ephemeral_checkpoint_dir()
+    assert a and b and a != b
+    assert a.startswith(str(tmp_path)) and os.path.isdir(a)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT", str(tmp_path / "absent"))
+    assert _ephemeral_checkpoint_dir() is None  # unwritable parent: fall back

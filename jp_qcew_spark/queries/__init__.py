@@ -138,6 +138,8 @@ _WINDOW_PRIORITY = [
     "tokenizer_bpe_merges",
     "union_distinct",
     "unpivot_long",
+    # -- 50th slot: first core entry in module order (r10 cohort spent)
+    "cast_nullsafe",
 ]
 
 
